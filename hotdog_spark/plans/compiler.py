@@ -1,0 +1,371 @@
+"""Rule-cascade compiler: Settings → Catalyst Column expressions.
+
+This is the heart of the engine.  The reference evaluates rules per record
+in an imperative loop (reference: src/connection.rs:104-243); we compile
+the *whole ordered cascade* into two ``CASE WHEN`` chains — one producing
+the routing ``topic``, one the transformed ``payload`` — so Catalyst sees a
+single declarative plan (short-circuit first-match evaluation comes free
+from lazily-evaluated CaseWhen codegen).
+
+Faithful semantics captured from src/connection.rs:
+
+* Rules evaluate in order; processing of a record stops at the first rule
+  that sets ``continue_rules = false``.
+* A rule on a null field never matches (src/connection.rs:125-144).
+* On match, template variables are: regex named-capture groups
+  (src/rules.rs:98-103), the JMESPath string result as ``value``
+  (src/rules.rs:83-85), then the built-ins ``msg``/``version``/``iso8601``
+  which are inserted *after* captures and therefore shadow same-named
+  groups (src/connection.rs:155-157 — note the README claims the opposite;
+  the code wins).
+* Action walk (src/connection.rs:167-242): per-rule ``output`` buffer
+  starts empty.  ``replace`` renders into it; ``merge`` deep-merges the
+  configured JSON into the *message* and stores the result in it (merge
+  failure — non-JSON message — sets continue_rules=false but does NOT
+  break the action loop); ``forward`` emits (topic, output-or-msg), sets
+  continue_rules=false and breaks; ``stop`` sets continue_rules=false and
+  keeps walking (so ``[stop, forward]`` still forwards — faithful quirk).
+* ``iso8601`` is a per-plan timestamp; the reference stamps once per
+  connection (src/connection.rs:83) — documented divergence (SURVEY §4
+  O14): we stamp per batch/query via current_timestamp().
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hotdog_spark.config import (
+    Rule,
+    Settings,
+    java_pattern,
+    regex_group_names,
+)
+from hotdog_spark.functions.jsonmerge import (
+    flatten_patch_leaves,
+    is_valid_json,
+    merge_json_udf,
+    merge_static_object,
+)
+from hotdog_spark.plans import schema as schema_mod
+from hotdog_spark.version import ENGINE_VERSION
+
+_TEMPLATE_TOKEN = re.compile(r"\{\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*\}\}")
+
+ISO8601_FORMAT = "yyyy-MM-dd'T'HH:mm:ssXXX"
+
+
+def compile_template(template: str, variables: dict[str, Column]) -> Column:
+    """Handlebars-subset template → concat expression.
+
+    Supports ``{{var}}`` substitution (the only handlebars feature the
+    reference's configs and README use).  Unknown / null variables render
+    as empty string, matching handlebars' default lenient mode.  The
+    resulting expression is constant-folded by Catalyst when all parts are
+    literals (the analog of the reference's template precompilation,
+    src/connection.rs:260-289).
+    """
+    parts: list[Column] = []
+    pos = 0
+    for m in _TEMPLATE_TOKEN.finditer(template):
+        if m.start() > pos:
+            parts.append(F.lit(template[pos:m.start()]))
+        name = m.group(1)
+        var = variables.get(name)
+        parts.append(F.coalesce(var.cast("string"), F.lit("")) if var is not None else F.lit(""))
+        pos = m.end()
+    if pos < len(template):
+        parts.append(F.lit(template[pos:]))
+    if not parts:
+        return F.lit("")
+    return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+
+def _jsonpath(path: str) -> str:
+    """Dotted JMESPath subset → JSONPath for get_json_object."""
+    return "$." + path
+
+
+def _jmespath_value_var(field_col: Column, path: str) -> Column:
+    """The ``value`` template variable: the JMESPath result *only when it
+    is a JSON string* (numbers/objects leave the variable unset — the
+    reference warns and skips, src/rules.rs:83-90)."""
+    variant = F.try_parse_json(field_col)
+    leaf = F.try_variant_get(variant, _jsonpath(path), "variant")
+    return F.when(
+        F.schema_of_variant(leaf) == F.lit("STRING"),
+        F.try_variant_get(variant, _jsonpath(path), "string"),
+    )
+
+
+@dataclass
+class CompiledRule:
+    """One rule lowered to Column expressions."""
+
+    index: int
+    matched: Column          # does this rule match the record?
+    terminal: Column         # given matched: does processing stop here?
+    topic: Column            # routing topic when terminal (null = drop)
+    payload: Column          # payload when terminal
+
+
+@dataclass
+class CompiledCascade:
+    """The whole cascade as three Column expressions + per-rule parts."""
+
+    topic: Column
+    payload: Column
+    matched_rule: Column     # 0-based index of the terminating rule (null = none)
+    rules: list[CompiledRule]
+
+
+def _match_condition(rule: Rule, field_col: Column) -> Column:
+    if rule.regex is not None:
+        # rlike on a null column yields null, which CaseWhen treats as
+        # false — the null-field guard comes free (SURVEY §2.3 F3).
+        return field_col.rlike(java_pattern(rule.regex))
+    # JMESPath: match iff the (dotted-path subset) result is non-null.
+    # get_json_object returns null for invalid JSON, missing keys and JSON
+    # null — exactly the reference's match-iff-non-null (src/rules.rs:75-93).
+    return F.get_json_object(field_col, _jsonpath(rule.jmespath)).isNotNull()
+
+
+def _rule_variables(
+    rule: Rule, field_col: Column, msg: Column, iso8601: Column
+) -> dict[str, Column]:
+    variables: dict[str, Column] = {}
+    if rule.regex is not None:
+        pat = java_pattern(rule.regex)
+        for name, idx in regex_group_names(rule.regex).items():
+            # Unmatched optional groups extract as "" — handlebars renders
+            # missing vars as "" too, so behavior matches the reference.
+            variables[name] = F.regexp_extract(field_col, pat, idx)
+    else:
+        variables["value"] = _jmespath_value_var(field_col, rule.jmespath)
+    # Built-ins inserted last → they shadow captures (src/connection.rs:155-157).
+    variables["msg"] = msg
+    variables["version"] = F.lit(ENGINE_VERSION)
+    variables["iso8601"] = iso8601
+    return variables
+
+
+def _static_forward_topic(rule: Rule) -> str | None:
+    """The first forward action's topic, when it is a plain string with no
+    template variables (else None)."""
+    for action in rule.actions:
+        if action.kind == "forward":
+            return action.topic if not _TEMPLATE_TOKEN.search(action.topic) else None
+    return None
+
+
+def compile_rule(
+    rule: Rule,
+    index: int,
+    env: dict[str, Column],
+    iso8601: Column,
+    sink_schemas: dict[str, "object"] | None = None,
+    merge_mode: str = "exact",
+) -> CompiledRule:
+    """Lower one rule's match + action walk to Column expressions.
+
+    ``merge_mode='native'`` uses the pure-Catalyst merge fast path
+    (from_json → withField → to_json) when the rule forwards to a static
+    topic with a declared sink schema; otherwise it falls back to the
+    exact Arrow-batched UDF.  The native path confines the payload to the
+    declared schema — exactly the contract of a declared-schema topic
+    (SURVEY §1.3) — and keeps the hot path 100% JVM-side.
+    """
+    msg = env["msg"]
+    field_col = env[rule.field]
+    matched = _match_condition(rule, field_col)
+    variables = _rule_variables(rule, field_col, msg, iso8601)
+
+    output: Column = F.lit("")          # the per-rule output buffer
+    topic: Column | None = None
+    emitted = False
+    stopped = False
+    merge_fail: Column | None = None    # condition under which a merge failed
+
+    for action in rule.actions:
+        if action.kind == "forward":
+            topic = compile_template(action.topic, variables)
+            emitted = True
+            break  # forward breaks the action loop (src/connection.rs:210)
+        if action.kind == "replace":
+            output = compile_template(action.template, variables)
+        elif action.kind == "merge":
+            valid = is_valid_json(msg)
+            if isinstance(action.json_value, dict):
+                merged = _compile_merge(rule, action, msg, variables, sink_schemas, merge_mode)
+                output = F.when(valid, merged).otherwise(output)
+            else:
+                # Non-object patch: buffer passes through un-merged
+                # (src/connection.rs:317-322).
+                output = F.when(valid, msg).otherwise(output)
+            fail = ~valid
+            merge_fail = fail if merge_fail is None else (merge_fail | fail)
+        elif action.kind == "stop":
+            stopped = True  # sets the flag but keeps walking (faithful)
+
+    if emitted or stopped:
+        terminal = F.lit(True)
+    elif merge_fail is not None:
+        terminal = merge_fail
+    else:
+        terminal = F.lit(False)
+
+    if emitted:
+        payload = F.when(output == F.lit(""), msg).otherwise(output)
+        topic_expr = topic
+    else:
+        # Terminal without forward = drop (stop-only rule, or failed merge).
+        payload = F.lit(None).cast("string")
+        topic_expr = F.lit(None).cast("string")
+
+    return CompiledRule(
+        index=index,
+        matched=matched,
+        terminal=terminal,
+        topic=topic_expr,
+        payload=payload,
+    )
+
+
+def _compile_merge(
+    rule: Rule,
+    action,
+    msg: Column,
+    variables: dict[str, Column],
+    sink_schemas: dict[str, "object"] | None,
+    merge_mode: str,
+) -> Column:
+    """Lower one merge action: native withField graft when possible,
+    exact pandas UDF otherwise."""
+    if merge_mode == "native" and sink_schemas:
+        static_topic = _static_forward_topic(rule)
+        target_schema = sink_schemas.get(static_topic) if static_topic else None
+        if target_schema is not None:
+            leaves = flatten_patch_leaves(action.json_value)
+            schema = schema_mod.ensure_paths(target_schema, [p for p, _ in leaves])
+
+            def render_leaf(v):
+                return compile_template(v, variables) if isinstance(v, str) else F.lit(v)
+
+            return merge_static_object(msg, schema, action.json_value, render_leaf)
+    patch = compile_template(action.json_str, variables)
+    return merge_json_udf(msg, patch)
+
+
+def compile_cascade(
+    settings: Settings,
+    env: dict[str, Column] | None = None,
+    merge_mode: str = "exact",
+) -> CompiledCascade:
+    """Compile the full ordered rule cascade into CASE WHEN chains.
+
+    ``env`` maps envelope field names to Columns; defaults to columns named
+    msg/severity/facility/hostname/appname.  ``merge_mode='native'``
+    enables the declared-schema Catalyst merge fast path.
+    """
+    if env is None:
+        env = {f: F.col(f) for f in ("msg", "severity", "facility", "hostname", "appname")}
+    iso8601 = F.date_format(F.current_timestamp(), ISO8601_FORMAT)
+
+    sink_schemas = {
+        s.topic: schema_mod.sink_schema_to_struct(s) for s in settings.schemas
+    }
+    compiled = [
+        compile_rule(r, i, env, iso8601, sink_schemas, merge_mode)
+        for i, r in enumerate(settings.rules)
+    ]
+
+    topic: Column = F.lit(None).cast("string")
+    payload: Column = F.lit(None).cast("string")
+    matched_rule: Column = F.lit(None).cast("int")
+
+    # Build the first-match-wins chain back-to-front with otherwise();
+    # Catalyst flattens nested CaseWhen into one lazily-evaluated chain.
+    for cr in reversed(compiled):
+        cond = cr.matched & cr.terminal
+        topic = F.when(cond, cr.topic).otherwise(topic)
+        payload = F.when(cond, cr.payload).otherwise(payload)
+        matched_rule = F.when(cond, F.lit(cr.index)).otherwise(matched_rule)
+
+    return CompiledCascade(
+        topic=topic, payload=payload, matched_rule=matched_rule, rules=compiled
+    )
+
+
+def apply_cascade(
+    df: DataFrame,
+    settings: Settings,
+    keep_dropped: bool = False,
+    merge_mode: str = "exact",
+) -> DataFrame:
+    """Route a parsed-envelope DataFrame through the cascade.
+
+    Adds ``topic`` and ``payload`` columns; rows that no rule forwards
+    (unmatched, stop-dropped, or merge-aborted) are filtered out unless
+    ``keep_dropped`` (dead-letter / metrics analysis) is set.
+    """
+    cascade = compile_cascade(settings, merge_mode=merge_mode)
+    out = df.withColumns(
+        {
+            "topic": cascade.topic,
+            "payload": cascade.payload,
+            "matched_rule": cascade.matched_rule,
+        }
+    )
+    if not keep_dropped:
+        out = out.filter(F.col("topic").isNotNull())
+    return out
+
+
+def dry_run(
+    df: DataFrame, settings: Settings, column: str = "value", key: str | None = None
+) -> DataFrame:
+    """Test mode (`hotdog -t file.log`): which rules match each raw line?
+
+    Mirrors rules::test_rules (reference: src/rules.rs:16-57): every
+    ``field: msg`` rule is tested against the raw line independently (no
+    actions run, no first-match short-circuit); non-msg rules are skipped.
+    Returns (line_no, value, matches: array<int>, matchers: array<string>).
+    With ``key`` set, that column is used as the line identifier instead of
+    a global row_number (the distributed-friendly form).
+    """
+    line = F.col(column)
+    conds = []
+    for i, rule in enumerate(settings.rules):
+        if rule.field != "msg":
+            continue
+        conds.append((i, rule.matcher_display, _match_condition(rule, line)))
+    matches = F.filter(
+        F.array(*[F.when(c, F.lit(i)) for i, _, c in conds]),
+        lambda x: x.isNotNull(),
+    ) if conds else F.array().cast("array<int>")
+    matchers = F.filter(
+        F.array(*[F.when(c, F.lit(d)) for _, d, c in conds]),
+        lambda x: x.isNotNull(),
+    ) if conds else F.array().cast("array<string>")
+    if key is not None:
+        return df.select(
+            F.col(key).alias("line_no"),
+            line.alias("value"),
+            matches.alias("matches"),
+            matchers.alias("matchers"),
+        )
+    # NOTE: the global row_number window funnels through one partition —
+    # acceptable because dry-run is an interactive debugging surface over a
+    # small sample file (the reference's test mode reads one local file,
+    # src/rules.rs:16-57), never part of the production dataflow.
+    return df.select(
+        F.row_number().over(Window.orderBy(F.monotonically_increasing_id())).alias("line_no"),
+        line.alias("value"),
+        matches.alias("matches"),
+        matchers.alias("matchers"),
+    )

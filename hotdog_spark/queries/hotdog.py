@@ -1,0 +1,323 @@
+"""Hotdog-parity queries: the reference's rule-pipeline semantics expressed
+over the synthetic batch tables, each with a DuckDB oracle.
+
+The `events` table stands in for the syslog stream (FIXTURES.md B):
+``props`` (a JSON string) is the message payload, ``event_type`` the
+appname, ``'u'||user_id`` the hostname — mirroring how the reference's
+canonical config (reference: hotdog.yml:26-68) routes on message fields.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hotdog_spark.config import load
+from hotdog_spark.functions.syslog import parse_syslog_df
+from hotdog_spark.pipeline import process_envelope, routed_counts
+from hotdog_spark.plans.compiler import dry_run
+from hotdog_spark.queries import register
+from hotdog_spark.sources.batch import table
+from hotdog_spark.version import ENGINE_VERSION
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+EVENTS_CONFIG = os.path.join(_REPO_ROOT, "configs", "events.yml")
+
+
+def events_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → syslog envelope projection."""
+    return table(spark, sf_dir, "events").select(
+        F.col("event_id"),
+        F.col("props").alias("msg"),
+        F.lit(None).cast("string").alias("severity"),
+        F.lit(None).cast("string").alias("facility"),
+        F.concat(F.lit("u"), F.col("user_id")).alias("hostname"),
+        F.col("event_type").alias("appname"),
+    )
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship slice (SURVEY §7.2): parse → match → merge → route →
+    per-topic counts, all pure Catalyst (native merge path)."""
+    settings = load(EVENTS_CONFIG)
+    routed = process_envelope(events_envelope(spark, sf_dir), settings, merge_mode="native")
+    return routed_counts(routed).orderBy("topic")
+
+
+_ROUTE_CASE = """
+CASE
+  WHEN regexp_matches(event_type, '^(error|signup)$') THEN 'events-' || event_type
+  WHEN json_extract(props, '$.k') IS NOT NULL THEN 'events-json'
+  ELSE 'logs-unknown'
+END
+""".strip()
+
+
+@register(
+    "hotdog_route_cascade",
+    oracle=f"""
+    SELECT topic, COUNT(*) AS n
+    FROM (SELECT {_ROUTE_CASE} AS topic FROM events) t
+    GROUP BY topic
+    """,
+)
+def hotdog_route_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flagship(spark, sf_dir)
+
+
+@register(
+    "hotdog_route_payload",
+    oracle=f"""
+    SELECT event_id,
+           {_ROUTE_CASE} AS topic,
+           CASE
+             WHEN regexp_matches(event_type, '^(error|signup)$') THEN props
+             WHEN json_extract(props, '$.k') IS NOT NULL THEN
+               '{{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR)
+               || ',"meta":{{"hotdog":{{"version":"{ENGINE_VERSION}"}}}}}}'
+             ELSE props
+           END AS payload
+    FROM events
+    """,
+)
+def hotdog_route_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-record routing + transformed payload (merge stamped through the
+    declared-schema native path)."""
+    settings = load(EVENTS_CONFIG)
+    routed = process_envelope(
+        events_envelope(spark, sf_dir), settings, merge_mode="native"
+    )
+    return routed.select("event_id", "topic", "payload")
+
+
+_SYSLOG5424_LINE = (
+    "'<' || (o_orderkey % 192) || '>1 2024-01-02T03:04:05Z host' || (o_custkey % 50)"
+    " || ' app' || (o_orderkey % 7) || ' - - - order ' || o_orderkey"
+)
+
+_SEV_LIST = "['emerg','alert','crit','err','warning','notice','info','debug']"
+_FAC_LIST = (
+    "['kern','user','mail','daemon','auth','syslog','lpr','news','uucp','cron',"
+    "'authpriv','ftp','ntp','audit','alert','clockd','local0','local1','local2',"
+    "'local3','local4','local5','local6','local7']"
+)
+
+
+@register(
+    "syslog_parse_5424",
+    oracle=f"""
+    SELECT o_orderkey AS line_id,
+           'order ' || o_orderkey AS msg,
+           ({_SEV_LIST})[(o_orderkey % 192) % 8 + 1] AS severity,
+           ({_FAC_LIST})[(o_orderkey % 192) // 8 + 1] AS facility,
+           'host' || (o_custkey % 50) AS hostname,
+           'app' || (o_orderkey % 7) AS appname
+    FROM orders
+    """,
+)
+def syslog_parse_5424(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 5424 parse (P1) end-to-end: synthesize deterministic syslog
+    lines from `orders`, run them through the real regexp parser, decode
+    PRI → severity/facility names (golden pins src/parse.rs:76-89)."""
+    orders = table(spark, sf_dir, "orders")
+    lines = orders.select(
+        F.col("o_orderkey").alias("line_id"),
+        F.concat(
+            F.lit("<"), (F.col("o_orderkey") % 192).cast("string"),
+            F.lit(">1 2024-01-02T03:04:05Z host"), (F.col("o_custkey") % 50).cast("string"),
+            F.lit(" app"), (F.col("o_orderkey") % 7).cast("string"),
+            F.lit(" - - - order "), F.col("o_orderkey").cast("string"),
+        ).alias("value"),
+    )
+    return parse_syslog_df(lines).select(
+        "line_id", "msg", "severity", "facility", "hostname", "appname"
+    )
+
+
+@register(
+    "syslog_parse_3164",
+    oracle=f"""
+    SELECT o_orderkey AS line_id,
+           'started order ' || o_orderkey AS msg,
+           ({_SEV_LIST})[(o_orderkey % 192) % 8 + 1] AS severity,
+           ({_FAC_LIST})[(o_orderkey % 192) // 8 + 1] AS facility,
+           'host' || (o_custkey % 50) AS hostname,
+           'svc' || (o_orderkey % 5) AS appname
+    FROM orders
+    """,
+)
+def syslog_parse_3164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC 3164 fallback parse (P2), golden pin src/parse.rs:91-105."""
+    orders = table(spark, sf_dir, "orders")
+    lines = orders.select(
+        F.col("o_orderkey").alias("line_id"),
+        F.concat(
+            F.lit("<"), (F.col("o_orderkey") % 192).cast("string"),
+            F.lit(">May 13 21:45:18 host"), (F.col("o_custkey") % 50).cast("string"),
+            F.lit(" svc"), (F.col("o_orderkey") % 5).cast("string"),
+            F.lit(": started order "), F.col("o_orderkey").cast("string"),
+        ).alias("value"),
+    )
+    return parse_syslog_df(lines).select(
+        "line_id", "msg", "severity", "facility", "hostname", "appname"
+    )
+
+
+@register(
+    "syslog_parse_failure_routing",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 10 = 0 THEN 'dropped' ELSE 'parsed' END AS bucket,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def syslog_parse_failure_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse-failure routing (P3): unparseable lines counted + dropped
+    (src/connection.rs:89-95).  Every 10th line is garbage."""
+    orders = table(spark, sf_dir, "orders")
+    lines = orders.select(
+        F.when(
+            F.col("o_orderkey") % 10 == 0, F.lit("blah")
+        ).otherwise(
+            F.concat(
+                F.lit("<13>1 2024-01-02T03:04:05Z h a - - - order "),
+                F.col("o_orderkey").cast("string"),
+            )
+        ).alias("value")
+    )
+    parsed = parse_syslog_df(lines, drop_unparsed=False)
+    return (
+        parsed.select(
+            F.when(F.col("format").isNull(), F.lit("dropped"))
+            .otherwise(F.lit("parsed"))
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "hotdog_dryrun_matches",
+    oracle="""
+    SELECT doc_id AS line_no,
+           array_to_string(
+             list_filter(
+               [CASE WHEN regexp_matches(line, '^hello\\s+(\\w+)?') THEN '0' END,
+                CASE WHEN json_valid(line)
+                      AND json_extract(line, '$.meta.topic') IS NOT NULL THEN '1' END,
+                '2'],
+               x -> x IS NOT NULL), ',') AS matches
+    FROM (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN 'hello ' || text
+                  WHEN doc_id % 5 = 1 THEN '{"meta":{"topic":"t' || doc_id || '"}}'
+                  ELSE text END AS line
+      FROM documents
+    ) t
+    """,
+)
+def hotdog_dryrun_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dry-run / test mode (S4, src/rules.rs:16-57): which rules match each
+    line, all rules tested independently."""
+    settings = load(os.path.join(_REPO_ROOT, "tests", "configs", "canonical.yml"))
+    docs = table(spark, sf_dir, "documents")
+    lines = docs.select(
+        F.col("doc_id"),
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.lit("hello "), F.col("text")))
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.lit('{"meta":{"topic":"t'), F.col("doc_id"), F.lit('"}}')),
+        )
+        .otherwise(F.col("text"))
+        .alias("value"),
+    )
+    out = dry_run(lines, settings, key="doc_id")
+    return out.select(
+        "line_no",
+        F.array_join(F.transform("matches", lambda x: x.cast("string")), ",").alias(
+            "matches"
+        ),
+    )
+
+
+@register(
+    "merge_exact_deep",
+    oracle=f"""
+    SELECT event_id,
+           '{{"k":' || CAST(json_extract(props, '$.k') AS VARCHAR)
+           || ',"meta":{{"hotdog":{{"version":"{ENGINE_VERSION}"}}}}}}' AS payload
+    FROM events
+    """,
+)
+def merge_exact_deep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact deep-merge (A2) through the Arrow-batched UDF path — the
+    dynamic-shape semantics of src/merge.rs:67-86."""
+    from hotdog_spark.config import load_dict
+
+    settings = load_dict(
+        {
+            "global": {"listen": {"port": 1}},
+            "rules": [
+                {
+                    "jmespath": "k",
+                    "field": "msg",
+                    "actions": [
+                        {"type": "merge", "json": {"meta": {"hotdog": {"version": "{{version}}"}}}},
+                        {"type": "forward", "topic": "out"},
+                    ],
+                }
+            ],
+        },
+        environ={},
+    )
+    routed = process_envelope(events_envelope(spark, sf_dir), settings, merge_mode="exact")
+    return routed.select("event_id", "payload")
+
+
+@register(
+    "replace_template_capture",
+    oracle="""
+    SELECT doc_id,
+           'w1=' || regexp_extract(text, '^(\\w+) (\\w+)', 1)
+           || ';w2=' || regexp_extract(text, '^(\\w+) (\\w+)', 2) AS payload,
+           'words' AS topic
+    FROM documents
+    WHERE regexp_matches(text, '^(\\w+) (\\w+)')
+    """,
+)
+def replace_template_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replace action (A1) with named-capture template variables (F1):
+    regex named groups → indexed regexp_extract → template concat."""
+    from hotdog_spark.config import load_dict
+
+    settings = load_dict(
+        {
+            "global": {"listen": {"port": 1}},
+            "rules": [
+                {
+                    "regex": "^(?P<w1>\\w+) (?P<w2>\\w+)",
+                    "field": "msg",
+                    "actions": [
+                        {"type": "replace", "template": "w1={{w1}};w2={{w2}}"},
+                        {"type": "forward", "topic": "words"},
+                    ],
+                }
+            ],
+        },
+        environ={},
+    )
+    docs = table(spark, sf_dir, "documents")
+    env = docs.select(
+        F.col("doc_id"),
+        F.col("text").alias("msg"),
+        F.lit(None).cast("string").alias("severity"),
+        F.lit(None).cast("string").alias("facility"),
+        F.lit(None).cast("string").alias("hostname"),
+        F.lit(None).cast("string").alias("appname"),
+    )
+    routed = process_envelope(env, settings)
+    return routed.select("doc_id", "payload", "topic")

@@ -1,0 +1,58 @@
+"""Batch sources: parquet table loading and raw-log file scans.
+
+The parquet loads deliberately go through ``spark.read.parquet`` with no
+options so predicate pushdown, column pruning and partition pruning all
+remain available to Catalyst (verify with ``.explain``: PushedFilters /
+ReadSchema).  At 100 TB these tables would be directory-partitioned and/or
+bucketed; the helpers keep the call sites uniform so that swap is a
+one-liner.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table from an sf directory.
+
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark only
+    reads as a nanos-long (`spark.sql.legacy.parquet.nanosAsLong`); we
+    normalize it back to a microsecond TimestampType column so event-time
+    operators see a real timestamp (DuckDB's TIMESTAMP cast truncates
+    ns→µs identically).
+    """
+    from hotdog_spark.dist import ensure_shipped
+
+    ensure_shipped(spark)
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        from pyspark.sql import functions as F
+
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(path)
+
+
+def read_log_file(spark: SparkSession, path: str) -> DataFrame:
+    """Raw log file → one row per line (column ``value``) — the batch
+    analog of the reference's test-mode file scan (src/rules.rs:16-57)."""
+    return spark.read.text(path)

@@ -1,0 +1,289 @@
+"""Rule-cascade compiler semantics (reference: src/connection.rs:104-243,
+src/rules.rs:64-106)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import Row
+
+from hotdog_spark.config import ConfigError, load
+from hotdog_spark.pipeline import process_envelope
+from hotdog_spark.plans.compiler import compile_template, dry_run
+from hotdog_spark.version import ENGINE_VERSION
+
+CONFIGS = os.path.join(os.path.dirname(__file__), "configs")
+
+
+ENVELOPE_SCHEMA = "msg string, severity string, facility string, hostname string, appname string"
+
+
+def envelope(spark, msgs, **fields):
+    rows = [
+        (
+            m,
+            fields.get("severity"),
+            fields.get("facility"),
+            fields.get("hostname"),
+            fields.get("appname"),
+        )
+        for m in msgs
+    ]
+    return spark.createDataFrame(rows, schema=ENVELOPE_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def canonical():
+    return load(os.path.join(CONFIGS, "canonical.yml"))
+
+
+def route(spark, settings, msgs, **fields):
+    df = envelope(spark, msgs, **fields)
+    return {
+        r.msg: (r.topic, r.payload)
+        for r in process_envelope(df, settings).collect()
+    }
+
+
+def test_first_match_wins_and_replace(spark, canonical):
+    out = route(spark, canonical, ["hello world"])
+    topic, payload = out["hello world"]
+    assert topic == "test"
+    assert payload == "This is the total message: hello world And the name is: world"
+
+
+def test_optional_group_renders_empty(spark, canonical):
+    out = route(spark, canonical, ["hello "])
+    # regex matches with the optional named group empty → renders ""
+    assert out["hello "][1].endswith("And the name is: ")
+
+
+def test_jmespath_dynamic_topic_and_merge(spark, canonical):
+    msg = '{"meta":{"topic":"foo"},"i":42}'
+    out = route(spark, canonical, [msg])
+    topic, payload = out[msg]
+    assert topic == "foo"
+    merged = json.loads(payload)
+    assert merged["i"] == 42
+    assert merged["meta"]["hotdog"]["version"] == ENGINE_VERSION
+    assert merged["meta"]["topic"] == "foo"
+
+
+def test_catch_all(spark, canonical):
+    out = route(spark, canonical, ["something else entirely"])
+    assert out["something else entirely"] == (
+        "logs-unknown",
+        "something else entirely",
+    )
+
+
+def test_jmespath_number_value_not_substituted(spark):
+    # A numeric JMESPath result matches but leaves {{value}} unset
+    # (src/rules.rs:83-90) → topic renders with empty substitution.
+    import hotdog_spark.config as cfg
+
+    settings = cfg.load_dict(
+        {
+            "global": {"listen": {"port": 1}},
+            "rules": [
+                {
+                    "jmespath": "k",
+                    "field": "msg",
+                    "actions": [{"type": "forward", "topic": "t-{{value}}"}],
+                }
+            ],
+        },
+        environ={},
+    )
+    out = route(spark, settings, ['{"k": 87}', '{"k": "s"}'])
+    assert out['{"k": 87}'][0] == "t-"
+    assert out['{"k": "s"}'][0] == "t-s"
+
+
+def test_null_field_never_matches(spark):
+    settings = load(os.path.join(CONFIGS, "single-rule-with-hostname-field.yml"))
+    df = envelope(spark, ["a message"])  # hostname null
+    assert process_envelope(df, settings).count() == 0
+
+
+def test_hostname_field_routing(spark):
+    settings = load(os.path.join(CONFIGS, "single-rule-with-hostname-field.yml"))
+    out = route(spark, settings, ["a message"], hostname="coconut")
+    assert out["a message"] == (
+        "test",
+        "This messages was received by my workstation a message",
+    )
+    out2 = route(spark, settings, ["b message"], hostname="other")
+    assert out2["b message"][1].startswith("This message NOT received properly")
+
+
+def test_match_without_forward_falls_through(spark):
+    # replace-only rule matches but never forwards → record continues to
+    # later rules; with no later rule it is dropped.
+    settings = load(os.path.join(CONFIGS, "single-rule-with-replace.yml"))
+    out = route(spark, settings, ["hello world"])
+    assert out == {}
+
+
+def test_merge_only_rule_valid_json_falls_through(spark):
+    # merge succeeds, no forward, no stop → continue to next rule → no
+    # emission when there is none.
+    settings = load(os.path.join(CONFIGS, "single-rule-with-merge.yml"))
+    out = route(spark, settings, ['{"meta":{"topic":"x"}}'])
+    assert out == {}
+
+
+def test_stop_only_drops(spark):
+    import hotdog_spark.config as cfg
+
+    settings = cfg.load_dict(
+        {
+            "global": {"listen": {"port": 1}},
+            "rules": [
+                {
+                    "regex": "^drop",
+                    "field": "msg",
+                    "actions": [{"type": "stop"}],
+                },
+                {
+                    "regex": ".*",
+                    "field": "msg",
+                    "actions": [{"type": "forward", "topic": "rest"}],
+                },
+            ],
+        },
+        environ={},
+    )
+    out = route(spark, settings, ["drop me", "keep me"])
+    assert "drop me" not in out
+    assert out["keep me"] == ("rest", "keep me")
+
+
+def test_merge_failure_does_not_stop_forward_in_same_rule(spark):
+    # Faithful quirk: failed merge sets continue_rules=false but the
+    # action loop keeps going; a forward in the same rule still emits the
+    # raw message (src/connection.rs:213-224 has no break).
+    import hotdog_spark.config as cfg
+
+    settings = cfg.load_dict(
+        {
+            "global": {"listen": {"port": 1}},
+            "rules": [
+                {
+                    "regex": "^notjson",
+                    "field": "msg",
+                    "actions": [
+                        {"type": "merge", "json": {"a": 1}},
+                        {"type": "forward", "topic": "merged"},
+                    ],
+                },
+            ],
+        },
+        environ={},
+    )
+    out = route(spark, settings, ["notjson at all"])
+    assert out["notjson at all"] == ("merged", "notjson at all")
+
+
+def test_merge_failure_without_forward_terminates_cascade(spark):
+    import hotdog_spark.config as cfg
+
+    settings = cfg.load_dict(
+        {
+            "global": {"listen": {"port": 1}},
+            "rules": [
+                {
+                    "regex": "^x",
+                    "field": "msg",
+                    "actions": [{"type": "merge", "json": {"a": 1}}],
+                },
+                {
+                    "regex": ".*",
+                    "field": "msg",
+                    "actions": [{"type": "forward", "topic": "rest"}],
+                },
+            ],
+        },
+        environ={},
+    )
+    out = route(spark, settings, ["x not json", 'x {"ok": true}'.replace("x ", "", 1)])
+    # "x not json": rule 1 matches, merge fails → terminal drop.
+    assert "x not json" not in out
+    # valid JSON not starting with x → catch-all forwards it.
+    assert out['{"ok": true}'] == ("rest", '{"ok": true}')
+
+
+def test_stop_then_forward_still_emits(spark):
+    # [stop, forward] still forwards — stop sets the flag but does not
+    # break the action loop (src/connection.rs:238-240).
+    import hotdog_spark.config as cfg
+
+    settings = cfg.load_dict(
+        {
+            "global": {"listen": {"port": 1}},
+            "rules": [
+                {
+                    "regex": ".*",
+                    "field": "msg",
+                    "actions": [
+                        {"type": "stop"},
+                        {"type": "forward", "topic": "t"},
+                    ],
+                },
+            ],
+        },
+        environ={},
+    )
+    out = route(spark, settings, ["m"])
+    assert out["m"] == ("t", "m")
+
+
+def test_builtins_shadow_captures(spark):
+    # A capture group named `msg` is overwritten by the built-in (the
+    # reference inserts built-ins after captures, src/connection.rs:155-157).
+    import hotdog_spark.config as cfg
+
+    settings = cfg.load_dict(
+        {
+            "global": {"listen": {"port": 1}},
+            "rules": [
+                {
+                    "regex": "^(?P<msg>\\w+)",
+                    "field": "msg",
+                    "actions": [
+                        {"type": "replace", "template": "[{{msg}}]"},
+                        {"type": "forward", "topic": "t"},
+                    ],
+                },
+            ],
+        },
+        environ={},
+    )
+    out = route(spark, settings, ["first second"])
+    assert out["first second"][1] == "[first second]"
+
+
+def test_invalid_jmespath_fails_at_load():
+    with pytest.raises(ConfigError):
+        load(os.path.join(CONFIGS, "single-rule-with-invalid-jmespath.yml"))
+
+
+def test_template_compiler(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(1)
+    col = compile_template(
+        "a {{x}} b {{missing}} c", {"x": F.lit("X")}
+    )
+    assert df.select(col.alias("t")).collect()[0].t == "a X b  c"
+
+
+def test_dry_run(spark, canonical):
+    df = spark.createDataFrame(
+        [Row(value="hello there"), Row(value='{"meta":{"topic":"test"}}'), Row(value="zzz")]
+    )
+    rows = {r.value: r for r in dry_run(df, canonical).collect()}
+    assert rows["hello there"].matches == [0, 2]
+    # JSON line matches the jmespath rule and the catch-all
+    assert rows['{"meta":{"topic":"test"}}'].matches == [1, 2]
+    assert rows["zzz"].matches == [2]

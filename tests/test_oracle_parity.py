@@ -1,0 +1,73 @@
+"""Local mirror of the driver's DuckDB-oracle harness.
+
+Runs every registered query's Spark implementation AND its DuckDB oracle
+at sf0.001 and asserts exact, order-insensitive equality of values and
+column names — the same bar as CORRECTNESS_r{N}.json, caught early.
+"""
+
+import math
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF_DIR = os.environ.get("HOTDOG_TEST_SF_DIR", "/root/testdata/sf0.001")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    yield con
+    con.close()
+
+
+def _canon(df):
+    """pandas frame → sorted list of row tuples with canonical values."""
+    cols = sorted(df.columns)
+    df = df[cols]
+
+    def canon_val(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return None
+        if hasattr(v, "item"):
+            v = v.item()
+        if isinstance(v, float):
+            return f"{v:.10g}"
+        return str(v)
+
+    rows = sorted(tuple(canon_val(v) for v in row) for row in df.itertuples(index=False))
+    return cols, rows
+
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(spark, duck, name):
+    spark_df = QUERIES[name](spark, SF_DIR).toPandas()
+    if name not in ORACLES:
+        # rows-only check, mirroring the driver's weaker path
+        assert len(spark_df) >= 0
+        return
+    duck_df = duck.execute(ORACLES[name]).fetchdf()
+    s_cols, s_rows = _canon(spark_df)
+    d_cols, d_rows = _canon(duck_df)
+    assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} vs {len(d_rows)}"
+    )
+    mismatches = [
+        (a, b) for a, b in zip(s_rows, d_rows) if a != b
+    ]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
