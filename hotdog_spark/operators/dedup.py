@@ -1,0 +1,196 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard.
+
+All hashing is md5-based so results are engine-independent (the DuckDB
+oracles reproduce them bit-for-bit), and every stage is a plain
+shuffle-on-key dataflow:
+
+* exact dedup       — one hash-aggregate on md5(text): map-side combinable.
+* MinHash + LSH     — explode shingles → per-(doc, band) min over
+                      md5(band|shingle) → shuffle on (band, signature) →
+                      bucket self-join.  At 100 TB the candidate-pair
+                      explosion is bounded by band width; no all-pairs
+                      comparison ever happens.
+* SimHash           — per-token md5 bits summed per doc (16-bit variant):
+                      a single aggregation, integer-exact.
+* n-gram Jaccard    — token-set intersection via explode + join on token,
+                      candidates pre-bounded by (lang, length) blocking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+def normalized_tokens(text: Column) -> Column:
+    """lower → trim → split on whitespace runs (identical to DuckDB's
+    ``string_split_regex(trim(lower(x)), '\\s+')``)."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def word_shingles(tokens: Column, k: int = 3) -> Column:
+    """k-word shingles; texts shorter than k words collapse to one
+    whole-text shingle so no document silently drops out."""
+    n = F.size(tokens)
+    return F.when(
+        n < k, F.array(F.concat_ws(" ", tokens))
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)),
+        )
+    )
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest id as the
+    canonical representative.  Returns (content_hash, keep_id, group_size)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, bands: int = 8, k: int = 3
+) -> DataFrame:
+    """MinHash signatures: ``bands`` independent hash functions, each the
+    lexicographic min of md5('<band>|'<shingle>) over the doc's shingles.
+    Returns (id, band, sig) — one row per (doc, band)."""
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(normalized_tokens(F.col(text_col)), k)).alias("shingle"),
+    )
+    banded = shingled.select(
+        "id",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        "shingle",
+    )
+    return (
+        banded.select(
+            "id",
+            "band",
+            F.md5(
+                F.concat(F.col("band").cast("string"), F.lit("|"), F.col("shingle"))
+            ).alias("h"),
+        )
+        .groupBy("id", "band")
+        .agg(F.min("h").alias("sig"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str, id_col: str, bands: int = 8, k: int = 3
+) -> DataFrame:
+    """Candidate near-duplicate pairs: docs sharing any band signature.
+    Returns distinct (id_a, id_b) with id_a < id_b."""
+    sigs = minhash_signatures(df, text_col, id_col, bands, k)
+    a = sigs.select(
+        F.col("band"), F.col("sig"), F.col("id").alias("id_a")
+    )
+    b = sigs.select(
+        F.col("band").alias("band_b"), F.col("sig").alias("sig_b"), F.col("id").alias("id_b")
+    )
+    return (
+        a.join(
+            b,
+            (a.band == b.band_b) & (a.sig == b.sig_b) & (a.id_a < b.id_b),
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def _hex_val(h: Column, pos: int) -> Column:
+    """Value 0-15 of the hex digit at 1-based ``pos``."""
+    return F.instr(F.lit(HEX_DIGITS), F.substring(h, pos, 1)) - 1
+
+
+def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """16-bit SimHash over whitespace tokens: per token take the first 16
+    bits of md5, sum ±1 per bit position over the doc, set bit where the
+    sum is positive.  Integer-exact, engine-independent.
+    Returns (id, simhash)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(normalized_tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("h", F.md5(F.col("tok")))
+    agg_cols = []
+    for j in range(16):
+        digit = _hex_val(F.col("h"), j // 4 + 1)
+        bit = F.floor(digit / F.lit(2 ** (j % 4))) % 2
+        agg_cols.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
+    sums = toks.groupBy("id").agg(*agg_cols)
+    simhash = None
+    for j in range(16):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else (simhash + term)
+    return sums.select("id", simhash.cast("bigint").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    length_col: str,
+    length_tol: int = 5,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Token-set Jaccard similarity for blocked candidate pairs.
+
+    Blocking (same ``block_cols``, |length difference| ≤ tol) bounds the
+    pair count; the intersection is computed distributively by exploding
+    distinct tokens and joining on token — never an all-pairs loop.
+    Returns (id_a, id_b, inter, union_n, jaccard)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        F.col(length_col).alias("_len"),
+        F.explode(F.array_distinct(normalized_tokens(F.col(text_col)))).alias("tok"),
+    )
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a = toks.select(
+        F.col("id").alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in block_cols],
+        F.col("_len").alias("len_a"),
+        "tok",
+    )
+    b = toks.select(
+        F.col("id").alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        F.col("_len").alias("len_b"),
+        F.col("tok").alias("tok_b"),
+    )
+    cond = (a.tok == b.tok_b) & (a.id_a < b.id_b)
+    for c in block_cols:
+        cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+    cond = cond & (F.abs(F.col("len_a") - F.col("len_b")) <= length_tol)
+    inter = (
+        a.join(b, cond)
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_tok").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            (F.col("n_a") + F.col("n_b") - F.col("inter")).alias("union_n"),
+            (
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,109 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+language-ID heuristic, quality scoring, document fingerprinting.
+
+Everything is built-in column expressions (whole-stage codegen); ratios
+are integer/integer divisions so values reproduce exactly in any engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hotdog_spark.operators.dedup import normalized_tokens
+
+# A BPE-ish lexer: letter runs, digit runs, single non-alnum marks.
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword inventories for the n-gram/stopword heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "de": ["der", "die", "und", "das", "ist", "von"],
+    "fr": ["le", "la", "et", "les", "des", "est"],
+    "zh": ["de", "shi", "le", "zai", "he"],
+}
+LANGS = sorted(STOPWORDS)  # deterministic argmax tie-break order
+
+
+def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Whitespace token count + BPE-ish lexer token count."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(normalized_tokens(text)).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0)).alias("lex_tokens"),
+    )
+
+
+def _stopword_hits(tokens: Column, words: list[str]) -> Column:
+    wordlist = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(wordlist, t)))
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stopword-ratio language ID: count per-language stopword hits over
+    whitespace tokens, argmax with alphabetical tie-break.  Returns the
+    per-language scores too so the decision is auditable."""
+    toks = normalized_tokens(F.col(text_col))
+    scores = {lang: _stopword_hits(toks, ws) for lang, ws in STOPWORDS.items()}
+    # argmax via ordered CASE cascade: the first language (alphabetical
+    # order) whose score is >= every other wins — i.e. max score with
+    # alphabetical tie-break, trivially reproducible in SQL.
+    chain = None
+    for lang in LANGS:
+        cond = None
+        for other in LANGS:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
+    return df.select(
+        F.col(id_col),
+        chain.alias("pred_lang"),
+        *[scores[lang].alias(f"hits_{lang}") for lang in LANGS],
+    )
+
+
+def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Heuristic quality features + a combined score.
+
+    All components are exact int/int divisions; the score is a linear
+    combination of them (deterministic doubles)."""
+    text = F.col(text_col)
+    toks = normalized_tokens(text)
+    n_tok = F.size(toks)
+    n_chars = F.length(text)
+    punct = F.size(F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    stop_en = _stopword_hits(toks, STOPWORDS["en"])
+    mean_tok_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    ).cast("double") / n_tok.cast("double")
+    punct_ratio = punct.cast("double") / n_chars.cast("double")
+    stop_ratio = stop_en.cast("double") / n_tok.cast("double")
+    score = (
+        F.lit(0.5) * stop_ratio
+        - F.lit(0.3) * punct_ratio
+        + F.lit(0.02) * mean_tok_len
+    )
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars_txt"),
+        punct.alias("n_punct"),
+        mean_tok_len.alias("mean_tok_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Content fingerprint: md5 of the casefolded, whitespace-collapsed
+    text — the canonical near-exact-dup key (16 hex chars kept)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    return df.select(
+        F.col(id_col),
+        F.substring(F.md5(norm), 1, 16).alias("fp"),
+    )

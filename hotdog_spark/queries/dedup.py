@@ -1,1 +1,130 @@
-"""Placeholder — filled in by later milestones."""
+"""Dedup operator queries over the `documents` table, each with a DuckDB
+oracle reproducing the md5-based hashing bit-for-bit."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hotdog_spark.operators import dedup as ops
+from hotdog_spark.queries import register
+from hotdog_spark.sources.batch import table
+
+_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS group_size
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one map-side-combinable hash aggregate; the canonical
+    doc is the minimum id per content hash."""
+    return ops.exact_dedup_groups(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+2], ' ')
+                        for i in generate_series(1, len(t)-2)] END AS shingles
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), sigs AS (
+      SELECT doc_id, band, MIN(md5(band || '|' || shingle)) AS sig
+      FROM ex, (SELECT unnest(generate_series(0, 7)) AS band) b
+      GROUP BY doc_id, band
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sigs a JOIN sigs b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 3-word shingles → 8 md5 minhashes
+    → bucket join on (band, signature).  The shuffle key is the signature,
+    so candidate generation never compares all pairs."""
+    return ops.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), "text", "doc_id", bands=8, k=3
+    )
+
+
+def _simhash_oracle() -> str:
+    sums = []
+    for j in range(16):
+        digit = f"(strpos('0123456789abcdef', substring(h, {j // 4 + 1}, 1)) - 1)"
+        bit = f"(({digit} // {2 ** (j % 4)}) % 2)"
+        sums.append(f"SUM(2 * {bit} - 1) AS s{j}")
+    terms = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(16)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ), h AS (
+      SELECT doc_id, md5(tok) AS h FROM tok
+    ), bits AS (
+      SELECT doc_id, {", ".join(sums)} FROM h GROUP BY doc_id
+    )
+    SELECT doc_id AS id, CAST({terms} AS BIGINT) AS simhash FROM bits
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: token md5 bits summed ±1 — a single
+    integer-exact aggregation (near-dups share simhash within small
+    Hamming distance)."""
+    return ops.simhash16(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, n_chars,
+             unnest(list_distinct({_TOKS})) AS tok
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM toks a JOIN toks b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+       AND a.lang = b.lang AND abs(a.n_chars - b.n_chars) <= 5
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter,
+           sa.n_tok + sb.n_tok - inter AS union_n,
+           CAST(inter AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / CAST(sa.n_tok + sb.n_tok - inter AS DOUBLE) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked token-set Jaccard: candidates limited to same-language,
+    similar-length docs; intersection computed distributively by joining
+    exploded distinct tokens."""
+    return ops.ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        block_cols=["lang"],
+        length_col="n_chars",
+        length_tol=5,
+        threshold=0.2,
+    )

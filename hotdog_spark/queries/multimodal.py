@@ -1,1 +1,78 @@
-"""Placeholder — filled in by later milestones."""
+"""Multimodal plumbing queries: binary columns + metadata + stubbed
+feature extraction (the decode kernels are fakes — no media libs in this
+container — but the Spark dataflow is real; see operators/multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hotdog_spark.operators import multimodal as ops
+from hotdog_spark.queries import register
+from hotdog_spark.sources.batch import table
+
+
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5,
+           hex(encode(substring(text, 1, 4))) AS header_hex,
+           length(text) % 640 AS width,
+           length(text) % 480 AS height
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payloads with typed metadata: byte length, content
+    hash, magic-bytes header — pure JVM expressions over binary columns."""
+    docs = table(spark, sf_dir, "documents")
+    media = ops.media_from_text(docs, "text", "doc_id")
+    return media.select(
+        "media_id",
+        F.octet_length("content").cast("bigint").alias("n_bytes"),
+        F.md5("content").alias("content_md5"),
+        F.hex(F.substring("content", 1, 4)).alias("header_hex"),
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+    )
+
+
+@register(
+    "multimodal_feature_stub",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_bytes,
+           8 AS feat_dim
+    FROM documents
+    """,
+)
+def multimodal_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas feature extraction (deterministic fake
+    decoder).  The oracle checks the plumbing outputs (id, byte count,
+    dim); the feature values themselves are covered by pytest."""
+    docs = table(spark, sf_dir, "documents")
+    media = ops.media_from_text(docs, "text", "doc_id")
+    feats = ops.extract_features(media, dim=8)
+    return feats.select(
+        "media_id", "n_bytes", F.col("feat_dim").cast("int").alias("feat_dim")
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id, CAST(unnest(
+             generate_series(0, (octet_length(encode(text)) % 100), 10)
+           ) AS INT) AS frame_no
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: every-10th-frame rows emitted from a
+    mapInPandas kernel (fake duration = byte length % 100 + 1 frames)."""
+    docs = table(spark, sf_dir, "documents")
+    media = ops.media_from_text(docs, "text", "doc_id")
+    return ops.frame_sample_stub(media, every_n=10)

@@ -1,1 +1,90 @@
-"""Placeholder — filled in by later milestones."""
+"""Similarity-search queries over the `embeddings` table.
+
+Embeddings are quantized to integers before arithmetic so cosine scores
+are bit-identical across engines (see operators/similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hotdog_spark.operators import similarity as ops
+from hotdog_spark.queries import register
+from hotdog_spark.sources.batch import table
+
+_QUANT = "list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))"
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, {_QUANT} AS qv,
+             list_sum(list_transform({_QUANT}, x -> x * x)) AS n2
+      FROM embeddings
+    ), probes AS (
+      SELECT vec_id AS query_id, qv AS qp, n2 AS n2p FROM n WHERE vec_id < 10
+    ), scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(list_zip(c.qv, p.qp), s -> s[1] * s[2])) AS DOUBLE)
+               / sqrt(CAST(c.n2 * p.n2p AS DOUBLE)) AS score
+      FROM n c, probes p
+      WHERE c.vec_id != p.query_id AND c.n2 > 0 AND p.n2p > 0
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) t WHERE rank <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 probe vectors: broadcast probes ×
+    corpus scan, per-probe ranking — the exactness baseline every ANN
+    variant is measured against."""
+    emb = table(spark, sf_dir, "embeddings")
+    return ops.cosine_topk(
+        emb, "embedding", "vec_id", probe_filter=F.col("vid") < 10, k=5
+    ).select("query_id", "neighbor_id", "score", "rank")
+
+
+@register(
+    "ann_lsh_bucketed",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, {_QUANT} AS qv,
+             list_sum(list_transform({_QUANT}, x -> x * x)) AS n2
+      FROM embeddings
+    ), bucketed AS (
+      SELECT vec_id, qv, n2,
+             (CASE WHEN qv[1] >= 0 THEN '1' ELSE '0' END)
+             || (CASE WHEN qv[2] >= 0 THEN '1' ELSE '0' END)
+             || (CASE WHEN qv[3] >= 0 THEN '1' ELSE '0' END)
+             || (CASE WHEN qv[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM n
+    ), probes AS (
+      SELECT vec_id AS query_id, qv AS qp, n2 AS n2p, bucket AS bp
+      FROM bucketed WHERE vec_id < 10
+    ), scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id, c.bucket,
+             CAST(list_sum(list_transform(list_zip(c.qv, p.qp), s -> s[1] * s[2])) AS DOUBLE)
+               / sqrt(CAST(c.n2 * p.n2p AS DOUBLE)) AS score
+      FROM bucketed c JOIN probes p ON c.bucket = p.bp
+      WHERE c.vec_id != p.query_id AND c.n2 > 0 AND p.n2p > 0
+    )
+    SELECT query_id, neighbor_id, bucket, score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) t WHERE rank <= 3
+    """,
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: candidates restricted to the probe's sign bucket
+    (~1/16 of the corpus with 4 bits) — the recall-stage pattern that
+    scales to 100 TB where brute force cannot."""
+    emb = table(spark, sf_dir, "embeddings")
+    return ops.lsh_cosine_topk(
+        emb, "embedding", "vec_id", probe_filter=F.col("vid") < 10, k=3, bits=4
+    ).select("query_id", "neighbor_id", "bucket", "score", "rank")

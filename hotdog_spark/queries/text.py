@@ -1,1 +1,94 @@
-"""Placeholder — filled in by later milestones."""
+"""Text-analysis queries over the `documents` table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from hotdog_spark.operators import textops as ops
+from hotdog_spark.queries import register
+from hotdog_spark.sources.batch import table
+
+_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+def _hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in ops.STOPWORDS[lang])
+    return f"len(list_filter({_TOKS}, x -> list_contains([{words}], x)))"
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS}) AS ws_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS lex_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish lexer token counts (the unit every data-mix
+    budget is denominated in)."""
+    return ops.token_counts(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def _langid_oracle() -> str:
+    cases = []
+    for lang in ops.LANGS:
+        conds = " AND ".join(
+            f"{_hits(lang)} >= {_hits(other)}" for other in ops.LANGS if other != lang
+        )
+        cases.append(f"WHEN {conds} THEN '{lang}'")
+    hits_cols = ", ".join(f"{_hits(lang)} AS hits_{lang}" for lang in ops.LANGS)
+    return f"""
+    SELECT doc_id,
+           CASE {' '.join(cases)} END AS pred_lang,
+           {hits_cols}
+    FROM documents
+    """
+
+
+@register("text_language_id", oracle=_langid_oracle())
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language ID heuristic with auditable per-language
+    hit counts; argmax breaks ties alphabetically."""
+    return ops.language_id(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens,
+           length(text) AS n_chars_txt,
+           len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+           CAST(list_sum(list_transform({_TOKS}, x -> length(x))) AS DOUBLE)
+             / CAST(len({_TOKS}) AS DOUBLE) AS mean_tok_len,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS punct_ratio,
+           CAST({_hits('en')} AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE) AS stopword_ratio,
+           0.5 * (CAST({_hits('en')} AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE))
+           - 0.3 * (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE))
+           + 0.02 * (CAST(list_sum(list_transform({_TOKS}, x -> length(x))) AS DOUBLE)
+                     / CAST(len({_TOKS}) AS DOUBLE)) AS quality
+    FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length / punctuation / stopword quality features + combined score;
+    all ratios are exact int/int divisions."""
+    return ops.quality_score(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical content fingerprint: md5 of casefolded,
+    whitespace-collapsed text (16 hex chars)."""
+    return ops.fingerprint(table(spark, sf_dir, "documents"), "text", "doc_id")

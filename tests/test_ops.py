@@ -1,0 +1,102 @@
+"""Operator-level tests for the LLM-pipeline extensions (dedup,
+similarity, text, multimodal) on tiny in-memory data."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hotdog_spark.operators import dedup, multimodal, similarity, textops
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", 44),
+        (1, "the quick brown fox jumps over the lazy dog", "en", 44),  # exact dup
+        (2, "the quick brown fox leaps over the lazy dog", "en", 44),  # near dup
+        (3, "completely different text about spark engines", "en", 46),
+        (4, "el la de que y los palabras", "es", 27),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, n_chars long")
+
+
+def test_exact_dedup(spark, docs):
+    groups = dedup.exact_dedup_groups(docs, "text", "doc_id").collect()
+    by_keep = {r.keep_id: r.group_size for r in groups}
+    assert by_keep[0] == 2  # docs 0 and 1 collapse
+    assert by_keep[2] == 1
+    assert len(groups) == 4
+
+
+def test_minhash_pairs_find_near_dups(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(docs, "text", "doc_id").collect()
+    }
+    assert (0, 1) in pairs      # exact dups always collide on every band
+    assert (0, 2) in pairs      # near dup shares most shingles
+    assert (0, 4) not in pairs  # disjoint vocabulary
+
+
+def test_simhash_identical_for_dups(spark, docs):
+    sh = {r.id: r.simhash for r in dedup.simhash16(docs, "text", "doc_id").collect()}
+    assert sh[0] == sh[1]
+    assert 0 <= sh[0] < 2**16
+    assert sh[0] != sh[3]
+
+
+def test_jaccard_near_dup_scores(spark, docs):
+    rows = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", ["lang"], "n_chars", 5, 0.2
+        ).collect()
+    }
+    assert rows[(0, 1)] == 1.0
+    assert 0.5 < rows[(0, 2)] < 1.0
+
+
+def test_cosine_topk_self_similarity(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.cosine_topk(df, "embedding", "vec_id", F.col("vid") < 1, k=3)
+    got = [(r.neighbor_id, r.rank) for r in out.orderBy("rank").collect()]
+    assert got[0] == (1, 1)
+    assert got[-1][0] == 3  # the anti-parallel vector ranks last
+
+
+def test_multimodal_feature_stub_deterministic(spark, docs):
+    media = multimodal.media_from_text(docs, "text", "doc_id")
+    feats = {r.media_id: r for r in multimodal.extract_features(media, dim=4).collect()}
+    assert feats[0].n_bytes == 43
+    assert feats[0].feat_dim == 4
+    assert len(feats[0].features) == 4
+    # identical content → identical features and checksum
+    assert feats[0].features == feats[1].features
+    assert feats[0].checksum == feats[1].checksum
+    # deterministic across runs
+    again = {r.media_id: r for r in multimodal.extract_features(media, dim=4).collect()}
+    assert again[0].features == feats[0].features
+
+
+def test_multimodal_decode_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_frame_sample(spark, docs):
+    media = multimodal.media_from_text(docs, "text", "doc_id")
+    rows = multimodal.frame_sample_stub(media, every_n=10).collect()
+    frames_0 = sorted(r.frame_no for r in rows if r.media_id == 0)
+    # 43 bytes → 44 fake frames → samples 0,10,20,30,40
+    assert frames_0 == [0, 10, 20, 30, 40]
+
+
+def test_language_id_heuristic(spark, docs):
+    preds = {r.doc_id: r.pred_lang for r in textops.language_id(docs, "text", "doc_id").collect()}
+    assert preds[0] == "en"
+    assert preds[4] == "es"
