@@ -95,6 +95,9 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
     The per-batch kernel is where a real decoder would run (decode →
     resize → embed); here the embed step is the deterministic fake.
     """
+    from hotdog_spark.dist import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -119,6 +122,10 @@ def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
     frames 0, n, 2n… based on a fake duration derived from byte length.
     The real implementation would demux with pyav inside the same
     mapInPandas shape."""
+    from hotdog_spark.dist import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"media_id": [], "frame_no": []}

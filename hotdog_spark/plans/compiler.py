@@ -313,6 +313,11 @@ def apply_cascade(
     (unmatched, stop-dropped, or merge-aborted) are filtered out unless
     ``keep_dropped`` (dead-letter / metrics analysis) is set.
     """
+    from hotdog_spark.dist import ensure_shipped
+
+    # The exact-merge pandas UDF runs on executor Python workers, which
+    # must be able to import this package regardless of driver cwd.
+    ensure_shipped(df.sparkSession)
     cascade = compile_cascade(settings, merge_mode=merge_mode)
     out = df.withColumns(
         {

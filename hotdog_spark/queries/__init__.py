@@ -49,5 +49,6 @@ def _load_modules() -> None:
         multimodal,
         relational,
         similarity,
+        streaming,
         text,
     )

@@ -1,0 +1,215 @@
+"""Streaming runtime tests: file source → cascade → sinks, metrics
+listener, graceful stop.  (Kafka needs a broker, so its writer is built
+but not started.)"""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from hotdog_spark.config import load, load_dict
+from hotdog_spark.metrics import HotdogQueryListener, StatsdEmitter
+from hotdog_spark.pipeline import process_raw_lines
+from hotdog_spark.streaming import sinks, sources
+from hotdog_spark.streaming.runner import (
+    build_routed_stream,
+    graceful_stop,
+    start_pipeline,
+)
+
+CONFIGS = os.path.join(os.path.dirname(__file__), "configs")
+
+LINES = [
+    "<13>1 2020-04-18T15:16:09.956153-07:00 coconut tyler - - - hello world",
+    '<13>1 2020-04-18T15:16:09.956153-07:00 coconut tyler - - - {"meta":{"topic":"dyn-topic"},"i":1}',
+    "<13>1 2020-04-18T15:16:09.956153-07:00 coconut tyler - - - just some text",
+    "complete garbage that is not syslog",
+]
+
+
+@pytest.fixture()
+def canonical():
+    return load(os.path.join(CONFIGS, "canonical.yml"))
+
+
+def write_lines(tmp_path, name="batch0.txt"):
+    d = tmp_path / "in"
+    d.mkdir(exist_ok=True)
+    (d / name).write_text("\n".join(LINES) + "\n")
+    return str(d)
+
+
+def test_file_stream_matches_batch(spark, tmp_path, canonical):
+    """The streaming pipeline over a file source produces exactly the
+    batch pipeline's routed records (unified model)."""
+    in_dir = write_lines(tmp_path)
+    raw = sources.file_lines(spark, in_dir)
+    assert raw.isStreaming
+    routed = build_routed_stream(raw, canonical)
+    q = sinks.memory_sink(routed, "t_file_stream")
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.topic, r.payload)
+            for r in spark.sql("SELECT topic, payload FROM t_file_stream").collect()
+        }
+    finally:
+        q.stop()
+    batch_df = spark.createDataFrame([(l,) for l in LINES], "value string")
+    expected = {
+        (r.topic, r.payload)
+        for r in process_raw_lines(batch_df, canonical).select("topic", "payload").collect()
+    }
+    assert got == expected
+    assert ("dyn-topic",) == tuple({t for t, _ in got if t == "dyn-topic"})
+    assert len(got) == 3  # garbage line dropped
+
+
+def test_parquet_sink_partitioned_by_topic(spark, tmp_path, canonical):
+    in_dir = write_lines(tmp_path)
+    out_dir = str(tmp_path / "out")
+    settings = load_dict(
+        {
+            "global": {
+                "listen": {"port": 1},
+                "parquet": {"url": out_dir, "flush_ms": 1000},
+            },
+            "rules": [
+                {
+                    "regex": ".*",
+                    "field": "msg",
+                    "actions": [{"type": "forward", "topic": "logs"}],
+                }
+            ],
+        },
+        environ={},
+    )
+    raw = sources.file_lines(spark, in_dir)
+    q = start_pipeline(
+        spark,
+        settings,
+        raw,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        install_listener=False,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(out_dir)
+    assert back.count() == 3  # garbage dropped
+    assert set(back.select("topic").distinct().toPandas()["topic"]) == {"logs"}
+
+
+def test_typed_foreach_batch_decodes_declared_schema(spark, tmp_path):
+    """Declared-schema topics land as typed parquet (from_json decode)."""
+    out_dir = str(tmp_path / "typed")
+    settings = load_dict(
+        {
+            "global": {"listen": {"port": 1}},
+            "rules": [],
+            "schemas": [
+                {
+                    "topic": "t1",
+                    "fields": {
+                        "i": {"type": "long"},
+                        "meta": {"type": "struct", "fields": {"topic": {"type": "string"}}},
+                    },
+                }
+            ],
+        },
+        environ={},
+    )
+    batch = spark.createDataFrame(
+        [
+            ("t1", '{"i": 1, "meta": {"topic": "t1"}}'),
+            ("t1", '{"i": 2, "meta": {"topic": "t1"}}'),
+            ("other", '{"x": true}'),
+        ],
+        "topic string, payload string",
+    )
+    sinks.typed_parquet_foreach_batch(settings, out_dir)(batch, 0)
+    typed = spark.read.parquet(f"{out_dir}/topic=t1")
+    assert {r.i for r in typed.collect()} == {1, 2}
+    assert dict(typed.dtypes)["i"] == "bigint"
+    raw = spark.read.parquet(f"{out_dir}/raw")
+    assert raw.count() == 1
+
+
+def test_kafka_writer_options(spark, canonical, tmp_path):
+    """Kafka sink config: conf passthrough and per-row topic routing are
+    wired (not started — no broker in this environment)."""
+    settings = load_dict(
+        {
+            "global": {
+                "listen": {"port": 1},
+                "kafka": {
+                    "conf": {
+                        "bootstrap.servers": "127.0.0.1:9092",
+                        "security.protocol": "PLAINTEXT",
+                    },
+                    "topic": "fallback",
+                },
+            },
+            "rules": [
+                {"regex": ".*", "field": "msg",
+                 "actions": [{"type": "forward", "topic": "t"}]}
+            ],
+        },
+        environ={},
+    )
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+        .selectExpr("'t' AS topic", "CAST(value AS STRING) AS payload")
+    )
+    # the writer builds without a broker; its option map carries the conf
+    sinks.kafka_writer(stream, settings.global_.kafka, checkpoint=str(tmp_path / "ck"))
+    opts = sinks.kafka_options(settings.global_.kafka, str(tmp_path / "ck"))
+    assert opts["kafka.bootstrap.servers"] == "127.0.0.1:9092"
+    assert opts["kafka.security.protocol"] == "PLAINTEXT"
+    assert opts["checkpointLocation"] == str(tmp_path / "ck")
+
+
+def test_rate_source_generates_parseable_lines(spark, canonical):
+    src = sources.rate_syslog_lines(spark, rows_per_second=10)
+    routed = build_routed_stream(src, canonical)
+    q = sinks.memory_sink(routed, "t_rate")
+    try:
+        deadline = time.time() + 30
+        n = 0
+        while time.time() < deadline:
+            n = spark.sql("SELECT count(*) c FROM t_rate").collect()[0].c
+            if n > 0:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert n > 0
+    topics = {
+        r.topic for r in spark.sql("SELECT DISTINCT topic FROM t_rate").collect()
+    }
+    assert topics == {"test"}  # meta.topic routing via the jmespath rule
+
+
+def test_metrics_listener_observes_counts(spark, tmp_path, canonical):
+    in_dir = write_lines(tmp_path)
+    emitter = StatsdEmitter(None)  # no UDP target; captures .last
+    listener = HotdogQueryListener(emitter)
+    spark.streams.addListener(listener)
+    try:
+        raw = sources.file_lines(spark, in_dir)
+        routed = build_routed_stream(raw, canonical)
+        q = sinks.memory_sink(routed, "t_metrics")
+        try:
+            q.processAllAvailable()
+            deadline = time.time() + 20
+            while time.time() < deadline and "lines_received" not in emitter.last:
+                time.sleep(0.5)
+        finally:
+            graceful_stop(q, timeout_s=20)
+        assert emitter.last.get("lines_received") == 4.0
+        assert emitter.last.get("parse_errors") == 1.0
+        assert emitter.last.get("routed") == 3.0
+    finally:
+        spark.streams.removeListener(listener)
