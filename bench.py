@@ -1,0 +1,99 @@
+"""Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Execution is measured with the no-op sink (df.write.format("noop")) so
+timings capture scan→compute→shuffle, not driver-side collection.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+# The headline set: one representative per operator family, stable across
+# rounds for comparability.
+HEADLINE = [
+    "hotdog_route_payload",        # parse → cascade → route (native merge)
+    "merge_exact_deep",            # Arrow-batched UDF merge path
+    "syslog_parse_5424",           # regexp parse + PRI decode
+    "q1_pricing_summary",          # wide hash aggregation
+    "q3_segment_revenue",          # 3-way fact join + agg
+    "q5_regional_revenue",         # 6-way join with broadcast dims
+    "q6_forecast_revenue",         # selective pushdown scan
+    "window_topk_orders_per_customer",  # ranking window
+    "topk_orders_global",          # global top-k
+    "agg_rollup_returnflag",       # grouping sets
+    "dedup_exact",                 # hash dedup
+    "dedup_minhash_lsh",           # shingle → minhash → bucket join
+    "dedup_simhash",               # simhash aggregation
+    "ann_cosine_topk",             # brute-force vector top-k
+    "ann_lsh_bucketed",            # bucketed ANN
+    "text_quality_score",          # text feature extraction
+    "text_token_count",            # tokenization counts
+    "window_tumbling_events",      # event-time tumbling windows
+    "window_session_events",       # session windows
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("hotdog-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+
+    # Warm-up: JVM/codegen init, package shipping, parquet footer reads —
+    # one-time costs that would otherwise land on the first timed query.
+    spark.range(100_000).selectExpr("sum(id)").write.mode("overwrite").format("noop").save()
+    queries["hotdog_route_cascade"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries[name]
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - start, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_set_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

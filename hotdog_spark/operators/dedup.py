@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hotdog_spark.operators import fan_out
+
 HEX_DIGITS = "0123456789abcdef"
 
 
@@ -62,26 +64,25 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures: ``bands`` independent hash functions, each the
     lexicographic min of md5('<band>|'<shingle>) over the doc's shingles.
-    Returns (id, band, sig) — one row per (doc, band)."""
-    shingled = df.select(
+    Returns (id, band, sig) — one row per (doc, band).
+
+    All band minima are computed in ONE aggregation over the shingle rows
+    (8 min() columns, map-side combinable) instead of exploding shingles ×
+    bands — an 8× reduction of the shuffled row count; the (band, sig)
+    long format is unpivoted afterwards from the tiny per-doc result."""
+    shingled = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(normalized_tokens(F.col(text_col)), k)).alias("shingle"),
     )
-    banded = shingled.select(
-        "id",
-        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
-        "shingle",
+    sigs_wide = shingled.groupBy("id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("shingle")))).alias(f"sig{b}")
+            for b in range(bands)
+        ]
     )
-    return (
-        banded.select(
-            "id",
-            "band",
-            F.md5(
-                F.concat(F.col("band").cast("string"), F.lit("|"), F.col("shingle"))
-            ).alias("h"),
-        )
-        .groupBy("id", "band")
-        .agg(F.min("h").alias("sig"))
+    stack_expr = ", ".join(f"{b}, sig{b}" for b in range(bands))
+    return sigs_wide.selectExpr(
+        "id", f"stack({bands}, {stack_expr}) AS (band, sig)"
     )
 
 
@@ -89,8 +90,13 @@ def minhash_lsh_pairs(
     df: DataFrame, text_col: str, id_col: str, bands: int = 8, k: int = 3
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing any band signature.
-    Returns distinct (id_a, id_b) with id_a < id_b."""
-    sigs = minhash_signatures(df, text_col, id_col, bands, k)
+    Returns distinct (id_a, id_b) with id_a < id_b.
+
+    The signature table is persisted before the self-join — otherwise
+    Spark recomputes the whole shingle→md5→agg pipeline once per join
+    side (measured 2× cost).  At data-lake scale the equivalent move is
+    materializing signatures to a table and joining that."""
+    sigs = minhash_signatures(df, text_col, id_col, bands, k).persist()
     a = sigs.select(
         F.col("band"), F.col("sig"), F.col("id").alias("id_a")
     )
@@ -117,7 +123,7 @@ def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     bits of md5, sum ±1 per bit position over the doc, set bit where the
     sum is positive.  Integer-exact, engine-independent.
     Returns (id, simhash)."""
-    toks = df.select(
+    toks = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(normalized_tokens(F.col(text_col))).alias("tok"),
     ).withColumn("h", F.md5(F.col("tok")))
@@ -149,7 +155,7 @@ def ngram_jaccard_pairs(
     pair count; the intersection is computed distributively by exploding
     distinct tokens and joining on token — never an all-pairs loop.
     Returns (id_a, id_b, inter, union_n, jaccard)."""
-    toks = df.select(
+    toks = fan_out(df).select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
         F.col(length_col).alias("_len"),

@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
+from hotdog_spark.operators import fan_out
+
 
 def quantized(col: Column, scale: int = 1000) -> Column:
     """array<float> → array<bigint> via round(x*scale): exact cross-engine."""
@@ -46,7 +48,7 @@ def _norm2(a: Column) -> Column:
 
 
 def with_quantized(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col).alias("vid"),
         quantized(F.col(vec_col)).alias("q"),
     ).withColumn("n2", _norm2(F.col("q")))

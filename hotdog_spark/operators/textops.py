@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from hotdog_spark.operators import fan_out
 from hotdog_spark.operators.dedup import normalized_tokens
 
 # A BPE-ish lexer: letter runs, digit runs, single non-alnum marks.
@@ -29,7 +30,7 @@ LANGS = sorted(STOPWORDS)  # deterministic argmax tie-break order
 def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Whitespace token count + BPE-ish lexer token count."""
     text = F.col(text_col)
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col),
         F.size(normalized_tokens(text)).alias("ws_tokens"),
         F.size(F.regexp_extract_all(text, F.lit(TOKEN_REGEX), 0)).alias("lex_tokens"),
@@ -59,7 +60,7 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             c = scores[lang] >= scores[other]
             cond = c if cond is None else (cond & c)
         chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col),
         chain.alias("pred_lang"),
         *[scores[lang].alias(f"hits_{lang}") for lang in LANGS],
@@ -87,7 +88,7 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         - F.lit(0.3) * punct_ratio
         + F.lit(0.02) * mean_tok_len
     )
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col),
         n_tok.alias("n_tokens"),
         n_chars.alias("n_chars_txt"),
@@ -103,7 +104,7 @@ def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Content fingerprint: md5 of the casefolded, whitespace-collapsed
     text — the canonical near-exact-dup key (16 hex chars kept)."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    return df.select(
+    return fan_out(df).select(
         F.col(id_col),
         F.substring(F.md5(norm), 1, 16).alias("fp"),
     )

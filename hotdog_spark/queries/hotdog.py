@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from hotdog_spark.config import load
 from hotdog_spark.functions.syslog import parse_syslog_df
+from hotdog_spark.operators import fan_out
 from hotdog_spark.pipeline import process_envelope, routed_counts
 from hotdog_spark.plans.compiler import dry_run
 from hotdog_spark.queries import register
@@ -27,8 +28,9 @@ EVENTS_CONFIG = os.path.join(_REPO_ROOT, "configs", "events.yml")
 
 
 def events_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events → syslog envelope projection."""
-    return table(spark, sf_dir, "events").select(
+    """events → syslog envelope projection (fanned out: the cascade's
+    regex/JSON work is CPU-bound per row)."""
+    return fan_out(table(spark, sf_dir, "events")).select(
         F.col("event_id"),
         F.col("props").alias("msg"),
         F.lit(None).cast("string").alias("severity"),
@@ -121,7 +123,7 @@ def syslog_parse_5424(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 5424 parse (P1) end-to-end: synthesize deterministic syslog
     lines from `orders`, run them through the real regexp parser, decode
     PRI → severity/facility names (golden pins src/parse.rs:76-89)."""
-    orders = table(spark, sf_dir, "orders")
+    orders = fan_out(table(spark, sf_dir, "orders"))
     lines = orders.select(
         F.col("o_orderkey").alias("line_id"),
         F.concat(
@@ -150,7 +152,7 @@ def syslog_parse_5424(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def syslog_parse_3164(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFC 3164 fallback parse (P2), golden pin src/parse.rs:91-105."""
-    orders = table(spark, sf_dir, "orders")
+    orders = fan_out(table(spark, sf_dir, "orders"))
     lines = orders.select(
         F.col("o_orderkey").alias("line_id"),
         F.concat(
