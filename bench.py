@@ -67,9 +67,21 @@ def main() -> None:
 
     queries = entry_mod.queries()
 
-    # Warm-up: JVM/codegen init, package shipping, parquet footer reads —
-    # one-time costs that would otherwise land on the first timed query.
+    # Warm-up: JVM/codegen init, package shipping, parquet footer reads,
+    # and the executor Python-worker pool (pandas import per worker) —
+    # one-time session costs that would otherwise land on the first timed
+    # query instead of the session as a whole.
     spark.range(100_000).selectExpr("sum(id)").write.mode("overwrite").format("noop").save()
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(10_000).repartition(int(cpus)).select(_warm("id")).write.mode(
+        "overwrite"
+    ).format("noop").save()
     queries["hotdog_route_cascade"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}

@@ -102,6 +102,136 @@ def sign_bucket(qvec: Column, bits: int = 4) -> Column:
     )
 
 
+def _lit_vec(values: list[int]) -> Column:
+    return F.array(*[F.lit(int(v)) for v in values])
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroid_filter: Column,
+    probe_filter: Column,
+    k: int = 3,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: assign every vector to its nearest centroid
+    cell, then search only the probe's ``nprobe`` nearest cells.
+
+    The centroid set is collected to the driver (it is a small trained
+    model — k rows) and inlined as literal arrays, so cell assignment is a
+    pure per-row projection: **no shuffle, no join** touches the corpus
+    until the final pruned candidate scan.  That is the property that
+    makes IVF the 100 TB path — the corpus-side work is one map stage plus
+    a join against a broadcast probe set, and with the corpus pre-written
+    partitioned-by-cell even the candidate filter becomes partition
+    pruning.
+
+    Centroids here are designated corpus vectors (``centroid_filter``) so
+    the whole operator is deterministic and oracle-checkable; a production
+    deployment would plug k-means centroids in the same shape.
+
+    Distances are squared-L2 over quantized integers (exact); ties break
+    on centroid id, then neighbor id.  Returns (query_id, neighbor_id,
+    cell, score, rank).
+    """
+    base = with_quantized(df, vec_col, id_col)
+    cents = [
+        (r["vid"], r["q"], r["n2"])
+        for r in base.filter(centroid_filter).collect()
+    ]
+
+    def dist2_to(cid: int, qc: list[int], n2c: int) -> Column:
+        # |v - c|^2 = n2(v) + n2(c) - 2·v·c, all bigint-exact.
+        return F.col("n2") + F.lit(int(n2c)) - F.lit(2) * _dot(F.col("q"), _lit_vec(qc))
+
+    cells = F.array_sort(
+        F.array(
+            *[
+                F.struct(dist2_to(cid, qc, n2c).alias("d2"), F.lit(int(cid)).alias("cid"))
+                for cid, qc, n2c in cents
+            ]
+        )
+    )
+    assigned = base.withColumn("cell", F.element_at(cells, 1).getField("cid"))
+
+    probes = (
+        assigned.filter(probe_filter)
+        .withColumn("pcell", F.explode(
+            F.transform(F.slice(cells, 1, nprobe), lambda s: s.getField("cid"))
+        ))
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("q").alias("q_probe"),
+            F.col("n2").alias("n2_probe"),
+            F.col("pcell"),
+        )
+    )
+    pairs = assigned.join(
+        broadcast(probes), F.col("cell") == F.col("pcell")
+    ).filter(
+        (F.col("vid") != F.col("query_id"))
+        & (F.col("n2") > 0)
+        & (F.col("n2_probe") > 0)
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vid").alias("neighbor_id"),
+        "cell",
+        (
+            _dot(F.col("q"), F.col("q_probe")).cast("double")
+            / F.sqrt((F.col("n2") * F.col("n2_probe")).cast("double"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.99,
+    bits: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-bucket blocking, then
+    exact cosine within each bucket, keep pairs ≥ threshold.
+
+    The self-join is on the bucket key only, so the pair space shrinks
+    from n² to Σ bucket², and the shuffle is one hash exchange per side on
+    a short string key.  At 100 TB: raise ``bits`` (more, smaller buckets)
+    and add multi-probe (flip one bit) to recover recall — same plan
+    shape.  Mirrors the MinHash-LSH dedup pattern one modality over
+    (operators/dedup.py).  Returns (id_a, id_b, score).
+    """
+    base = with_quantized(df, vec_col, id_col).withColumn(
+        "bucket", sign_bucket(F.col("q"), bits)
+    ).filter(F.col("n2") > 0)
+    a = base.select(
+        "bucket",
+        F.col("vid").alias("id_a"),
+        F.col("q").alias("q_a"),
+        F.col("n2").alias("n2_a"),
+    )
+    b = base.select(
+        "bucket",
+        F.col("vid").alias("id_b"),
+        F.col("q").alias("q_b"),
+        F.col("n2").alias("n2_b"),
+    )
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (
+            _dot(F.col("q_a"), F.col("q_b")).cast("double")
+            / F.sqrt((F.col("n2_a") * F.col("n2_b")).cast("double"))
+        ).alias("score"),
+    ).filter(F.col("score") >= threshold)
+
+
 def lsh_cosine_topk(
     df: DataFrame,
     vec_col: str,

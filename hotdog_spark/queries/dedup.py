@@ -128,3 +128,50 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         length_tol=5,
         threshold=0.2,
     )
+
+
+_BUCKET8 = " || ".join(
+    f"(CASE WHEN qv[{i}] >= 0 THEN '1' ELSE '0' END)" for i in range(1, 9)
+)
+_QUANT_EMB = "list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))"
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_transform(embedding, x -> x * CAST(1.01 AS DOUBLE)) AS embedding
+      FROM embeddings WHERE vec_id % 20 = 0
+    ), n AS (
+      SELECT vec_id, {_QUANT_EMB} AS qv,
+             list_sum(list_transform({_QUANT_EMB}, x -> x * x)) AS n2
+      FROM corpus
+    ), b AS (
+      SELECT vec_id, qv, n2, {_BUCKET8} AS bucket FROM n WHERE n2 > 0
+    )
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           CAST(list_sum(list_transform(list_zip(a.qv, c.qv), s -> s[1] * s[2])) AS DOUBLE)
+             / sqrt(CAST(a.n2 * c.n2 AS DOUBLE)) AS score
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE CAST(list_sum(list_transform(list_zip(a.qv, c.qv), s -> s[1] * s[2])) AS DOUBLE)
+            / sqrt(CAST(a.n2 * c.n2 AS DOUBLE)) >= 0.99
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: sign-bucket blocking + exact cosine ≥
+    0.99 within buckets.  The corpus is augmented with deterministically
+    perturbed copies (×1.01 scaling of every 20th vector) so the operator
+    provably recovers planted near-duplicates — the synthetic embeddings
+    have no natural ones (max pairwise cosine ≈ 0.55)."""
+    from hotdog_spark.operators import similarity as sim
+
+    emb = table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.01)).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", "embedding").unionByName(planted)
+    return sim.near_dup_pairs(corpus, "embedding", "vec_id", threshold=0.99, bits=8)

@@ -100,3 +100,45 @@ def test_language_id_heuristic(spark, docs):
     preds = {r.doc_id: r.pred_lang for r in textops.language_id(docs, "text", "doc_id").collect()}
     assert preds[0] == "en"
     assert preds[4] == "es"
+
+
+@pytest.fixture()
+def vecs(spark):
+    import math
+
+    rows = [
+        (i, [math.sin(i * 7 + j) for j in range(8)]) for i in range(20)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_near_dup_recovers_planted(spark, vecs):
+    planted = vecs.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 100).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.01)).alias("embedding"),
+    )
+    corpus = vecs.unionByName(planted)
+    pairs = similarity.near_dup_pairs(corpus, "embedding", "vec_id", threshold=0.99, bits=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    # every planted (i, i+100) pair is recovered with cosine ~1
+    assert {(i, i + 100) for i in range(0, 20, 5)} <= got
+    assert all(r.score > 0.99 for r in pairs.collect())
+
+
+def test_ivf_matches_brute_force_on_probed_cells(spark, vecs):
+    out = similarity.ivf_topk(
+        vecs, "embedding", "vec_id",
+        centroid_filter=F.col("vid") < 4,
+        probe_filter=(F.col("vid") >= 10) & (F.col("vid") < 12),
+        k=3, nprobe=2,
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {10, 11}
+    for q, rows in by_q.items():
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
+            range(1, len(rows) + 1)
+        )
+        # every candidate came from one of the probe's nprobe cells
+        assert len({r.cell for r in rows}) <= 2
