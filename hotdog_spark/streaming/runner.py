@@ -109,7 +109,25 @@ def run_from_config(
     **source_opts,
 ) -> StreamingQuery:
     """Config-driven end-to-end launch, mirroring `hotdog -c config.yml`."""
-    if source_kind == "socket":
+    if source_kind == "syslog":
+        # The native listener source (S1/S2): honors global.listen.tls +
+        # cert/key exactly like the reference's server selection
+        # (src/main.rs:139-154).
+        from hotdog_spark.sources.syslog_tcp import syslog_stream
+
+        listen = settings.global_.listen
+        opts = {
+            "host": source_opts.get("host", listen.address),
+            "port": int(source_opts.get("port", listen.port)),
+        }
+        if getattr(listen, "tls", None):
+            opts.update(
+                tls="true",
+                cert=listen.tls.get("cert", ""),
+                key=listen.tls.get("key", ""),
+            )
+        src = syslog_stream(spark, **opts)
+    elif source_kind == "socket":
         src = sources.socket_lines(
             spark,
             source_opts.get("host", settings.global_.listen.address),

@@ -213,3 +213,126 @@ def test_metrics_listener_observes_counts(spark, tmp_path, canonical):
         assert emitter.last.get("routed") == 3.0
     finally:
         spark.streams.removeListener(listener)
+
+
+# ---------------------------------------------------------------------------
+# Custom TCP/TLS syslog DataSource (S1/S2/S3 parity)
+
+
+def _send_lines(host, port, lines, tls_cafile=None, retries=40):
+    import socket as socket_mod
+    import ssl as ssl_mod
+
+    last = None
+    for _ in range(retries):
+        try:
+            raw = socket_mod.create_connection((host, port), timeout=5)
+            break
+        except OSError as e:
+            last = e
+            time.sleep(0.25)
+    else:
+        raise last
+    if tls_cafile:
+        ctx = ssl_mod.create_default_context(cafile=tls_cafile)
+        ctx.check_hostname = False
+        raw = ctx.wrap_socket(raw)
+    with raw:
+        raw.sendall(("\n".join(lines) + "\n").encode())
+
+
+def _drain_stream(spark, df, sink_name, send):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(sink_name)
+        .trigger(processingTime="1 second")
+        .start()
+    )
+    try:
+        send()
+        got = []
+        for _ in range(60):
+            time.sleep(0.5)
+            got = [r.value for r in spark.sql(f"SELECT value FROM {sink_name}").collect()]
+            if len(got) >= 3:
+                break
+        return got
+    finally:
+        q.stop()
+
+
+def test_syslog_tcp_source(spark):
+    import random
+
+    from hotdog_spark.sources.syslog_tcp import syslog_stream
+
+    port = random.randint(20000, 40000)
+    df = syslog_stream(spark, host="127.0.0.1", port=port)
+    got = _drain_stream(
+        spark, df, "syslog_tcp_sink", lambda: _send_lines("127.0.0.1", port, LINES[:3])
+    )
+    assert sorted(got) == sorted(LINES[:3])
+
+
+def test_syslog_tls_source(spark, tmp_path):
+    import random
+    import subprocess
+
+    cert = tmp_path / "cert.pem"
+    key = tmp_path / "key.pem"
+    subprocess.run(
+        [
+            "openssl", "req", "-x509", "-newkey", "rsa:2048", "-nodes",
+            "-keyout", str(key), "-out", str(cert), "-days", "1",
+            "-subj", "/CN=localhost",
+        ],
+        check=True,
+        capture_output=True,
+    )
+    from hotdog_spark.sources.syslog_tcp import syslog_stream
+
+    port = random.randint(20000, 40000)
+    df = syslog_stream(
+        spark, host="127.0.0.1", port=port, tls="true", cert=str(cert), key=str(key)
+    )
+    got = _drain_stream(
+        spark,
+        df,
+        "syslog_tls_sink",
+        lambda: _send_lines("127.0.0.1", port, LINES[:3], tls_cafile=str(cert)),
+    )
+    assert sorted(got) == sorted(LINES[:3])
+
+
+def test_daemon_mode_syslog_to_memory(spark, canonical):
+    """Full daemon-path e2e: TCP listener source → parse → cascade →
+    in-memory sink — `hotdog -c config.yml` with nothing but Spark."""
+    import random
+
+    from hotdog_spark.streaming.runner import run_from_config
+
+    port = random.randint(20000, 40000)
+    q = run_from_config(
+        spark, canonical, checkpoint_dir=None, source_kind="syslog", port=port
+    )
+    try:
+        _send_lines("127.0.0.1", port, LINES)
+        rows = []
+        for _ in range(60):
+            time.sleep(0.5)
+            rows = spark.sql("SELECT topic, payload FROM hotdog_routed").collect()
+            if len(rows) >= 3:
+                break
+        by_topic = {}
+        for r in rows:
+            by_topic.setdefault(r.topic, []).append(r.payload)
+        assert by_topic["test"] == [
+            "This is the total message: "
+            + LINES[0].split("- - - ")[1]
+            + " And the name is: world"
+        ]
+        assert "dyn-topic" in by_topic
+        assert '"version":' in by_topic["dyn-topic"][0]
+        assert by_topic["logs-unknown"] == [LINES[2].split("- - - ")[1]]
+    finally:
+        q.stop()
