@@ -1,0 +1,119 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and point-in-
+interval range join, both expressed in shapes that scale.
+
+The reference implements no joins at all (SURVEY.md §2.9); these are
+north-star additions for event/training-data pipelines, designed so that
+the expensive part is always ONE hash shuffle:
+
+* ``asof_join`` — the classic "latest right row at or before the left
+  row's time, per key".  A naive implementation is an inequality join
+  (O(n·m) nested loop in any engine).  The scalable shape is
+  union-and-carry-forward: tag both sides, union them, sort within each
+  key partition by (time, side), and carry the right side's values
+  forward with ``last(..., ignorenulls)``.  Cost: one shuffle on the key,
+  one sort — identical to what a purpose-built sort-merge as-of join
+  (Flink temporal join, QuestDB/kdb asof) does internally.
+* ``range_join_buckets`` — "points joined to intervals containing them,
+  per key".  The scalable shape is bucketing: quantize time into
+  fixed-width buckets, explode each interval into the buckets it covers,
+  equi-join points on (key, bucket), then re-filter exactly.  This turns
+  an inequality join into an equi-join whose fan-out is
+  interval_width/bucket_width, which AQE can size and skew-split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right_ts <= left_ts`` sharing the ``on`` keys (inclusive as-of).
+
+    Returns the left rows plus ``right_cols`` (each aliased
+    ``asof_<name>``) and ``asof_ts``.  ``how='left'`` keeps unmatched left
+    rows with nulls; ``'inner'`` drops them.
+
+    Right-side rows must be unique per (on, right_ts) — pre-aggregate if
+    not — so the carry-forward is deterministic in every engine.
+    """
+    lcols = left.columns
+    tagged_left = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast("timestamp").alias("_rt"),
+    )
+    tagged_right = right.select(
+        *[F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c) for c in lcols if c not in on],
+        *[F.col(k) for k in on],
+        F.col(right_ts).alias("_t"),
+        F.lit(0).alias("_side"),  # sorts before left at equal _t → inclusive
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+        F.col(right_ts).alias("_rt"),
+    ).select(*tagged_left.columns)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_t"), F.col("_side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged_left.unionByName(tagged_right).select(
+        *[F.col(c) for c in lcols],
+        F.col("_side"),
+        *[
+            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_cols
+        ],
+        F.last(F.col("_rt"), ignorenulls=True).over(w).alias("asof_ts"),
+    )
+    out = carried.filter(F.col("_side") == 1).drop("_side")
+    if how == "inner":
+        out = out.filter(F.col("asof_ts").isNotNull())
+    return out
+
+
+def range_join_buckets(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_seconds: int = 300,
+) -> DataFrame:
+    """Join point rows to every interval row (same keys) whose
+    ``[start_ts, end_ts]`` contains ``point_ts``.
+
+    Intervals are exploded into the fixed-width epoch buckets they span;
+    points carry exactly one bucket; the join is an equi-join on
+    (keys..., bucket) followed by the exact BETWEEN re-filter.  Pick
+    ``bucket_seconds`` near the typical interval width so fan-out stays
+    O(1) per interval.  Returns all point columns + all interval columns.
+    """
+    b = F.lit(bucket_seconds)
+    p = points.withColumn("_bucket", (F.unix_timestamp(F.col(point_ts)) / b).cast("bigint"))
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                (F.unix_timestamp(F.col(start_ts)) / b).cast("bigint"),
+                (F.unix_timestamp(F.col(end_ts)) / b).cast("bigint"),
+            )
+        ),
+    )
+    joined = p.join(iv, on=[*on, "_bucket"]).filter(
+        F.col(point_ts).between(F.col(start_ts), F.col(end_ts))
+    )
+    return joined.drop("_bucket")

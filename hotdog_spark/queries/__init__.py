@@ -50,5 +50,6 @@ def _load_modules() -> None:
         relational,
         similarity,
         streaming,
+        temporal,
         text,
     )

@@ -1,0 +1,102 @@
+"""Temporal-join queries over the `events` table.
+
+Oracle note: `events.ts` is parquet TIMESTAMP(NANOS); both engines are
+normalized to microseconds (Spark via sources.batch.table, DuckDB via
+CAST(ts AS TIMESTAMP)) so the as-of/BETWEEN comparisons agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hotdog_spark.operators import temporal as ops
+from hotdog_spark.queries import register
+from hotdog_spark.sources.batch import table
+
+
+@register(
+    "asof_click_attribution",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM ev WHERE event_type = 'click' GROUP BY user_id, ts
+    ), purch AS (
+      SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           c.click_id AS asof_click_id, c.ts AS asof_ts
+    FROM purch p ASOF JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase attributed to the user's most recent
+    click at or before it.  Spark side is the union-carry-forward plan
+    (one shuffle on user_id); the oracle is DuckDB's native ASOF JOIN —
+    two independent implementations of the same semantics."""
+    ev = table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return ops.asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_id"],
+        how="inner",
+    ).select("event_id", "user_id", "ts", "asof_click_id", "asof_ts")
+
+
+@register(
+    "range_join_error_window_clicks",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), err AS (
+      SELECT event_id AS error_id, user_id,
+             ts AS start_ts, ts + INTERVAL 5 MINUTE AS end_ts
+      FROM ev WHERE event_type = 'error'
+    ), clk AS (
+      SELECT event_id AS click_id, user_id, ts FROM ev WHERE event_type = 'click'
+    )
+    SELECT e.error_id, COUNT(*) AS n_clicks
+    FROM clk c JOIN err e
+      ON c.user_id = e.user_id AND c.ts BETWEEN e.start_ts AND e.end_ts
+    GROUP BY e.error_id
+    """,
+)
+def range_join_error_window_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join via bucketing: clicks landing inside each user's
+    5-minute post-error window, counted per error.  The inequality join
+    becomes an equi-join on (user_id, 300 s epoch bucket) + exact
+    re-filter — the shape that survives 100 TB."""
+    ev = table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 5 MINUTES")).alias("end_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts"
+    )
+    joined = ops.range_join_buckets(
+        clicks,
+        errors,
+        on=["user_id"],
+        point_ts="ts",
+        start_ts="start_ts",
+        end_ts="end_ts",
+        bucket_seconds=300,
+    )
+    return joined.groupBy("error_id").agg(F.count(F.lit(1)).alias("n_clicks"))

@@ -142,3 +142,52 @@ def test_ivf_matches_brute_force_on_probed_cells(spark, vecs):
         )
         # every candidate came from one of the probe's nprobe cells
         assert len({r.cell for r in rows}) <= 2
+
+
+def test_asof_join_semantics(spark):
+    from hotdog_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:00:00"), (2, 1, "2024-01-01 10:05:00"),
+         (3, 2, "2024-01-01 10:00:00"), (4, 3, "2024-01-01 10:00:00")],
+        "id long, k long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(100, 1, "2024-01-01 09:59:00"), (101, 1, "2024-01-01 10:05:00"),
+         (102, 2, "2024-01-01 10:01:00")],
+        "rid long, k long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        r.id: r.asof_rid
+        for r in temporal.asof_join(
+            left, right, on=["k"], left_ts="ts", right_ts="ts",
+            right_cols=["rid"], how="left",
+        ).collect()
+    }
+    assert out[1] == 100        # strictly before
+    assert out[2] == 101        # equal timestamp → inclusive match
+    assert out[3] is None       # right row is after the left row
+    assert out[4] is None       # key with no right rows at all
+
+
+def test_range_join_buckets_exact(spark):
+    from hotdog_spark.operators import temporal
+
+    points = spark.createDataFrame(
+        [(1, 1, "2024-01-01 10:02:00"), (2, 1, "2024-01-01 10:30:00"),
+         (3, 2, "2024-01-01 10:02:00")],
+        "pid long, k long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    intervals = spark.createDataFrame(
+        [(10, 1, "2024-01-01 10:00:00", "2024-01-01 10:05:00"),
+         (11, 2, "2024-01-01 09:00:00", "2024-01-01 11:00:00")],
+        "iid long, k long, s string, e string",
+    ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+    got = {
+        (r.pid, r.iid)
+        for r in temporal.range_join_buckets(
+            points, intervals, on=["k"], point_ts="ts",
+            start_ts="s", end_ts="e", bucket_seconds=300,
+        ).collect()
+    }
+    assert got == {(1, 10), (3, 11)}
