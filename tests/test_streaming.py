@@ -336,3 +336,71 @@ def test_daemon_mode_syslog_to_memory(spark, canonical):
         assert by_topic["logs-unknown"] == [LINES[2].split("- - - ")[1]]
     finally:
         q.stop()
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operators (applyInPandasWithState)
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    from hotdog_spark.streaming.stateful import streaming_dedup
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    (src / "b0.txt").write_text("a\nb\na\n")
+
+    raw = spark.readStream.format("text").load(str(src))
+    keyed = raw.select(F.md5("value").alias("k"), F.col("value"))
+    deduped = streaming_dedup(keyed, "k")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_sink")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got1 = sorted(r.value for r in spark.sql("SELECT value FROM dedup_sink").collect())
+        assert got1 == ["a", "b"]
+        # second batch: one repeat across batches, one new key
+        (src / "b1.txt").write_text("a\nc\n")
+        q.processAllAvailable()
+        got2 = sorted(r.value for r in spark.sql("SELECT value FROM dedup_sink").collect())
+        assert got2 == ["a", "b", "c"]
+    finally:
+        q.stop()
+
+
+def test_running_topic_counts(spark, tmp_path, canonical):
+    from hotdog_spark.streaming.stateful import running_topic_counts
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt2")
+    (src / "b0.txt").write_text("\n".join(LINES) + "\n")
+
+    raw = spark.readStream.format("text").load(str(src))
+    routed = process_raw_lines(raw, canonical)
+    counts = running_topic_counts(routed)
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("counts_sink")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (src / "b1.txt").write_text("\n".join(LINES) + "\n")
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT topic, max(total) AS total FROM counts_sink GROUP BY topic"
+        ).collect()
+        totals = {r.topic: r.total for r in rows}
+        # each batch contributes 1 record per topic (3 routable lines)
+        assert totals["test"] == 2
+        assert totals["dyn-topic"] == 2
+        assert totals["logs-unknown"] == 2
+    finally:
+        q.stop()
