@@ -72,17 +72,16 @@ def main() -> None:
     # one-time session costs that would otherwise land on the first timed
     # query instead of the session as a whole.
     spark.range(100_000).selectExpr("sum(id)").write.mode("overwrite").format("noop").save()
-    import pandas as pd
+    queries["hotdog_route_cascade"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # Python workers must warm AFTER ensure_shipped's addPyFile (inside the
+    # query above) — adding a pyFile changes the worker env key and would
+    # abandon any pool spawned earlier.
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("long")
-    def _warm(s: pd.Series) -> pd.Series:
-        return s
-
+    _warm = pandas_udf(lambda s: s, "long")
     spark.range(10_000).repartition(int(cpus)).select(_warm("id")).write.mode(
         "overwrite"
     ).format("noop").save()
-    queries["hotdog_route_cascade"](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
