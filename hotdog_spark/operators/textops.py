@@ -103,8 +103,80 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Content fingerprint: md5 of the casefolded, whitespace-collapsed
     text — the canonical near-exact-dup key (16 hex chars kept)."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     return fan_out(df).select(
         F.col(id_col),
-        F.substring(F.md5(norm), 1, 16).alias("fp"),
+        fingerprint_expr(F.col(text_col)).alias("fp"),
+    )
+
+
+def fingerprint_expr(text: Column) -> Column:
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.substring(F.md5(norm), 1, 16)
+
+
+def quality_expr(text: Column) -> Column:
+    """The combined quality score as a single reusable expression."""
+    toks = normalized_tokens(text)
+    n_tok = F.size(toks)
+    mean_tok_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
+    ).cast("double") / n_tok.cast("double")
+    punct_ratio = (
+        F.size(F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), 0)).cast("double")
+        / F.length(text).cast("double")
+    )
+    stop_ratio = _stopword_hits(toks, STOPWORDS["en"]).cast("double") / n_tok.cast("double")
+    return F.lit(0.5) * stop_ratio - F.lit(0.3) * punct_ratio + F.lit(0.02) * mean_tok_len
+
+
+def pred_lang_expr(text: Column) -> Column:
+    """Argmax language as a single reusable expression (alphabetical
+    tie-break, same cascade as language_id)."""
+    toks = normalized_tokens(text)
+    scores = {lang: _stopword_hits(toks, ws) for lang, ws in STOPWORDS.items()}
+    chain = None
+    for lang in LANGS:
+        cond = None
+        for other in LANGS:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
+    return chain
+
+
+def clean_corpus(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_quality: float = 0.1,
+    lang: str = "en",
+) -> DataFrame:
+    """The composed training-data cleaning pipeline in ONE scan:
+
+        score quality → keep target language → exact-near-dup collapse
+        (fingerprint groups, canonical = min id)
+
+    Every stage is a column expression over the same projection, so the
+    physical plan is scan → project → filter → one hash aggregate — no
+    self-joins, no repeated scans of the corpus.  At 100 TB this is the
+    shape that matters: feature extraction rides the dedup shuffle for
+    free.  Returns (fp, keep_id, dup_count, quality of the kept doc =
+    min-id doc's quality via min_by).
+    """
+    text = F.col(text_col)
+    feats = fan_out(df).select(
+        F.col(id_col).alias("_id"),
+        quality_expr(text).alias("quality"),
+        pred_lang_expr(text).alias("pred_lang"),
+        fingerprint_expr(text).alias("fp"),
+    )
+    survivors = feats.filter(
+        (F.col("quality") > min_quality) & (F.col("pred_lang") == lang)
+    )
+    return survivors.groupBy("fp").agg(
+        F.min("_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+        F.min_by("quality", "_id").alias("keep_quality"),
     )

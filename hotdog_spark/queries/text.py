@@ -31,20 +31,31 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.token_counts(table(spark, sf_dir, "documents"), "text", "doc_id")
 
 
-def _langid_oracle() -> str:
+def _langid_case() -> str:
     cases = []
     for lang in ops.LANGS:
         conds = " AND ".join(
             f"{_hits(lang)} >= {_hits(other)}" for other in ops.LANGS if other != lang
         )
         cases.append(f"WHEN {conds} THEN '{lang}'")
+    return f"CASE {' '.join(cases)} END"
+
+
+def _langid_oracle() -> str:
     hits_cols = ", ".join(f"{_hits(lang)} AS hits_{lang}" for lang in ops.LANGS)
     return f"""
     SELECT doc_id,
-           CASE {' '.join(cases)} END AS pred_lang,
+           {_langid_case()} AS pred_lang,
            {hits_cols}
     FROM documents
     """
+
+
+_QUALITY_SQL = f"""0.5 * (CAST({_hits('en')} AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE))
+           - 0.3 * (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+                    / CAST(length(text) AS DOUBLE))
+           + 0.02 * (CAST(list_sum(list_transform({_TOKS}, x -> length(x))) AS DOUBLE)
+                     / CAST(len({_TOKS}) AS DOUBLE))"""
 
 
 @register("text_language_id", oracle=_langid_oracle())
@@ -92,3 +103,29 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical content fingerprint: md5 of casefolded,
     whitespace-collapsed text (16 hex chars)."""
     return ops.fingerprint(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "text_clean_corpus_pipeline",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             {_QUALITY_SQL} AS quality,
+             {_langid_case()} AS pred_lang,
+             substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS fp
+      FROM documents
+    ), surv AS (
+      SELECT * FROM feats WHERE quality > 0.1 AND pred_lang = 'en'
+    )
+    SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS dup_count,
+           arg_min(quality, doc_id) AS keep_quality
+    FROM surv GROUP BY fp
+    """,
+)
+def text_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed cleaning pipeline (quality gate → language gate →
+    fingerprint dedup) in one scan + one aggregate — the end-to-end shape
+    a 100 TB corpus wash actually runs."""
+    return ops.clean_corpus(
+        table(spark, sf_dir, "documents"), "text", "doc_id", min_quality=0.1, lang="en"
+    )

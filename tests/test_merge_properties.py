@@ -1,0 +1,114 @@
+"""Property-based tests pinning the deep-merge semantics
+(reference: src/merge.rs:67-86) beyond the ported unit cases."""
+
+import copy
+import json
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from hotdog_spark.functions.jsonmerge import (
+    _dedup_consecutive,
+    merge_json_strings,
+    merge_values,
+)
+
+json_values = st.recursive(
+    st.none()
+    | st.booleans()
+    | st.integers(min_value=-(10**6), max_value=10**6)
+    | st.text(max_size=8),
+    lambda children: st.lists(children, max_size=4)
+    | st.dictionaries(st.text(max_size=4), children, max_size=4),
+    max_leaves=12,
+)
+json_objects = st.dictionaries(st.text(max_size=4), json_values, max_size=4)
+json_arrays = st.lists(json_values, max_size=6)
+
+
+@settings(max_examples=200, deadline=None)
+@given(a=json_objects, b=json_objects)
+def test_object_merge_key_union_b_wins(a, b):
+    a0, b0 = copy.deepcopy(a), copy.deepcopy(b)
+    out = merge_values(a, b)
+    assert set(out) == set(a0) | set(b0)
+    for k, bv in b0.items():
+        if isinstance(bv, dict) and isinstance(a0.get(k), dict):
+            continue  # recursive case checked by recursion itself
+        if isinstance(bv, (dict, list)) and isinstance(a0.get(k), list):
+            continue  # array-extend case checked below
+        # scalar / type-mismatch: b overwrites
+        assert out[k] == bv
+    for k in set(a0) - set(b0):
+        assert out[k] == a0[k]
+
+
+@settings(max_examples=200, deadline=None)
+@given(a=json_arrays, b=json_arrays)
+def test_array_merge_is_consecutive_dedup_of_concat(a, b):
+    a0, b0 = copy.deepcopy(a), copy.deepcopy(b)
+    out = merge_values(a, b)
+    assert out == _dedup_consecutive(a0 + b0)
+
+
+@settings(max_examples=200, deadline=None)
+@given(items=json_arrays)
+def test_consecutive_dedup_properties(items):
+    out = _dedup_consecutive(list(items))
+    # no adjacent equal elements remain
+    assert all(out[i] != out[i + 1] for i in range(len(out) - 1))
+    # subsequence of the input (order preserved, only deletions)
+    it = iter(items)
+    assert all(any(x == y for y in it) for x in out)
+    # idempotent
+    assert _dedup_consecutive(list(out)) == out
+
+
+@settings(max_examples=200, deadline=None)
+@given(a=json_objects)
+def test_empty_patch_is_identity(a):
+    a0 = copy.deepcopy(a)
+    assert merge_values(a, {}) == a0
+
+
+@settings(max_examples=200, deadline=None)
+@given(a=json_values, b=st.one_of(st.none(), st.booleans(), st.integers(), st.text(max_size=8)))
+def test_scalar_patch_overwrites_anything(a, b):
+    if isinstance(a, list) and isinstance(b, dict):
+        return
+    assert merge_values(a, b) == b
+
+
+@settings(max_examples=200, deadline=None)
+@given(target=json_values, patch=json_objects)
+def test_string_level_merge_round_trips(target, patch):
+    out = merge_json_strings(
+        json.dumps(target), json.dumps(patch, separators=(",", ":"))
+    )
+    assert out is not None
+    expected = merge_values(copy.deepcopy(target), copy.deepcopy(patch))
+    if isinstance(target, dict):
+        assert json.loads(out) == expected
+    else:
+        # non-object targets still merge per merge_values semantics
+        assert json.loads(out) == expected
+
+
+@settings(max_examples=100, deadline=None)
+@given(patch=st.one_of(st.integers(), st.text(max_size=8), json_arrays))
+def test_non_object_patch_passes_target_through(patch):
+    assert merge_json_strings('{"a":1}', json.dumps(patch)) == '{"a":1}'
+
+
+@settings(max_examples=100, deadline=None)
+@given(garbage=st.text(max_size=12).filter(lambda s: not _is_json(s)))
+def test_invalid_target_fails_merge(garbage):
+    assert merge_json_strings(garbage, '{"a":1}') is None
+
+
+def _is_json(s):
+    try:
+        json.loads(s)
+        return True
+    except Exception:
+        return False

@@ -191,3 +191,22 @@ def test_range_join_buckets_exact(spark):
         ).collect()
     }
     assert got == {(1, 10), (3, 11)}
+
+
+def test_salted_join_equals_plain_join(spark):
+    from hotdog_spark.operators.skew import salted_join
+
+    # one hot key (90% of rows) + a tail
+    large = spark.createDataFrame(
+        [(i, 1 if i % 10 else i) for i in range(1000)], "rowid long, k long"
+    )
+    small = spark.createDataFrame(
+        [(1, "hot"), (10, "a"), (20, "b"), (999, "zzz")], "k long, v string"
+    )
+    plain = large.join(small, on=["k"], how="inner")
+    salted = salted_join(large, small, on=["k"], salt=8, how="inner")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+    plain_l = large.join(small, on=["k"], how="left")
+    salted_l = salted_join(large, small, on=["k"], salt=8, how="left")
+    assert sorted(map(tuple, salted_l.collect())) == sorted(map(tuple, plain_l.collect()))
