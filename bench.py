@@ -41,6 +41,13 @@ HEADLINE = [
     "text_token_count",            # tokenization counts
     "window_tumbling_events",      # event-time tumbling windows
     "window_session_events",       # session windows
+    "asof_click_attribution",      # as-of join (union + keyed sort)
+    "range_join_error_window_clicks",  # bucketed range join
+    "ann_ivf",                     # IVF cell-pruned vector search
+    "dedup_embedding_cosine",      # sign-bucketed embedding near-dup
+    "text_clean_corpus_pipeline",  # composed one-scan cleaning pipeline
+    "q10_returned_item_revenue",   # 4-way join top-k
+    "q18_large_volume_customers",  # HAVING aggregate + back-joins
 ]
 
 

@@ -1,0 +1,94 @@
+"""CLI entry point mirroring the reference's interface
+(reference: src/main.rs:88-154):
+
+    python -m hotdog_spark -c config.yml                # daemon mode
+    python -m hotdog_spark -c config.yml -t file.log    # test (dry-run) mode
+
+Daemon mode starts the configured source → parse → cascade → sink stream
+and blocks until Ctrl-C, which drains the in-flight micro-batch before
+exiting (the reference's SIGINT final flush, src/serve/mod.rs:124-134).
+Test mode prints which `field: msg` rules match each line of the file,
+byte-format-compatible with `hotdog -t` (src/rules.rs:16-57).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _build_session(app: str):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.appName(app)
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def test_mode_report(spark, settings, file_name: str) -> list[str]:
+    """The dry-run report as lines of text (reference output format:
+    'Line N matches on:' / '\\t - <matcher>')."""
+    from hotdog_spark.plans.compiler import dry_run
+    from hotdog_spark.sources.batch import read_log_file
+
+    df = read_log_file(spark, file_name)
+    out = []
+    for row in dry_run(df, settings).orderBy("line_no").collect():
+        if row.matchers:
+            out.append(f"Line {row.line_no} matches on:")
+            out.extend(f"\t - {m}" for m in row.matchers)
+    return out
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="hotdog_spark", description="PySpark-native hotdog engine"
+    )
+    parser.add_argument("-c", "--config", required=True, help="YAML rules file")
+    parser.add_argument("-t", "--test", help="log file to dry-run the rules against")
+    parser.add_argument(
+        "--source",
+        default="syslog",
+        choices=["syslog", "socket", "file", "kafka", "rate"],
+        help="streaming source kind for daemon mode (default: native TCP/TLS listener)",
+    )
+    parser.add_argument("--checkpoint", default="/tmp/hotdog_spark_ckpt")
+    parser.add_argument(
+        "--source-opt",
+        action="append",
+        default=[],
+        metavar="K=V",
+        help="source option, repeatable (e.g. --source-opt path=/logs)",
+    )
+    args = parser.parse_args(argv)
+
+    from hotdog_spark.config import load
+
+    settings = load(args.config)
+
+    if args.test:
+        spark = _build_session("hotdog-spark-test")
+        for line in test_mode_report(spark, settings, args.test):
+            print(line)
+        spark.stop()
+        return 0
+
+    from hotdog_spark.streaming.runner import graceful_stop, run_from_config
+
+    spark = _build_session("hotdog-spark")
+    opts = dict(kv.split("=", 1) for kv in args.source_opt)
+    query = run_from_config(
+        spark, settings, checkpoint_dir=args.checkpoint, source_kind=args.source, **opts
+    )
+    try:
+        query.awaitTermination()
+    except KeyboardInterrupt:
+        print("interrupt received, draining...", file=sys.stderr)
+        graceful_stop(query)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

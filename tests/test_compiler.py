@@ -287,3 +287,25 @@ def test_dry_run(spark, canonical):
     # JSON line matches the jmespath rule and the catch-all
     assert rows['{"meta":{"topic":"test"}}'].matches == [1, 2]
     assert rows["zzz"].matches == [2]
+
+
+def test_cli_test_mode_report(spark, canonical, tmp_path):
+    """Byte-format parity with `hotdog -t example.log` (src/rules.rs:45-51,
+    README.adoc:85-98): same lines, same matcher Display strings."""
+    from hotdog_spark.__main__ import test_mode_report
+
+    log = tmp_path / "example.log"
+    log.write_text(
+        "hello world\n"
+        "fail\n"
+        "hello\n"
+        '{"meta":{"topic":"test"}}\n'
+    )
+    report = test_mode_report(spark, canonical, str(log))
+    assert report[0] == "Line 1 matches on:"
+    assert report[1] == "\t - Regex: ^hello\\s+(?P<name>\\w+)?"
+    # every line matches the catch-all regex; line 4 also matches JMESPath
+    assert "Line 4 matches on:" in report
+    i = report.index("Line 4 matches on:")
+    assert report[i + 1] == "\t - JMESPath: meta.topic"
+    assert report[i + 2] == "\t - Regex: .*"
