@@ -30,6 +30,11 @@ from pyspark.sql.streaming import StreamingQueryListener
 
 PREFIX = "hotdog"
 
+# Column order of with_pipeline_observer's observation — the progress JSON
+# serializes observed metrics as a bare value list, so consumers re-attach
+# names from here.
+PIPELINE_METRICS = ("lines_received", "parse_errors", "routed", "dropped_by_rules")
+
 
 def with_pipeline_observer(df: DataFrame, name: str = "hotdog_pipeline") -> DataFrame:
     """Attach the reference's counters as observed metrics on a routed
@@ -98,9 +103,11 @@ class HotdogQueryListener(StreamingQueryListener):
         row = json.loads(p.json) if isinstance(p.json, str) else {}
         self.progress_log.append(row)
         self.emitter.gauge("processed_rows_per_second", row.get("processedRowsPerSecond") or 0)
-        observed = (row.get("observedMetrics") or {}).get(self.observation_name)
-        if observed:
-            for key, value in observed.items():
+        # The typed accessor gives named Rows; the JSON form loses names
+        # (observed metrics serialize as bare value lists).
+        observed = (p.observedMetrics or {}).get(self.observation_name)
+        if observed is not None:
+            for key, value in observed.asDict().items():
                 self.emitter.counter(key, value or 0)
 
     def onQueryTerminated(self, event) -> None:

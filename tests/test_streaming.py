@@ -404,3 +404,40 @@ def test_running_topic_counts(spark, tmp_path, canonical):
         assert totals["logs-unknown"] == 2
     finally:
         q.stop()
+
+
+def test_status_server(spark, tmp_path, canonical):
+    import json as json_mod
+    import urllib.request
+
+    from hotdog_spark.status import start_status_server
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "b0.txt").write_text("\n".join(LINES) + "\n")
+    raw = spark.readStream.format("text").load(str(src))
+    routed = build_routed_stream(raw, canonical)
+    q = (
+        routed.writeStream.format("memory")
+        .queryName("status_probe")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    server, port = start_status_server(spark)
+    try:
+        q.processAllAvailable()
+        banner = urllib.request.urlopen(f"http://127.0.0.1:{port}/").read()
+        assert banner == b"hotdog status server"
+        stats = json_mod.loads(
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/stats").read()
+        )
+        names = [row["name"] for row in stats["queries"]]
+        assert "status_probe" in names
+        assert stats["connections"] >= 1
+        probe = next(r for r in stats["queries"] if r["name"] == "status_probe")
+        observed = (probe.get("observedMetrics") or {}).get("hotdog_pipeline")
+        assert observed and observed["lines_received"] == 4
+        assert observed["parse_errors"] == 1
+    finally:
+        server.shutdown()
+        q.stop()
