@@ -83,15 +83,27 @@ def parquet_writer(
     return writer
 
 
-def typed_parquet_foreach_batch(settings: Settings, base_path: str):
+def typed_parquet_foreach_batch(
+    settings: Settings, base_path: str, infer_undeclared: bool = True
+):
     """foreachBatch function implementing the reference's per-destination
     schema choice (src/sink/parquet.rs:171-230): declared topics decode
-    through their schema into typed parquet; everything else is written
-    raw under topic=... partitions with schema inference left to readers.
-    """
+    through their schema into typed parquet; undeclared topics get a
+    per-batch *inferred* schema (``spark.read.json`` over the whole batch
+    — strictly better than the reference's infer-from-first-line, which
+    drops the buffer when line 1 is unrepresentative).  Payloads that are
+    not JSON objects fall back to raw (topic, payload) parquet, mirroring
+    the reference's behavior of dropping undecodable buffers — except
+    nothing is dropped here.
+
+    The per-topic loop is driver-side but touches only topic *names*
+    (collected from the batch's distinct set — bounded by the config's
+    routing fan-out, same cardinality the reference keeps one buffer per
+    destination for)."""
     declared = {s.topic: sink_schema_to_struct(s) for s in settings.schemas}
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
         batch_df = batch_df.persist()
         try:
             for topic, schema in declared.items():
@@ -104,12 +116,30 @@ def typed_parquet_foreach_batch(settings: Settings, base_path: str):
             rest = batch_df
             for topic in declared:
                 rest = rest.filter(F.col("topic") != topic)
-            (
-                rest.select("topic", "payload")
-                .write.mode("append")
-                .partitionBy("topic")
-                .parquet(f"{base_path}/raw")
-            )
+            if infer_undeclared:
+                rest = rest.persist()
+                topics = [r.topic for r in rest.select("topic").distinct().collect()]
+                for topic in topics:
+                    payloads = rest.filter(F.col("topic") == topic).select("payload")
+                    jsonish = payloads.filter(F.col("payload").startswith("{"))
+                    raw = payloads.filter(~F.col("payload").startswith("{"))
+                    if jsonish.limit(1).count() > 0:
+                        inferred = spark.read.json(
+                            jsonish.rdd.map(lambda r: r.payload)
+                        )
+                        inferred.write.mode("append").parquet(
+                            f"{base_path}/topic={topic}"
+                        )
+                    if raw.limit(1).count() > 0:
+                        raw.write.mode("append").parquet(f"{base_path}/raw/topic={topic}")
+                rest.unpersist()
+            else:
+                (
+                    rest.select("topic", "payload")
+                    .write.mode("append")
+                    .partitionBy("topic")
+                    .parquet(f"{base_path}/raw")
+                )
         finally:
             batch_df.unpersist()
 

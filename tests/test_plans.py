@@ -1,0 +1,80 @@
+"""Plan-shape regression tests: the scale properties README promises
+(pushdown, JVM-only hot paths, broadcasts, no nested-loop joins) asserted
+against the actual physical plans, so a refactor that silently breaks one
+fails CI rather than a 100 TB run."""
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    import __spark_entry__ as mod
+
+    return mod.queries()[name](spark, SF)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q6_filters_reach_parquet(spark):
+    plan = _plan(spark, "q6_forecast_revenue")
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_native_cascade_has_no_python(spark):
+    """merge_mode=native keeps the whole rule cascade JVM-side."""
+    plan = _plan(spark, "hotdog_route_payload")
+    assert "EvalPython" not in plan  # no Arrow/Batch Python eval nodes
+
+
+def test_exact_merge_uses_arrow_not_row_python(spark):
+    plan = _plan(spark, "merge_exact_deep")
+    assert "ArrowEvalPython" in plan        # vectorized
+    assert "BatchEvalPython" not in plan    # never row-at-a-time
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _plan(spark, "q5_regional_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_range_join_is_equi_join(spark):
+    """The bucketed range join must never fall back to a nested loop."""
+    plan = _plan(spark, "range_join_error_window_clicks")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_is_single_keyed_sort(spark):
+    plan = _plan(spark, "asof_click_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the carry-forward window sorts within user_id partitions
+    assert "WindowExec" in plan or "Window" in plan
+
+
+def test_clean_corpus_is_one_scan(spark):
+    """The composed pipeline must not re-scan documents per stage."""
+    plan = _plan(spark, "text_clean_corpus_pipeline")
+    assert plan.count("Scan parquet") == 1
+
+
+def test_scans_prune_columns(spark):
+    """Column pruning: q6 reads only the 4 columns it needs."""
+    plan = _plan(spark, "q6_forecast_revenue")
+    read = plan.split("ReadSchema:")[1].splitlines()[0]
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in read
+    for col in ("l_orderkey", "l_partkey", "l_returnflag", "l_tax"):
+        assert col not in read
+
+
+@pytest.fixture(autouse=True)
+def _quiet(spark):
+    spark.sparkContext.setLogLevel("ERROR")
+    yield

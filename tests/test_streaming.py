@@ -133,8 +133,34 @@ def test_typed_foreach_batch_decodes_declared_schema(spark, tmp_path):
     typed = spark.read.parquet(f"{out_dir}/topic=t1")
     assert {r.i for r in typed.collect()} == {1, 2}
     assert dict(typed.dtypes)["i"] == "bigint"
-    raw = spark.read.parquet(f"{out_dir}/raw")
-    assert raw.count() == 1
+    # undeclared JSON topic: schema inferred per batch -> typed too
+    other = spark.read.parquet(f"{out_dir}/topic=other")
+    assert dict(other.dtypes)["x"] == "boolean"
+    assert [r.x for r in other.collect()] == [True]
+
+
+def test_foreach_batch_infers_undeclared_and_keeps_raw(spark, tmp_path):
+    """Undeclared topics: JSON payloads get whole-batch schema inference
+    (vs the reference's first-line inference, src/sink/parquet.rs:186-221);
+    non-JSON payloads survive as raw parquet instead of being dropped."""
+    out_dir = str(tmp_path / "inferred")
+    settings = load_dict(
+        {"global": {"listen": {"port": 1}}, "rules": []}, environ={}
+    )
+    batch = spark.createDataFrame(
+        [
+            ("dyn", '{"a": 1}'),
+            ("dyn", '{"a": 2, "b": "x"}'),   # line-2-only field must survive
+            ("junk", "not json at all"),
+        ],
+        "topic string, payload string",
+    )
+    sinks.typed_parquet_foreach_batch(settings, out_dir)(batch, 0)
+    dyn = spark.read.parquet(f"{out_dir}/topic=dyn")
+    assert dict(dyn.dtypes) == {"a": "bigint", "b": "string"}
+    assert {(r.a, r.b) for r in dyn.collect()} == {(1, None), (2, "x")}
+    raw = spark.read.parquet(f"{out_dir}/raw/topic=junk")
+    assert [r.payload for r in raw.collect()] == ["not json at all"]
 
 
 def test_kafka_writer_options(spark, canonical, tmp_path):
