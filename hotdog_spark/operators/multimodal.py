@@ -117,6 +117,44 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
     return df.mapInPandas(kernel, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("out_width", IntegerType()),
+        StructField("out_height", IntegerType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def resize_stub(df: DataFrame, max_side: int = 256) -> DataFrame:
+    """Image-resize plumbing: computes the aspect-preserving target
+    dimensions (longest side → ``max_side``) per row and passes content
+    through.  The pixel resample itself would run here (PIL/libvips) in
+    the same Arrow-batched kernel; the dimension math, schema and batch
+    shape are the real contract."""
+    from hotdog_spark.dist import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].fillna(0).astype(int)
+            h = pdf["height"].fillna(0).astype(int)
+            longest = w.combine(h, max).clip(lower=1)
+            scale = (max_side / longest).clip(upper=1.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_width": (w * scale).round().clip(lower=1).astype(int),
+                    "out_height": (h * scale).round().clip(lower=1).astype(int),
+                    "content": pdf["content"],  # real impl: resampled bytes
+                }
+            )
+
+    return df.mapInPandas(kernel, RESIZE_SCHEMA)
+
+
 def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Video frame-sampling plumbing: emits (media_id, frame_no) rows for
     frames 0, n, 2n… based on a fake duration derived from byte length.

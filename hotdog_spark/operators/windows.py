@@ -54,3 +54,23 @@ def session_counts(
             "n",
         )
     )
+
+
+def hopping_counts(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    width: str = "1 hour",
+    slide: str = "30 minutes",
+) -> DataFrame:
+    """Per-key counts in overlapping (hopping/sliding) windows: each event
+    lands in width/slide windows.  Same epoch alignment as tumbling."""
+    return (
+        df.groupBy(F.window(F.col(ts_col), width, slide).alias("w"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            key_col,
+            "n",
+        )
+    )

@@ -62,3 +62,29 @@ def window_session_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.session_counts(
         table(spark, sf_dir, "events"), "ts", "user_id", gap="30 minutes"
     )
+
+
+@register(
+    "window_hopping_events",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), w AS (
+      SELECT event_type,
+             time_bucket(INTERVAL 30 MINUTE, ts) - (k * INTERVAL 30 MINUTE)
+               AS window_start
+      FROM e, (SELECT unnest([0, 1]) AS k) ks
+    )
+    SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, COUNT(*) AS n
+    FROM w GROUP BY 1, 2
+    """,
+)
+def window_hopping_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 minutes: each event counted in
+    exactly 2 overlapping windows (F.window with slide); the oracle
+    reproduces the window family by explicit bucket arithmetic."""
+    return ops.hopping_counts(
+        table(spark, sf_dir, "events"), "ts", "event_type",
+        width="1 hour", slide="30 minutes",
+    )

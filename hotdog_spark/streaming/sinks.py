@@ -24,6 +24,8 @@ Parity map (reference → Spark):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import DataStreamWriter, StreamingQuery
@@ -32,14 +34,42 @@ from hotdog_spark.config import KafkaConfig, ParquetConfig, Settings
 from hotdog_spark.plans.schema import sink_schema_to_struct
 
 
-def kafka_options(kafka: KafkaConfig, checkpoint: str) -> dict[str, str]:
+def kafka_options(
+    kafka: KafkaConfig, checkpoint: str, environ: dict[str, str] | None = None
+) -> dict[str, str]:
     """The option map for the Kafka sink: checkpoint + every config
     ``conf`` key forwarded as ``kafka.<key>`` (librdkafka passthrough
-    parity, README.adoc:204-211)."""
+    parity, README.adoc:204-211), then the reference's runtime env
+    overrides (src/sink/kafka.rs:72-84): KAFKA_BROKER →
+    bootstrap.servers, SASL_SCRAM_USERNAME/PASSWORD → sasl.username /
+    sasl.password."""
+    env = os.environ if environ is None else environ
     opts = {"checkpointLocation": checkpoint}
     for k, v in kafka.conf.items():
         opts[f"kafka.{k}"] = v
+    if env.get("KAFKA_BROKER"):
+        opts["kafka.bootstrap.servers"] = env["KAFKA_BROKER"]
+    if env.get("SASL_SCRAM_USERNAME"):
+        opts["kafka.sasl.username"] = env["SASL_SCRAM_USERNAME"]
+    if env.get("SASL_SCRAM_PASSWORD"):
+        opts["kafka.sasl.password"] = env["SASL_SCRAM_PASSWORD"]
     return opts
+
+
+def parquet_url(parquet: ParquetConfig, environ: dict[str, str] | None = None) -> str:
+    """The parquet output URL, with the reference's env fallback: a
+    missing/empty config url requires S3_OUTPUT_URL
+    (src/sink/parquet.rs:304-311)."""
+    env = os.environ if environ is None else environ
+    if parquet.url:
+        return parquet.url
+    url = env.get("S3_OUTPUT_URL")
+    if not url:
+        raise ValueError(
+            "There is no url: defined for the parquet sink and no "
+            "S3_OUTPUT_URL in the environment!"
+        )
+    return url
 
 
 def kafka_writer(
@@ -74,7 +104,7 @@ def parquet_writer(
     writer = (
         routed.select("topic", "payload")
         .writeStream.format("parquet")
-        .option("path", parquet.url)
+        .option("path", parquet_url(parquet))
         .option("checkpointLocation", checkpoint)
         .partitionBy("topic")
     )

@@ -210,3 +210,19 @@ def test_salted_join_equals_plain_join(spark):
     plain_l = large.join(small, on=["k"], how="left")
     salted_l = salted_join(large, small, on=["k"], salt=8, how="left")
     assert sorted(map(tuple, salted_l.collect())) == sorted(map(tuple, plain_l.collect()))
+
+
+def test_resize_stub_dimensions(spark, docs):
+    out = {
+        r.media_id: r
+        for r in multimodal.resize_stub(
+            multimodal.media_from_text(docs, "text", "doc_id"), max_side=20
+        ).collect()
+    }
+    media = {r.media_id: r for r in multimodal.media_from_text(docs, "text", "doc_id").collect()}
+    for mid, r in out.items():
+        w, h = media[mid].width, media[mid].height
+        assert max(r.out_width, r.out_height) <= max(20, 1)
+        # aspect preserved within rounding; upscale never happens
+        assert r.out_width <= max(w, 1) and r.out_height <= max(h, 1)
+        assert r.content == media[mid].content

@@ -467,3 +467,41 @@ def test_status_server(spark, tmp_path, canonical):
     finally:
         server.shutdown()
         q.stop()
+
+
+def test_kafka_env_overrides():
+    """Runtime env overrides (src/sink/kafka.rs:72-84): KAFKA_BROKER and
+    SASL_SCRAM_* beat the YAML conf."""
+    from hotdog_spark.config import KafkaConfig
+
+    kc = KafkaConfig(conf={"bootstrap.servers": "yaml:9092", "acks": "all"})
+    opts = sinks.kafka_options(
+        kc,
+        "/ck",
+        environ={
+            "KAFKA_BROKER": "env:9092",
+            "SASL_SCRAM_USERNAME": "u",
+            "SASL_SCRAM_PASSWORD": "p",
+        },
+    )
+    assert opts["kafka.bootstrap.servers"] == "env:9092"
+    assert opts["kafka.sasl.username"] == "u"
+    assert opts["kafka.sasl.password"] == "p"
+    assert opts["kafka.acks"] == "all"
+    # without env, YAML wins
+    assert sinks.kafka_options(kc, "/ck", environ={})["kafka.bootstrap.servers"] == "yaml:9092"
+
+
+def test_parquet_url_env_fallback():
+    """S3_OUTPUT_URL fallback parity (src/sink/parquet.rs:304-311)."""
+    import pytest as _pytest
+
+    from hotdog_spark.config import ParquetConfig
+
+    assert sinks.parquet_url(ParquetConfig(url="s3a://cfg"), environ={}) == "s3a://cfg"
+    assert (
+        sinks.parquet_url(ParquetConfig(), environ={"S3_OUTPUT_URL": "s3a://env"})
+        == "s3a://env"
+    )
+    with _pytest.raises(ValueError):
+        sinks.parquet_url(ParquetConfig(), environ={})
