@@ -200,3 +200,59 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 50
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph → the
+    canonical-document assignment (component label = min doc id reachable).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels; converges in O(graph
+    diameter) rounds.  Near-dup graphs are unions of dense clusters
+    (docs sharing a signature form cliques), so the diameter is tiny —
+    typically 2-3 rounds.  Each round is one shuffle join; intermediate
+    labels are persisted and replaced so lineage stays flat.  This is the
+    standard large-graph CC shape (GraphX/GraphFrames do the same under
+    Pregel) with no extra dependency.
+
+    Returns (id, component) for every node that appears in ``pairs``.
+    """
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    # localCheckpoint (not just persist): each round's plan must be CUT,
+    # or the logical plan doubles per iteration and the driver OOMs just
+    # *printing* it.  On a cluster with an unreliable-executor profile,
+    # swap for reliable checkpoint(dir) — same shape.
+    edges = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("id"), F.col("src").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(labels, edges.dst == labels.id).select(
+            edges.src.alias("id"), F.col("label")
+        )
+        new_labels = (
+            labels.union(nbr)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("component"))

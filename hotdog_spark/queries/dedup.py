@@ -175,3 +175,54 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.select("vec_id", "embedding").unionByName(planted)
     return sim.near_dup_pairs(corpus, "embedding", "vec_id", threshold=0.99, bits=8)
+
+
+_MINHASH_PAIRS_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+2], ' ')
+                        for i in generate_series(1, len(t)-2)] END AS shingles
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), sigs AS (
+      SELECT doc_id, band, MIN(md5(band || '|' || shingle)) AS sig
+      FROM ex, (SELECT unnest(generate_series(0, 7)) AS band) b
+      GROUP BY doc_id, band
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM sigs a JOIN sigs b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+
+
+@register(
+    "dedup_minhash_components",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+    e AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(src, dst) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+    )
+    SELECT src AS id, LEAST(src, MIN(dst)) AS component
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization of MinHash near-dup clusters: connected components
+    (min-label propagation, O(diameter) shuffle rounds) over the LSH pair
+    graph; component = min doc_id = the document to keep.  The oracle
+    computes the same labels via a recursive-CTE transitive closure."""
+    pairs = ops.minhash_lsh_pairs(
+        table(spark, sf_dir, "documents"), "text", "doc_id", bands=8, k=3
+    )
+    return ops.connected_components(pairs)

@@ -226,3 +226,13 @@ def test_resize_stub_dimensions(spark, docs):
         # aspect preserved within rounding; upscale never happens
         assert r.out_width <= max(w, 1) and r.out_height <= max(h, 1)
         assert r.content == media[mid].content
+
+
+def test_connected_components_toy_graph(spark):
+    # chain 1-2-3, triangle 10-11-12 (+ edge), isolated pair 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    comp = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
