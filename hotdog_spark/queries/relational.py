@@ -844,3 +844,71 @@ def agg_grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+@register(
+    "agg_percentiles_price",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.50) AS p50,
+           quantile_cont(l_extendedprice, 0.75) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per return flag (Spark `percentile`
+    ≡ DuckDB `quantile_cont`).  At 100 TB swap for approx_percentile with
+    a bounded error — same plan shape, sketch-mergeable."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, 0.25D)").alias("p25"),
+            F.expr("percentile(l_extendedprice, 0.50D)").alias("p50"),
+            F.expr("percentile(l_extendedprice, 0.75D)").alias("p75"),
+        )
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS "F",
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS "O",
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS "P"
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (crosstab): order counts by priority × status.  The value
+    list is explicit, so no extra distinct-values job runs and the plan
+    is a single hash aggregate."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.coalesce(F.count(F.lit(1)), F.lit(0)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+@register(
+    "agg_collect_nations_per_region",
+    oracle="""
+    SELECT r.r_name, array_to_string(list_sort(list(DISTINCT n.n_name)), ',') AS nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def agg_collect_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: sorted distinct nation list per region, joined
+    to a string for engine-neutral comparison."""
+    r = table(spark, sf_dir, "region")
+    n = table(spark, sf_dir, "nation")
+    return (
+        n.join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations"))
+    )
