@@ -92,6 +92,32 @@ def start_pipeline(
     return sinks.memory_sink(routed, "hotdog_routed")
 
 
+def windowed_counts_stream(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    width: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Event-time tumbling counts with a watermark: rows later than
+    ``watermark`` behind the max seen event time are dropped and their
+    window state evicted — the bounded-state streaming form of
+    operators.windows.tumbling_counts (the reference has no event time at
+    all, SURVEY §2.8; this is the extension a real pipeline needs)."""
+    from pyspark.sql import functions as F2
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F2.window(F2.col(ts_col), width).alias("w"), F2.col(key_col))
+        .agg(F2.count(F2.lit(1)).alias("n"))
+        .select(
+            F2.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            key_col,
+            "n",
+        )
+    )
+
+
 def graceful_stop(query: StreamingQuery, timeout_s: int = 60) -> None:
     """Drain and stop — the SIGINT final-flush analog
     (src/sink/parquet.rs:226-229): stop() lets the in-flight micro-batch

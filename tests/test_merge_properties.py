@@ -112,3 +112,49 @@ def _is_json(s):
         return True
     except Exception:
         return False
+
+
+# ---------------------------------------------------------------------------
+# Template compiler properties (hypothesis): compile_template must agree
+# with a reference renderer for any mix of literals and variables.
+
+import pytest
+from pyspark.sql import functions as F
+
+from hotdog_spark.plans.compiler import compile_template
+
+_lit_seg = st.text(
+    alphabet=st.characters(codec="ascii", exclude_characters="{}\\'\"\r\n",
+                           exclude_categories=("Cc",)),
+    max_size=8,
+)
+_var_name = st.sampled_from(["msg", "name", "value", "missing_var", "x1"])
+_segments = st.lists(
+    st.one_of(_lit_seg, _var_name.map(lambda v: ("var", v))), max_size=8
+)
+_var_values = st.fixed_dictionaries(
+    {
+        "msg": st.one_of(st.none(), _lit_seg),
+        "name": st.one_of(st.none(), _lit_seg),
+        "value": st.one_of(st.none(), _lit_seg),
+    }
+)
+
+
+@settings(max_examples=10, deadline=None)
+@given(segments=_segments, values=_var_values)
+def test_template_matches_reference_renderer(spark, segments, values):
+    template = "".join(
+        "{{" + s[1] + "}}" if isinstance(s, tuple) else s for s in segments
+    )
+    expected = "".join(
+        (values.get(s[1]) or "") if isinstance(s, tuple) else s for s in segments
+    )
+    variables = {k: F.lit(v) for k, v in values.items()}
+    out = (
+        spark.range(1)
+        .select(compile_template(template, variables).alias("r"))
+        .collect()[0]
+        .r
+    )
+    assert (out or "") == expected

@@ -505,3 +505,49 @@ def test_parquet_url_env_fallback():
     )
     with _pytest.raises(ValueError):
         sinks.parquet_url(ParquetConfig(), environ={})
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Event-time watermark semantics: a row arriving far behind the
+    watermark is dropped from the windowed aggregation (append mode only
+    emits windows the watermark has closed)."""
+    from hotdog_spark.streaming.runner import windowed_counts_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    ckpt = str(tmp_path / "ck")
+    raw = spark.readStream.format("text").load(str(src))
+    events = raw.select(
+        F.to_timestamp(F.split("value", ",")[0]).alias("ts"),
+        F.split("value", ",")[1].alias("k"),
+    )
+    counts = windowed_counts_stream(events, "ts", "k", width="1 hour", watermark="10 minutes")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("wm_sink")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        # batch 1: two rows in hour-10, one in hour-13 (advances watermark
+        # to 12:50 → closes the 10:00 window)
+        (src / "b0.txt").write_text(
+            "2024-01-01 10:05:00,a\n2024-01-01 10:20:00,a\n2024-01-01 13:00:00,a\n"
+        )
+        q.processAllAvailable()
+        # batch 2: a LATE row for hour-10, far behind the 12:50 watermark
+        (src / "b1.txt").write_text("2024-01-01 10:40:00,a\n")
+        q.processAllAvailable()
+        # batch 3: advance event time so every window closes and flushes
+        (src / "b2.txt").write_text("2024-01-01 20:00:00,a\n")
+        q.processAllAvailable()
+        got = {
+            (r.window_start, r.k): r.n
+            for r in spark.sql("SELECT * FROM wm_sink").collect()
+        }
+        # the 10:00 window emitted with 2 rows — the late third row was dropped
+        assert got.get(("2024-01-01 10:00:00", "a")) == 2
+        assert got.get(("2024-01-01 13:00:00", "a")) == 1
+    finally:
+        q.stop()
