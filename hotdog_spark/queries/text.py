@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from hotdog_spark.operators import textops as ops
 from hotdog_spark.queries import register
@@ -128,4 +129,42 @@ def text_clean_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 100 TB corpus wash actually runs."""
     return ops.clean_corpus(
         table(spark, sf_dir, "documents"), "text", "doc_id", min_quality=0.1, lang="en"
+    )
+
+
+@register(
+    "sample_deterministic_docs",
+    oracle="""
+    SELECT doc_id, lang FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '1999'
+    """,
+)
+def sample_deterministic_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-deterministic ~10% sample (md5 prefix threshold): same
+    rows on every engine, every rerun, every parallelism — unlike
+    df.sample().  hex_threshold(0.1) == '1999'."""
+    from hotdog_spark.operators.sampling import md5_sample
+
+    return md5_sample(
+        table(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id", 0.1
+    )
+
+
+@register(
+    "split_train_test_counts",
+    oracle="""
+    SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccc'
+                THEN 'test' ELSE 'train' END AS split,
+           COUNT(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def split_train_test_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable train/test split assignment (5% test): a key's split never
+    changes as the corpus grows.  hex_threshold(0.05) == '0ccc'."""
+    from hotdog_spark.operators.sampling import with_split
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    return with_split(docs, "doc_id", test_frac=0.05).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")
     )

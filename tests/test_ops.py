@@ -236,3 +236,21 @@ def test_connected_components_toy_graph(spark):
     )
     comp = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_md5_sample_is_rerun_stable_and_monotone(spark):
+    from hotdog_spark.operators.sampling import md5_sample, with_split
+
+    df = spark.range(2000).withColumnRenamed("id", "k")
+    s1 = {r.k for r in md5_sample(df, "k", 0.2).collect()}
+    s2 = {r.k for r in md5_sample(df.repartition(7), "k", 0.2).collect()}
+    assert s1 == s2                      # parallelism-independent
+    bigger = {r.k for r in md5_sample(df, "k", 0.5).collect()}
+    assert s1 <= bigger                  # monotone in rate (nested samples)
+    assert 0.15 < len(s1) / 2000 < 0.25  # roughly the requested rate
+
+    # split stability under corpus growth: the first 1000 keys keep their
+    # assignment when 1000 more arrive
+    small = {r.k: r.split for r in with_split(df.filter("k < 1000"), "k").collect()}
+    full = {r.k: r.split for r in with_split(df, "k").collect()}
+    assert all(full[k] == v for k, v in small.items())
