@@ -78,3 +78,43 @@ def test_scans_prune_columns(spark):
 def _quiet(spark):
     spark.sparkContext.setLogLevel("ERROR")
     yield
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Bucketing both sides on the join key makes the sort-merge join
+    co-located: zero Exchange nodes in the joined plan — the strategy the
+    engine prescribes for repeated fact-fact joins at 100 TB."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    db = f"bck_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{tmp_path}/wh'")
+    # disable broadcast so the small test tables take the sort-merge path
+    # that real fact-fact joins take
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        a = spark.range(10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("va")
+        )
+        b = spark.range(10_000).select(
+            F.col("id").alias("k"), (F.col("id") * 3).alias("vb")
+        )
+        for name, df in (("ta", a), ("tb", b)):
+            (
+                df.write.bucketBy(8, "k")
+                .sortBy("k")
+                .mode("overwrite")
+                .saveAsTable(f"{db}.{name}")
+            )
+        joined = spark.table(f"{db}.ta").join(spark.table(f"{db}.tb"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: no shuffle at all
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP DATABASE {db} CASCADE")
