@@ -52,4 +52,5 @@ def _load_modules() -> None:
         streaming,
         temporal,
         text,
+        tpch_extra,
     )
