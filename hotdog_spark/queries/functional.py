@@ -1,0 +1,175 @@
+"""Functional-surface queries: higher-order array functions, unpivot
+(wide→long reshaping), ranking-distribution window functions, and a
+time-hierarchy rollup — each with a DuckDB oracle.
+
+The reference has no function library at all (SURVEY.md §2.9); these
+complete the engine's scalar/array/window surface the way a user of a
+full analytics engine expects.
+
+Determinism: array math runs over integer-quantized values (round(x*1000)
+→ BIGINT — exact in both engines); money sums go through DECIMAL;
+percent_rank/cume_dist are exact integer ratios divided in IEEE doubles,
+identical across engines.
+
+Scale posture: every query is a single scan with map-side-combinable
+aggregation or one keyed window shuffle; the higher-order functions are
+whole-stage-codegen'd JVM expressions — no Python boundary anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from hotdog_spark.queries import register
+from hotdog_spark.sources.batch import table
+
+_QV = "list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))"
+
+
+@register(
+    "array_higher_order_stats",
+    oracle=f"""
+    SELECT vec_id,
+           len(qv) AS n_dims,
+           len(list_filter(qv, x -> x > 0)) AS n_pos,
+           CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS l1,
+           CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS sum_sq,
+           CAST(list_max(list_transform(qv, x -> abs(x))) AS BIGINT) AS max_abs,
+           CAST(list_sum(list_transform(list_zip(qv, list_reverse(qv)),
+                                        s -> s[1] * s[2])) AS BIGINT) AS dot_rev
+    FROM (SELECT vec_id, {_QV} AS qv FROM embeddings) t
+    """,
+)
+def array_higher_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform / filter / aggregate /
+    zip_with / array_max) over the embedding column — all JVM-side
+    codegen'd lambdas, zero Python.  This is the building-block set the
+    similarity operators compose (dot products, norms, clipping)."""
+    emb = table(spark, sf_dir, "embeddings")
+    qv = F.transform(F.col("embedding"), lambda x: F.round(x * 1000).cast("long"))
+    zero = F.lit(0).cast("long")
+    return emb.select(
+        "vec_id",
+        F.size(qv).alias("n_dims"),
+        F.size(F.filter(qv, lambda x: x > 0)).alias("n_pos"),
+        F.aggregate(qv, zero, lambda acc, x: acc + F.abs(x)).alias("l1"),
+        F.aggregate(qv, zero, lambda acc, x: acc + x * x).alias("sum_sq"),
+        F.array_max(F.transform(qv, F.abs)).alias("max_abs"),
+        F.aggregate(
+            F.zip_with(qv, F.reverse(qv), lambda x, y: x * y),
+            zero,
+            lambda acc, x: acc + x,
+        ).alias("dot_rev"),
+    )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT 'quantity' AS measure,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(14,2))) AS DOUBLE) AS total,
+           COUNT(*) AS n FROM lineitem
+    UNION ALL
+    SELECT 'extendedprice',
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(14,2))) AS DOUBLE),
+           COUNT(*) FROM lineitem
+    UNION ALL
+    SELECT 'discount',
+           CAST(SUM(CAST(l_discount AS DECIMAL(14,2))) AS DOUBLE),
+           COUNT(*) FROM lineitem
+    UNION ALL
+    SELECT 'tax',
+           CAST(SUM(CAST(l_tax AS DECIMAL(14,2))) AS DOUBLE),
+           COUNT(*) FROM lineitem
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long): four lineitem measures stacked into
+    (measure, value) rows, then one grouped aggregate.  `stack` is a
+    generator expression — the reshape happens inside the scan projection,
+    so the plan is still one pass over the fact table (the oracle's four
+    UNION ALL scans collapse to the same totals)."""
+    l = table(spark, sf_dir, "lineitem")
+    long = l.selectExpr(
+        """stack(4,
+           'quantity',      CAST(l_quantity      AS DECIMAL(14,2)),
+           'extendedprice', CAST(l_extendedprice AS DECIMAL(14,2)),
+           'discount',      CAST(l_discount      AS DECIMAL(14,2)),
+           'tax',           CAST(l_tax           AS DECIMAL(14,2))
+        ) AS (measure, value)"""
+    )
+    return long.groupBy("measure").agg(
+        F.sum("value").cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "window_ntile_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           NTILE(4) OVER w AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+             PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving3
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_ntile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    plus a 3-row sliding frame — one shuffle on the partition key serves
+    all four functions (a single Window physical node)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    moving = w.rowsBetween(-2, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.sum(F.col("o_totalprice").cast("decimal(14,2)"))
+        .over(moving)
+        .cast("double")
+        .alias("moving3"),
+    )
+
+
+@register(
+    "rollup_time_hierarchy",
+    oracle="""
+    SELECT day, COALESCE(hr, -1) AS hr, COUNT(*) AS n,
+           CAST(SUM(v) AS DOUBLE) AS total
+    FROM (
+      SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+             CAST(EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hr,
+             CAST(value AS DECIMAL(18,4)) AS v
+      FROM events
+    ) e
+    GROUP BY GROUPING SETS ((day), (day, hr))
+    """,
+)
+def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: daily AND hourly
+    aggregates of the event stream in ONE pass via GROUPING SETS — the
+    continuous-aggregate shape used to serve dashboards at 100 TB without
+    re-scanning raw events per resolution."""
+    e = table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.hour("ts").cast("long").alias("hr"),
+        F.col("value").cast("decimal(18,4)").alias("v"),
+    )
+    e.createOrReplaceTempView("events_th")
+    return spark.sql(
+        """
+        SELECT day, COALESCE(hr, -1) AS hr, COUNT(*) AS n,
+               CAST(SUM(v) AS DOUBLE) AS total
+        FROM events_th
+        GROUP BY GROUPING SETS ((day), (day, hr))
+        """
+    )
