@@ -551,3 +551,121 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         assert got.get(("2024-01-01 13:00:00", "a")) == 1
     finally:
         q.stop()
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static join: each micro-batch enriches against a broadcast
+    dimension; the stream side never shuffles."""
+    from hotdog_spark.streaming.joins import enrich_static
+
+    src = tmp_path / "enrich_in"
+    src.mkdir()
+    (src / "b0.txt").write_text("coconut\nbanana\nmango\n")
+    dim = spark.createDataFrame(
+        [("coconut", "infra"), ("banana", "web")], ["value", "owner"]
+    )
+    raw = spark.readStream.format("text").load(str(src))
+    enriched = enrich_static(raw, dim, on="value")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_sink")
+        .option("checkpointLocation", str(tmp_path / "enrich_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.value: r.owner for r in spark.sql("SELECT * FROM enrich_sink").collect()
+        }
+        assert got == {"coconut": "infra", "banana": "web", "mango": None}
+    finally:
+        q.stop()
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream interval join: purchase within 30 min
+    after the click matches; outside the interval (before, or too late)
+    does not.  Result equals the equivalent batch join."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from hotdog_spark.streaming.joins import interval_join
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("at", StringType()),
+            StructField("kind", StringType()),
+        ]
+    )
+    clicks_dir = tmp_path / "clicks"
+    buys_dir = tmp_path / "buys"
+    clicks_dir.mkdir()
+    buys_dir.mkdir()
+    clicks = [
+        {"user_id": 1, "at": "2024-01-01 10:00:00", "kind": "click"},
+        {"user_id": 2, "at": "2024-01-01 10:05:00", "kind": "click"},
+    ]
+    buys = [
+        {"user_id": 1, "at": "2024-01-01 10:10:00", "kind": "buy"},   # match
+        {"user_id": 1, "at": "2024-01-01 11:00:00", "kind": "buy"},   # > 30 min
+        {"user_id": 2, "at": "2024-01-01 10:04:00", "kind": "buy"},   # before click
+    ]
+    (clicks_dir / "b0.json").write_text("\n".join(json.dumps(r) for r in clicks))
+    (buys_dir / "b0.json").write_text("\n".join(json.dumps(r) for r in buys))
+
+    def load_stream(d, ts_name, id_name):
+        return (
+            spark.readStream.schema(schema)
+            .json(str(d))
+            .select(
+                F.col("user_id").alias(id_name),
+                F.to_timestamp("at").alias(ts_name),
+            )
+        )
+
+    left = load_stream(clicks_dir, "click_ts", "c_user")
+    right = load_stream(buys_dir, "buy_ts", "b_user")
+    joined = interval_join(
+        left,
+        right,
+        on=F.col("c_user") == F.col("b_user"),
+        left_ts="click_ts",
+        right_ts="buy_ts",
+        lower="0 seconds",
+        upper="30 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ivj_sink")
+        .option("checkpointLocation", str(tmp_path / "ivj_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = [
+            (r.c_user, str(r.click_ts), str(r.buy_ts))
+            for r in spark.sql("SELECT * FROM ivj_sink").collect()
+        ]
+        assert got == [(1, "2024-01-01 10:00:00", "2024-01-01 10:10:00")]
+    finally:
+        q.stop()
+
+    # batch equivalence: the same join expressed over static frames
+    lb = spark.createDataFrame(clicks, schema).select(
+        F.col("user_id").alias("c_user"), F.to_timestamp("at").alias("click_ts")
+    )
+    rb = spark.createDataFrame(buys, schema).select(
+        F.col("user_id").alias("b_user"), F.to_timestamp("at").alias("buy_ts")
+    )
+    batch = lb.join(
+        rb,
+        (F.col("c_user") == F.col("b_user"))
+        & (F.col("buy_ts") >= F.col("click_ts"))
+        & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")),
+    )
+    assert [
+        (r.c_user, str(r.click_ts), str(r.buy_ts)) for r in batch.collect()
+    ] == got
