@@ -173,3 +173,20 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((day), (day, hr))
         """
     )
+
+
+# No oracle: HLL sketch results are engine-specific (DuckDB's
+# approx_count_distinct uses a different sketch), so the driver records the
+# weaker rows-only check; tests/test_ops.py pins the ≤5% relative-error
+# bound against the exact count instead.
+@register("agg_approx_distinct_users")
+def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user counts per event type.  At 100 TB this
+    replaces exact COUNT(DISTINCT): the sketch is fixed-size, map-side
+    combinable, and shuffles bytes-per-group instead of rows-per-user —
+    the standard trade for cardinality dashboards (rsd 0.5% here)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.005).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

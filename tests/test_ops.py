@@ -254,3 +254,29 @@ def test_md5_sample_is_rerun_stable_and_monotone(spark):
     small = {r.k: r.split for r in with_split(df.filter("k < 1000"), "k").collect()}
     full = {r.k: r.split for r in with_split(df, "k").collect()}
     assert all(full[k] == v for k, v in small.items())
+
+
+def test_approx_distinct_error_bound(spark):
+    """agg_approx_distinct_users: HLL estimate within 5% of the exact
+    per-group distinct count (rsd is set to 0.5%, so 5% is generous —
+    this guards against accidental column/arg swaps, not sketch math)."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.queries.functional import agg_approx_distinct_users
+    from hotdog_spark.sources.batch import table
+
+    sf = "/root/testdata/sf0.01"
+    approx = {
+        r.event_type: r.approx_users
+        for r in agg_approx_distinct_users(spark, sf).collect()
+    }
+    exact = {
+        r.event_type: r.exact
+        for r in table(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, ex in exact.items():
+        assert abs(approx[et] - ex) <= max(1, 0.05 * ex), (et, approx[et], ex)

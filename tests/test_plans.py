@@ -118,3 +118,54 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
         spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_runtime_bloom_filter_injected(spark, tmp_path):
+    """With runtime bloom filters on (the engine's recommended large-scale
+    conf), a selective dim filter injects a bloom_filter_agg semi-filter
+    into the fact side — rows are pruned before the shuffle, the key
+    scan-reduction lever when the dim filter is not broadcastable."""
+    from pyspark.sql import functions as F
+
+    spark.range(100_000).select(
+        F.col("id").alias("k"), (F.col("id") % 100).alias("v")
+    ).write.mode("overwrite").parquet(str(tmp_path / "fact"))
+    spark.range(1_000).select(
+        F.col("id").alias("k2"), (F.col("id") % 7).alias("w")
+    ).write.mode("overwrite").parquet(str(tmp_path / "dim"))
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "10GB"
+        )
+        fact = spark.read.parquet(str(tmp_path / "fact"))
+        dim = spark.read.parquet(str(tmp_path / "dim")).filter(F.col("w") == 3)
+        plan = (
+            fact.join(dim, fact.k == dim.k2)
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .toString()
+        )
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
