@@ -180,3 +180,54 @@ def clean_corpus(
         F.count(F.lit(1)).alias("dup_count"),
         F.min_by("quality", "_id").alias("keep_quality"),
     )
+
+
+def top_terms(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by frequency (term-frequency ranking,
+    ties broken alphabetically).
+
+    Shape: explode → two-level aggregation keyed by (doc, term) → ranking
+    window partitioned by doc.  Both shuffles share the doc-id prefix, so
+    at scale the window rides the aggregation's partitioning.  Returns
+    (id, tok, cnt, rnk).
+    """
+    from pyspark.sql.window import Window
+
+    from hotdog_spark.operators import fan_out
+    from hotdog_spark.operators.dedup import normalized_tokens
+
+    toks = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(normalized_tokens(F.col(text_col))).alias("tok"),
+    )
+    cnt = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("id").orderBy(F.col("cnt").desc(), F.col("tok"))
+    return cnt.select(
+        "id", "tok", "cnt", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= k)
+
+
+def doc_frequency(df: DataFrame, text_col: str, id_col: str, top: int = 20) -> DataFrame:
+    """Corpus document frequency: for the ``top`` most widespread terms,
+    how many documents contain them, next to the corpus size (the exact
+    inputs of IDF — the log is left to the caller so the output stays
+    engine-exact integers).
+
+    One explode of per-doc distinct tokens → hash aggregate on token →
+    global top-k; the corpus size joins in as a single-row broadcast.
+    Returns (tok, df, n_docs).
+    """
+    from hotdog_spark.operators import fan_out
+    from hotdog_spark.operators.dedup import normalized_tokens
+
+    per_doc = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(normalized_tokens(F.col(text_col)))).alias("tok"),
+    )
+    dfreq = per_doc.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .orderBy(F.col("df").desc(), F.col("tok"))
+        .limit(top)
+    )

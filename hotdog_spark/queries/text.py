@@ -168,3 +168,45 @@ def split_train_test_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_split(docs, "doc_id", test_frac=0.05).groupBy("split").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "text_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ), cnt AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok
+    ), r AS (
+      SELECT doc_id, tok, cnt,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, tok) AS rnk
+      FROM cnt
+    )
+    SELECT doc_id, tok, cnt, rnk FROM r WHERE rnk <= 3
+    """,
+)
+def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by frequency (the TF side of TF-IDF);
+    the ranking window rides the (doc, term) aggregation's shuffle."""
+    return ops.top_terms(
+        table(spark, sf_dir, "documents"), "text", "doc_id", k=3
+    ).withColumnRenamed("id", "doc_id")
+
+
+@register(
+    "text_doc_frequency",
+    oracle=f"""
+    WITH per AS (
+      SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+    ), dfreq AS (
+      SELECT tok, COUNT(*) AS df FROM per GROUP BY tok
+    )
+    SELECT tok, df, (SELECT COUNT(*) FROM documents) AS n_docs
+    FROM dfreq ORDER BY df DESC, tok LIMIT 20
+    """,
+)
+def text_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 terms by document frequency with the corpus size alongside
+    — the exact integer inputs of IDF, engine-identical by construction."""
+    return ops.doc_frequency(table(spark, sf_dir, "documents"), "text", "doc_id", top=20)

@@ -56,3 +56,36 @@ def read_log_file(spark: SparkSession, path: str) -> DataFrame:
     """Raw log file → one row per line (column ``value``) — the batch
     analog of the reference's test-mode file scan (src/rules.rs:16-57)."""
     return spark.read.text(path)
+
+
+# Formats with full read+write support in this engine.  parquet/orc carry
+# types natively; csv/json re-derive them (csv needs the declared schema —
+# inference would widen ints; json needs it for nullable struct stability).
+FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def write_table(df: DataFrame, path: str, fmt: str = "parquet", **options) -> None:
+    """Write a DataFrame in any supported interchange format.  CSV gets a
+    header so the file round-trips without positional guessing."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    w = df.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        w = w.option("header", "true")
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.save(path)
+
+
+def read_table(spark: SparkSession, path: str, fmt: str = "parquet", schema=None) -> DataFrame:
+    """Read any supported interchange format back.  Pass ``schema`` for
+    csv/json to restore exact types (the scan still prunes columns and,
+    for parquet/orc, pushes predicates — verify via .explain)."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {FORMATS}")
+    r = spark.read.format(fmt)
+    if schema is not None:
+        r = r.schema(schema)
+    if fmt == "csv":
+        r = r.option("header", "true")
+    return r.load(path)

@@ -280,3 +280,24 @@ def test_approx_distinct_error_bound(spark):
     assert set(approx) == set(exact)
     for et, ex in exact.items():
         assert abs(approx[et] - ex) <= max(1, 0.05 * ex), (et, approx[et], ex)
+
+
+def test_format_roundtrip_all(spark, tmp_path):
+    """Every supported interchange format round-trips the orders table
+    with identical values; csv/json restore exact types via the declared
+    schema (the engine's schema module owns declared schemas — SURVEY
+    §1.3)."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.sources.batch import FORMATS, read_table, table, write_table
+
+    src = table(spark, "/root/testdata/sf0.001", "orders").withColumn(
+        "o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+    )  # timestamps as strings: csv/json timestamp parsing is locale-fragile
+    expected = sorted(map(tuple, src.collect()))
+    for fmt in FORMATS:
+        path = str(tmp_path / f"orders_{fmt}")
+        write_table(src, path, fmt)
+        back = read_table(spark, path, fmt, schema=src.schema)
+        assert back.schema == src.schema, fmt
+        assert sorted(map(tuple, back.collect())) == expected, fmt
