@@ -48,6 +48,11 @@ HEADLINE = [
     "text_clean_corpus_pipeline",  # composed one-scan cleaning pipeline
     "q10_returned_item_revenue",   # 4-way join top-k
     "q18_large_volume_customers",  # HAVING aggregate + back-joins
+    "q9_product_profit",           # 5-way join + LIKE-filtered broadcast
+    "q21_waiting_suppliers",       # co-partitioned semi/anti self-joins
+    "text_top_terms",              # TF ranking window over explode
+    "pack_token_budget_bins",      # window cumsum packing
+    "array_higher_order_stats",    # JVM lambda array math
 ]
 
 

@@ -48,3 +48,58 @@ def with_split(
             _prefix(F.col(key_col)) < F.lit(hex_threshold(test_frac)), F.lit("test")
         ).otherwise(F.lit("train")),
     )
+
+
+def stratified_sample(
+    df: DataFrame, key_col: str, group_col: str, n_per_group: int
+) -> DataFrame:
+    """Exactly-n-per-group deterministic sample: rank rows inside each
+    group by (md5(key), key) and keep the first ``n_per_group``.
+
+    Content-deterministic like ``md5_sample`` but with an exact per-group
+    quota — the shape data-mix construction needs ("200k docs per
+    language").  One shuffle on the group key; the hash order makes the
+    pick uniform-ish while staying engine-portable.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(key_col).cast("string")), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_group)
+        .drop("_rk")
+    )
+
+
+def pack_token_budget(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    budget: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget bins (LLM sequence-packing
+    precursor): within each group, order docs deterministically by key and
+    bin them where the running token total crosses multiples of
+    ``budget``.
+
+    bin = floor((cumsum(tokens) - tokens) / budget) — i.e. a doc starts a
+    new bin when the budget is exhausted; oversized docs get bins alone.
+    One window cumsum per group — a single shuffle, no iteration.  Adds
+    ``bin`` (bigint).
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col).orderBy(key_col)
+        if group_col is not None
+        else Window.partitionBy().orderBy(key_col)
+    )
+    cum = F.sum(tokens_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        "bin", F.floor((cum - F.col(tokens_col)) / F.lit(budget)).cast("bigint")
+    )

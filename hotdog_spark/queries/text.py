@@ -210,3 +210,59 @@ def text_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 terms by document frequency with the corpus size alongside
     — the exact integer inputs of IDF, engine-identical by construction."""
     return ops.doc_frequency(table(spark, sf_dir, "documents"), "text", "doc_id", top=20)
+
+
+@register(
+    "sample_stratified_by_lang",
+    oracle="""
+    SELECT doc_id, lang FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents
+    ) t WHERE rk <= 20
+    """,
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-20-docs-per-language deterministic sample (hash-ordered
+    ranking window) — the per-group-quota counterpart of md5_sample."""
+    from hotdog_spark.operators.sampling import stratified_sample
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(docs, "doc_id", "lang", 20)
+
+
+@register(
+    "pack_token_budget_bins",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                         - n_tokens) / 2048.0) AS BIGINT) AS bin
+      FROM toks
+    )
+    SELECT lang, bin, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+    FROM packed GROUP BY lang, bin
+    """,
+)
+def pack_token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing (2048-token bins per language): window cumsum
+    → bin id → per-bin totals.  The sequence-packing precursor every LLM
+    pretraining pipeline runs; one shuffle per group column."""
+    from hotdog_spark.operators.sampling import pack_token_budget
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n_tokens"),
+    )
+    packed = pack_token_budget(docs, "doc_id", "n_tokens", 2048, group_col="lang")
+    return packed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
