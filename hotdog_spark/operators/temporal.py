@@ -117,3 +117,62 @@ def range_join_buckets(
         F.col(point_ts).between(F.col(start_ts), F.col(end_ts))
     )
     return joined.drop("_bucket")
+
+
+def timeseries_topk_similar(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    value_col: str,
+    probe_key,
+    k: int = 10,
+    min_common: int = 3,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Distributed time-series similarity search (the REPOSE/EDBT-2019
+    problem shape): which keys' activity series most resemble the probe
+    key's?
+
+    Pipeline: bucket timestamps → exact per-(key, bucket) totals
+    (decimal-summed, then integer-quantized ×10000 so distances are
+    engine-exact) → broadcast the probe's series → co-indexed squared-L2
+    over shared buckets → top-k by distance.
+
+    Scale shape: the per-bucket aggregation is the only full shuffle; the
+    probe series is a few-hundred-row broadcast, so scoring is map-side;
+    top-k is TakeOrderedAndProject.  Returns (key, d2, common_buckets,
+    rank).
+    """
+    from pyspark.sql.window import Window
+
+    hourly = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.date_trunc(bucket, F.col(ts_col)).alias("hr"),
+            F.col(value_col).cast("decimal(18,4)").alias("v_raw"),
+        )
+        .groupBy("key", "hr")
+        .agg(
+            F.round(F.sum("v_raw") * 10000).cast("bigint").alias("v")
+        )
+    )
+    probe = hourly.filter(F.col("key") == probe_key).select(
+        F.col("hr").alias("p_hr"), F.col("v").alias("pv")
+    )
+    diff = F.col("v") - F.col("pv")
+    scored = (
+        hourly.filter(F.col("key") != probe_key)
+        .join(F.broadcast(probe), F.col("hr") == F.col("p_hr"))
+        .groupBy("key")
+        .agg(
+            F.sum(diff * diff).alias("d2"),
+            F.count(F.lit(1)).alias("common_buckets"),
+        )
+        .filter(F.col("common_buckets") >= min_common)
+    )
+    # top-k first (TakeOrderedAndProject: per-partition heaps, no global
+    # sort), THEN rank the k survivors — the ranking window only ever sees
+    # k rows, so the single-partition window is harmless at any scale.
+    topk = scored.orderBy(F.col("d2"), F.col("key")).limit(k)
+    w = Window.orderBy(F.col("d2"), F.col("key"))
+    return topk.withColumn("rank", F.row_number().over(w))

@@ -100,3 +100,37 @@ def range_join_error_window_clicks(spark: SparkSession, sf_dir: str) -> DataFram
         bucket_seconds=300,
     )
     return joined.groupBy("error_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
+@register(
+    "timeseries_similar_users",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id AS key, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             CAST(round(SUM(CAST(value AS DECIMAL(18,4))) * 10000) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ), probe AS (
+      SELECT hr, v AS pv FROM hourly WHERE key = 1
+    ), scored AS (
+      SELECT h.key, CAST(SUM((h.v - p.pv) * (h.v - p.pv)) AS BIGINT) AS d2,
+             COUNT(*) AS common_buckets
+      FROM hourly h JOIN probe p USING (hr)
+      WHERE h.key != 1
+      GROUP BY h.key
+      HAVING COUNT(*) >= 3
+    )
+    SELECT key, d2, common_buckets, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY d2, key) AS rank FROM scored
+    ) t WHERE rank <= 10
+    """,
+)
+def timeseries_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search: the 10 users whose hourly activity
+    series sit closest (squared-L2 over shared buckets, integer-exact) to
+    user 1's — probe broadcast, one aggregation shuffle, top-k."""
+    from hotdog_spark.operators.temporal import timeseries_topk_similar
+
+    ev = table(spark, sf_dir, "events")
+    return timeseries_topk_similar(
+        ev, "ts", "user_id", "value", probe_key=1, k=10, min_common=3
+    )
