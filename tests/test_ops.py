@@ -301,3 +301,49 @@ def test_format_roundtrip_all(spark, tmp_path):
         back = read_table(spark, path, fmt, schema=src.schema)
         assert back.schema == src.schema, fmt
         assert sorted(map(tuple, back.collect())) == expected, fmt
+
+
+def test_sql_entry_point(spark):
+    """hotdog_spark.sql: ad-hoc ANSI SQL over the registered lake tables
+    goes through the same Catalyst planning as the DataFrame API."""
+    from hotdog_spark.sql import sql
+
+    df = sql(
+        spark,
+        "/root/testdata/sf0.001",
+        """
+        SELECT r_name, COUNT(*) AS n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+        """,
+    )
+    rows = {r.r_name: r.n for r in df.collect()}
+    assert sum(rows.values()) == 25 and len(rows) == 5
+
+
+def test_compact_parquet(spark, tmp_path):
+    """Compaction rewrites a fragmented dataset into ~target-sized files,
+    preserving every row; sort_cols clusters within files only."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.maintenance import compact_parquet, file_stats
+
+    src, dst = str(tmp_path / "frag"), str(tmp_path / "compact")
+    # 40 small files of 250 rows each
+    spark.range(10_000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    ).repartition(40).write.parquet(src)
+    assert file_stats(spark, src).count() == 40
+
+    n_files = compact_parquet(spark, src, dst, target_rows_per_file=5_000, sort_cols=["k"])
+    assert n_files == 2
+    stats = file_stats(spark, dst)
+    assert stats.count() == 2
+    assert stats.agg(F.sum("rows")).first()[0] == 10_000
+    # same content
+    assert (
+        spark.read.parquet(dst).select("id").exceptAll(
+            spark.read.parquet(src).select("id")
+        ).count()
+        == 0
+    )
