@@ -547,3 +547,96 @@ def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec(F.col("c_acctbal"))).cast("double").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — late-shipment priority classification (l_shipmode absent:
+# l_returnflag is the classification dimension, o_orderdate+90d the
+# lateness proxy for the missing l_commitdate/l_receiptdate)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q12_late_shipment_priority",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY l_returnflag
+    """,
+)
+def q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join-side lateness predicate (non-equi on the two
+    fact dates) feeding a conditional two-way classification aggregate."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 — best supplier per part in a region (partsupp absent: distinct
+# lineitem (part, supplier) pairs are the relation; "min cost" becomes
+# "max account balance")
+# ---------------------------------------------------------------------------
+
+@register(
+    "q2_best_regional_supplier",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey AS partkey, l_suppkey AS suppkey FROM lineitem
+    ), cand AS (
+      SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+      FROM part p
+      JOIN ps ON ps.partkey = p.p_partkey
+      JOIN supplier s ON s.s_suppkey = ps.suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE p.p_size = 15 AND r.r_name = 'ASIA'
+    )
+    SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY p_partkey
+                                   ORDER BY s_acctbal DESC, s_suppkey) AS rn
+      FROM cand
+    ) t WHERE rn = 1
+    """,
+)
+def q2_best_regional_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated "best row per group" decorrelated into
+    an arg-max ranking window over the filtered join; the distinct
+    (part, supplier) projection collapses lineitem once before any joins."""
+    from pyspark.sql.window import Window
+
+    ps = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey"))
+        .distinct()
+    )
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cand = (
+        ps.join(broadcast(p), ps.partkey == p.p_partkey)
+        .join(s, ps.suppkey == s.s_suppkey)
+        .join(broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return (
+        cand.select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
