@@ -44,6 +44,7 @@ def all_oracles() -> dict[str, str]:
 def _load_modules() -> None:
     # Import for registration side effects.
     from hotdog_spark.queries import (  # noqa: F401
+        analytics,
         dedup,
         functional,
         hotdog,
