@@ -169,3 +169,31 @@ def test_runtime_bloom_filter_injected(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Writing partitionBy(event_type) then filtering on it must prune at
+    planning time: the scan's PartitionFilters carries the predicate and
+    only the matching directory is read — the layout the streaming parquet
+    sink produces (partitionBy topic) and the reason topic filters are
+    ~free at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.sources.batch import table
+
+    out = str(tmp_path / "by_type")
+    table(spark, "/root/testdata/sf0.001", "events").write.partitionBy(
+        "event_type"
+    ).parquet(out)
+
+    df = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    # the predicate must appear in PartitionFilters, not as a data Filter
+    pf = [seg for seg in plan.split("PartitionFilters: [")[1:]]
+    assert pf and "event_type" in pf[0].split("]")[0]
+    n_click = df.count()
+    assert n_click > 0
+    # pruned scan reads exactly the one partition's rows
+    total = spark.read.parquet(out).count()
+    assert n_click < total

@@ -669,3 +669,39 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert [
         (r.c_user, str(r.click_ts), str(r.buy_ts)) for r in batch.collect()
     ] == got
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Built-in streaming dedup with event-time-bounded state
+    (dropDuplicatesWithinWatermark) — the zero-custom-code alternative to
+    stateful.streaming_dedup when a watermark bound is acceptable."""
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "ddw_in"
+    src.mkdir()
+    (src / "b0.txt").write_text(
+        "2024-01-01 10:00:00,k1\n2024-01-01 10:01:00,k1\n2024-01-01 10:02:00,k2\n"
+    )
+    raw = spark.readStream.format("text").load(str(src))
+    parsed = raw.select(
+        F.to_timestamp(F.split("value", ",")[0]).alias("ts"),
+        F.split("value", ",")[1].alias("k"),
+    )
+    deduped = parsed.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(["k"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("ddw_sink")
+        .option("checkpointLocation", str(tmp_path / "ddw_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(r.k for r in spark.sql("SELECT k FROM ddw_sink").collect())
+        assert got == ["k1", "k2"]
+        # duplicate arriving in a later batch, still inside the watermark
+        (src / "b1.txt").write_text("2024-01-01 10:05:00,k1\n")
+        q.processAllAvailable()
+        got = sorted(r.k for r in spark.sql("SELECT k FROM ddw_sink").collect())
+        assert got == ["k1", "k2"]
+    finally:
+        q.stop()
