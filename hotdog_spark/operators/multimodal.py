@@ -178,3 +178,51 @@ def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
         [StructField("media_id", LongType()), StructField("frame_no", IntegerType())]
     )
     return df.mapInPandas(kernel, schema)
+
+
+AUDIO_CHUNK_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("content", BinaryType()),
+    ]
+)
+
+
+def audio_chunk_stub(df: DataFrame, chunk_bytes: int = 256) -> DataFrame:
+    """Fixed-size audio chunking: one input blob → N chunk rows (the
+    1→N generator shape the other multimodal kernels don't cover — frame
+    extraction, utterance segmentation and sliding-window ASR all look
+    like this).
+
+    A real deployment decodes PCM/containers first (decode_image's
+    NotImplementedError twin applies); the byte-window chunker below is
+    the deterministic stand-in, while the Spark contract — Arrow-batched
+    expansion, bounded memory per batch, chunk ordinals — is real.
+    """
+    from hotdog_spark.dist import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sizes, blobs = [], [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = blob or b""
+                for i in range(0, max(len(blob), 1), chunk_bytes):
+                    chunk = blob[i : i + chunk_bytes]
+                    ids.append(mid)
+                    idxs.append(i // chunk_bytes)
+                    sizes.append(len(chunk))
+                    blobs.append(chunk)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "chunk_idx": idxs,
+                    "n_bytes": sizes,
+                    "content": blobs,
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(kernel, AUDIO_CHUNK_SCHEMA)

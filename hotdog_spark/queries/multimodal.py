@@ -76,3 +76,29 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     media = ops.media_from_text(docs, "text", "doc_id")
     return ops.frame_sample_stub(media, every_n=10)
+
+
+@register(
+    "multimodal_audio_chunks",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(text)) AS blen FROM documents
+    )
+    SELECT doc_id AS media_id, g.i AS chunk_idx,
+           CASE WHEN (g.i + 1) * 256 <= blen THEN 256
+                ELSE blen - g.i * 256 END AS n_bytes
+    FROM b, LATERAL (
+      SELECT unnest(generate_series(0, CAST(ceil(blen / 256.0) AS INT) - 1)) AS i
+    ) g
+    """,
+)
+def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking plumbing: blob → fixed-256-byte chunk rows via the
+    Arrow-batched 1→N kernel; the oracle reproduces the chunk geometry
+    (ordinals + sizes) from byte lengths."""
+    from hotdog_spark.operators.multimodal import audio_chunk_stub, media_from_text
+
+    media = media_from_text(table(spark, sf_dir, "documents"), "text", "doc_id")
+    return audio_chunk_stub(media, chunk_bytes=256).select(
+        "media_id", "chunk_idx", F.col("n_bytes").cast("int").alias("n_bytes")
+    )
