@@ -190,3 +190,36 @@ def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.005).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "window_value_functions",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LEAD(o_orderkey, 1, -1) OVER w AS next_order,
+           FIRST_VALUE(o_orderkey) OVER wf AS first_order,
+           LAST_VALUE(o_orderkey) OVER wf AS last_order,
+           NTH_VALUE(o_orderkey, 2) OVER wf AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window value functions (lead / first / last / nth).  last_value and
+    nth_value get the explicit full-partition frame — the default
+    running frame makes last_value ≡ current row, the classic silent
+    wrong-answer both engines agree on only when the frame is spelled
+    out."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lead("o_orderkey", 1, -1).over(w).alias("next_order"),
+        F.first("o_orderkey").over(wf).alias("first_order"),
+        F.last("o_orderkey").over(wf).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(wf).alias("second_order"),
+    )
