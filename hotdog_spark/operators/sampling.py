@@ -85,10 +85,16 @@ def pack_token_budget(
     bin them where the running token total crosses multiples of
     ``budget``.
 
-    bin = floor((cumsum(tokens) - tokens) / budget) — i.e. a doc starts a
-    new bin when the budget is exhausted; oversized docs get bins alone.
-    One window cumsum per group — a single shuffle, no iteration.  Adds
-    ``bin`` (bigint).
+    bin = floor(start_offset / budget) where start_offset is the running
+    token total before the doc — offset-division binning: each bin covers
+    one ``budget``-sized span of the concatenated token stream.  Docs are
+    assigned by where they *start*, so a doc may straddle its bin's end:
+    a bin's total is ≤ budget + its largest doc (exactly the slack a
+    packer that never splits documents must accept), and bin ids can skip
+    past spans an oversized doc covers.  This formulation is a pure
+    window cumsum — one shuffle, no sequential state, and (unlike greedy
+    reset-on-overflow packing, which is inherently order-sequential) it
+    computes identically in any engine.  Adds ``bin`` (bigint).
     """
     from pyspark.sql.window import Window
 

@@ -347,3 +347,45 @@ def test_compact_parquet(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_pack_token_budget_invariants(spark):
+    """Offset-division packing invariants: bin ids follow key order
+    (non-decreasing), every bin's total fits budget + its largest doc
+    (straddle slack), and the assignment is partitioning-independent
+    (content-determinism)."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.sampling import pack_token_budget
+
+    rows = [
+        # (key, group, tokens) — includes an oversized doc (250 > budget)
+        (i, "g1", t)
+        for i, t in enumerate([30, 70, 10, 250, 40, 90, 60, 5, 100, 15])
+    ] + [(100 + i, "g2", t) for i, t in enumerate([100, 100, 1, 99])]
+    df = spark.createDataFrame(rows, ["doc", "grp", "toks"])
+    budget = 100
+
+    packed = pack_token_budget(df, "doc", "toks", budget, group_col="grp")
+    bins = (
+        packed.groupBy("grp", "bin")
+        .agg(F.sum("toks").alias("total"), F.max("toks").alias("mx"))
+        .collect()
+    )
+    for r in bins:
+        assert r.total <= budget + r.mx, r  # straddle slack only
+    # bin ids non-decreasing in key order, starting at 0 per group
+    for grp in ("g1", "g2"):
+        seq = [
+            r.bin
+            for r in sorted(packed.collect(), key=lambda r: r.doc)
+            if r.grp == grp
+        ]
+        assert seq[0] == 0
+        assert all(a <= b for a, b in zip(seq, seq[1:])), (grp, seq)
+
+    # content-determinism: same assignment under different partitioning
+    repacked = pack_token_budget(df.repartition(7), "doc", "toks", budget, "grp")
+    a = {(r.doc): r.bin for r in packed.collect()}
+    b = {(r.doc): r.bin for r in repacked.collect()}
+    assert a == b
