@@ -640,3 +640,49 @@ def q2_best_regional_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — suppliers with significant stock of a part family, by nation
+# (partsupp/availqty absent: shipped quantity from lineitem is the stock
+# proxy; the two-level nested-IN chain is the shape under test)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q20_heavy_shippers_of_green_parts",
+    oracle="""
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      WHERE l.l_partkey IN (
+        SELECT p_partkey FROM part WHERE p_name LIKE '%green%'
+      )
+      GROUP BY l.l_suppkey
+      HAVING SUM(CAST(l.l_quantity AS DECIMAL(12,2))) > 400
+    )
+    """,
+)
+def q20_heavy_shippers_of_green_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: two-level nested IN — an inner IN (green parts)
+    pruning the fact aggregate whose HAVING feeds the outer IN (heavy
+    suppliers), ending in a dim join.  Both INs decorrelate to left-semi
+    joins; the part-side semi is a broadcast, the supplier-side list is a
+    tiny aggregate output."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%green%"))
+    l = table(spark, sf_dir, "lineitem")
+    heavy = (
+        l.join(broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec(F.col("l_quantity"))).alias("qty"))
+        .filter(F.col("qty") > 400)
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+    )
