@@ -223,3 +223,22 @@ def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(wf).alias("last_order"),
         F.nth_value("o_orderkey", 2).over(wf).alias("second_order"),
     )
+
+
+@register(
+    "posexplode_embedding_dims",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, {_QV} AS qv FROM embeddings WHERE vec_id < 50)
+    SELECT vec_id, g.i - 1 AS pos, qv[g.i] AS val
+    FROM q, LATERAL (
+      SELECT unnest(generate_series(1, len(qv))) AS i
+    ) g
+    """,
+)
+def posexplode_embedding_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator with ordinal (posexplode): embedding vectors flattened to
+    (vec_id, dimension position, quantized value) rows — the long-format
+    gateway to per-dimension statistics and sparse representations."""
+    emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
+    qv = F.transform(F.col("embedding"), lambda x: F.round(x * 1000).cast("long"))
+    return emb.select("vec_id", F.posexplode(qv).alias("pos", "val"))

@@ -686,3 +686,45 @@ def q20_heavy_shippers_of_green_parts(spark: SparkSession, sf_dir: str) -> DataF
         .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", "n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q11 — nations holding a significant share of total shipped value
+# (partsupp absent: lineitem value by supplier nation is the holding)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q11_significant_nation_value",
+    oracle="""
+    WITH nv AS (
+      SELECT n.n_name,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(14,2))) AS value_
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT n_name, CAST(value_ AS DOUBLE) AS total_value
+    FROM nv
+    WHERE value_ > (SELECT SUM(value_) * 0.05 FROM nv)
+    """,
+)
+def q11_significant_nation_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: grouped totals filtered by a fraction-of-global
+    scalar (HAVING > SUM(...)*x).  The grouped aggregate is computed once
+    and reused for the one-row global sum (exchange reuse); the threshold
+    comparison stays in exact decimals."""
+    l = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    nv = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_dec(F.col("l_extendedprice"), 14)).alias("value_"))
+    )
+    total = nv.agg((F.sum("value_") * F.lit(0.05)).alias("threshold"))
+    return (
+        nv.join(broadcast(total), nv.value_ > total.threshold)
+        .select("n_name", F.col("value_").cast("double").alias("total_value"))
+    )
