@@ -912,3 +912,32 @@ def agg_collect_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy("r_name")
         .agg(F.array_join(F.sort_array(F.collect_set("n_name")), ",").alias("nations"))
     )
+
+
+@register(
+    "join_salted_hot_key",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY o_orderpriority
+    """,
+)
+def join_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join registered against the PLAIN join's oracle — the
+    semantic-equivalence proof that salting (deterministic salt on the
+    large side, small side replicated saltx) changes only the shuffle
+    layout, never the result.  The manual lever for hot keys that defeat
+    even AQE skew splitting."""
+    from hotdog_spark.operators.skew import salted_join
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    joined = salted_join(
+        o, c.withColumnRenamed("c_custkey", "o_custkey"), on=["o_custkey"], salt=8
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec(F.col("o_totalprice"), 14)).cast("double").alias("total"),
+    )
