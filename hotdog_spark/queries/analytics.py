@@ -67,3 +67,67 @@ def retention_weekly_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix: first-seen week × activity-week
     offset × distinct active users — two aggregates over (user, week)."""
     return ops.weekly_retention(table(spark, sf_dir, "events"), "user_id", "ts")
+
+
+@register(
+    "anomaly_hourly_event_rates",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                      '%Y-%m-%d %H:%M:%S') AS hr,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type,
+             SUM(n) AS total, SUM(n * n) AS sumsq, COUNT(*) AS cnt
+      FROM hourly GROUP BY event_type
+    )
+    SELECT h.event_type, h.hr, h.n,
+           (CAST(h.n AS DOUBLE) - CAST(s.total AS DOUBLE) / s.cnt)
+             / sqrt(CAST(s.sumsq AS DOUBLE) / s.cnt
+                    - (CAST(s.total AS DOUBLE) / s.cnt)
+                      * (CAST(s.total AS DOUBLE) / s.cnt)) AS zscore
+    FROM hourly h JOIN stats s USING (event_type)
+    WHERE CAST(s.sumsq AS DOUBLE) / s.cnt
+          - (CAST(s.total AS DOUBLE) / s.cnt) * (CAST(s.total AS DOUBLE) / s.cnt) > 0
+      AND abs(CAST(h.n AS DOUBLE) - CAST(s.total AS DOUBLE) / s.cnt)
+          > 2 * sqrt(CAST(s.sumsq AS DOUBLE) / s.cnt
+                     - (CAST(s.total AS DOUBLE) / s.cnt)
+                       * (CAST(s.total AS DOUBLE) / s.cnt))
+    """,
+)
+def anomaly_hourly_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate anomaly detection: hours whose event count sits >2σ from the
+    type's mean.  Moments come from exact integer sums (total, sum of
+    squares, hour count), so mean/σ/z reproduce bit-identically in IEEE
+    doubles on any engine — the alerting query a topic-routing pipeline
+    runs over its own flow metrics.  Two aggregates + a broadcast-sized
+    stats join; no window over raw events."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    e = table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hr"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = hourly.groupBy(F.col("event_type").alias("s_type")).agg(
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * F.col("n")).alias("sumsq"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    mean = F.col("total").cast("double") / F.col("cnt")
+    var = F.col("sumsq").cast("double") / F.col("cnt") - mean * mean
+    std = F.sqrt(var)
+    z = (F.col("n").cast("double") - mean) / std
+    return (
+        hourly.join(broadcast(stats), hourly.event_type == F.col("s_type"))
+        .filter((var > 0) & (F.abs(F.col("n").cast("double") - mean) > 2 * std))
+        .select("event_type", "hr", "n", z.alias("zscore"))
+    )
