@@ -256,3 +256,23 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("component"))
+
+
+def apply_exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The *applied* form of exact dedup: return the surviving corpus
+    (one doc per content hash — the min-id representative), not just the
+    group table.
+
+    min_by inside the same aggregate carries the kept row's payload, so
+    the whole apply is STILL one hash aggregate — no join-back against
+    the corpus, which at 100 TB would be a second full shuffle.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.min_by(text_col, id_col).alias("text_kept"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .select("keep_id", "text_kept", "group_size")
+    )

@@ -226,3 +226,20 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), "text", "doc_id", bands=8, k=3
     )
     return ops.connected_components(pairs)
+
+
+@register(
+    "dedup_exact_applied",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_id,
+           arg_min(text, doc_id) AS text_kept,
+           COUNT(*) AS group_size
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Applied exact dedup: the surviving corpus itself (kept doc id +
+    payload + collapsed count) in ONE aggregate — min_by carries the
+    kept payload so there is no join-back shuffle."""
+    return ops.apply_exact_dedup(table(spark, sf_dir, "documents"), "text", "doc_id")
