@@ -131,3 +131,52 @@ def anomaly_hourly_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((var > 0) & (F.abs(F.col("n").cast("double") - mean) > 2 * std))
         .select("event_type", "hr", "n", z.alias("zscore"))
     )
+
+
+@register(
+    "activity_streak_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+      FROM events
+    ), numbered AS (
+      SELECT user_id, d,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS rn
+      FROM days
+    )
+    SELECT user_id,
+           strftime(MIN(d), '%Y-%m-%d') AS streak_start,
+           strftime(MAX(d), '%Y-%m-%d') AS streak_end,
+           COUNT(*) AS n_days
+    FROM numbered
+    GROUP BY user_id, d - TO_DAYS(CAST(rn AS INT))
+    HAVING COUNT(*) >= 7
+    """,
+)
+def activity_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: maximal runs of consecutive active days per user
+    (date minus row-number is constant within a run), keeping 7-day+
+    streaks.  One distinct + one window + one aggregate, all partitioned
+    by user — the sequence shape behind retention streaks and SLA-gap
+    audits."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    numbered = days.withColumn("rn", F.row_number().over(w))
+    island = F.date_sub(F.col("d"), F.col("rn"))
+    return (
+        numbered.groupBy("user_id", island.alias("_island"))
+        .agg(
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("streak_start"),
+            F.date_format(F.max("d"), "yyyy-MM-dd").alias("streak_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .filter(F.col("n_days") >= 7)
+        .drop("_island")
+    )
