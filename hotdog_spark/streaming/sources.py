@@ -87,3 +87,26 @@ def rate_syslog_lines(spark: SparkSession, rows_per_second: int = 1000) -> DataF
             ),
         ).alias("value")
     )
+
+
+def parquet_replay(
+    spark: SparkSession,
+    path: str,
+    schema,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Replay an existing parquet dataset as a stream — the backfill
+    path: reprocess historical data through the SAME streaming pipeline
+    (cascade, stateful ops, sinks) instead of maintaining a separate
+    batch variant.
+
+    ``maxFilesPerTrigger`` is the replay throttle: micro-batches advance
+    file-by-file, so stateful operators observe realistic increments and
+    a backfill can't overwhelm the sink.  The file source requires an
+    explicit schema (streaming scans don't infer).
+    """
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
