@@ -242,3 +242,46 @@ def posexplode_embedding_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
     qv = F.transform(F.col("embedding"), lambda x: F.round(x * 1000).cast("long"))
     return emb.select("vec_id", F.posexplode(qv).alias("pos", "val"))
+
+
+@register(
+    "union_by_name_evolution",
+    oracle="""
+    SELECT src, id, COALESCE(price, -1.0) AS price, COALESCE(qty, -1.0) AS qty
+    FROM (
+      SELECT 'orders' AS src, o_orderkey AS id, o_totalprice AS price
+      FROM orders WHERE o_orderkey % 100 = 0
+      UNION ALL BY NAME
+      SELECT 'lineitem' AS src, l_orderkey AS id, l_quantity AS qty
+      FROM lineitem WHERE l_orderkey % 100 = 0
+    ) t
+    """,
+)
+def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: two sources with partially overlapping
+    columns combined by NAME (missing columns null-filled) — how a lake
+    engine unions across schema versions without positional breakage."""
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            F.lit("orders").alias("src"),
+            F.col("o_orderkey").alias("id"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    l = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 100 == 0)
+        .select(
+            F.lit("lineitem").alias("src"),
+            F.col("l_orderkey").alias("id"),
+            F.col("l_quantity").alias("qty"),
+        )
+    )
+    return o.unionByName(l, allowMissingColumns=True).select(
+        "src",
+        "id",
+        F.coalesce("price", F.lit(-1.0)).alias("price"),
+        F.coalesce("qty", F.lit(-1.0)).alias("qty"),
+    )
