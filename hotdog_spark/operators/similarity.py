@@ -274,3 +274,90 @@ def lsh_cosine_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 3,
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """Distributed Lloyd's k-means over quantized embeddings — the
+    centroid trainer whose output plugs straight into ivf_topk (which
+    documents exactly this hand-off).
+
+    Deterministic by construction: init = the k lowest-id vectors (no
+    RNG), all distances are squared-L2 over integer-quantized components,
+    assignment ties break on centroid index, and updated centroids are
+    re-quantized to integers (floor of the exact decimal mean) each
+    round.  Rerun- and partitioning-stable, therefore testable.
+
+    Each iteration: assignment is a pure map-side projection against
+    centroid literals (NO shuffle of the corpus — the same property that
+    makes IVF the 100 TB path), then one groupBy(cluster) average whose
+    output (k tiny rows) is collected as the next round's literals.  The
+    corpus is scanned ``iters + 1`` times; nothing is ever shuffled by
+    vector.
+
+    Returns (assignments DataFrame (vid, cluster, d2), final centroids
+    as [(cluster_id, quantized_vector), ...]).
+    """
+    base = with_quantized(df, vec_col, id_col)
+    cents = [
+        (i, list(r["q"]))
+        for i, r in enumerate(
+            base.orderBy("vid").limit(k).collect()
+        )
+    ]
+
+    def assign(cent_list):
+        # argmin over k centroid literals: array_sort of (d2, cid) structs
+        cells = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        _norm2(
+                            F.zip_with(
+                                F.col("q"), _lit_vec(qc), lambda x, y: x - y
+                            )
+                        ).alias("d2"),
+                        F.lit(int(cid)).alias("cid"),
+                    )
+                    for cid, qc in cent_list
+                ]
+            )
+        )
+        best = F.element_at(cells, 1)
+        return base.select(
+            "vid",
+            "q",
+            best.getField("cid").alias("cluster"),
+            best.getField("d2").alias("d2"),
+        )
+
+    for _ in range(iters):
+        assigned = assign(cents)
+        # new centroid = floor(exact decimal mean) per component, so the
+        # next round's literals are integers again (cross-engine exact)
+        dim = len(cents[0][1])
+        new_rows = (
+            assigned.groupBy("cluster")
+            .agg(
+                *[
+                    F.floor(
+                        F.sum(F.element_at("q", i + 1).cast("decimal(28,0)"))
+                        / F.count(F.lit(1))
+                    )
+                    .cast("bigint")
+                    .alias(f"c{i}")
+                    for i in range(dim)
+                ]
+            )
+            .collect()
+        )
+        by_cluster = {r["cluster"]: [r[f"c{i}"] for i in range(dim)] for r in new_rows}
+        # empty clusters keep their previous centroid
+        cents = [(cid, by_cluster.get(cid, qc)) for cid, qc in cents]
+
+    return assign(cents), cents

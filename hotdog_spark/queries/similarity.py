@@ -145,3 +145,21 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.lsh_cosine_topk(
         emb, "embedding", "vec_id", probe_filter=F.col("vid") < 10, k=3, bits=4
     ).select("query_id", "neighbor_id", "bucket", "score", "rank")
+
+
+# No oracle: 3 unrolled Lloyd iterations are not reasonably expressible in
+# one SQL statement — the driver records the rows-only check;
+# tests/test_ops.py pins determinism, cluster count, and inertia descent.
+@register("kmeans_embedding_clusters")
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-means (k=8, 3 Lloyd iterations, deterministic lowest-id init)
+    over quantized embeddings → per-cluster sizes and inertia.  The
+    trained centroids are the input ivf_topk documents expecting; corpus
+    is never shuffled — assignment is a map-side projection against
+    centroid literals."""
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, _cents = ops.kmeans_quantized(emb, "embedding", "vec_id", k=8, iters=3)
+    return assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum("d2").alias("inertia"),
+    )

@@ -389,3 +389,33 @@ def test_pack_token_budget_invariants(spark):
     a = {(r.doc): r.bin for r in packed.collect()}
     b = {(r.doc): r.bin for r in repacked.collect()}
     assert a == b
+
+
+def test_kmeans_deterministic_and_converging(spark):
+    """k-means invariants: assignments are partitioning-independent,
+    every vector lands in one of k clusters, and total inertia never
+    increases across Lloyd iterations."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.similarity import kmeans_quantized
+    from hotdog_spark.sources.batch import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    a1, cents1 = kmeans_quantized(emb, "embedding", "vec_id", k=4, iters=2)
+    a2, cents2 = kmeans_quantized(
+        emb.repartition(7), "embedding", "vec_id", k=4, iters=2
+    )
+    m1 = {r.vid: r.cluster for r in a1.collect()}
+    m2 = {r.vid: r.cluster for r in a2.collect()}
+    assert m1 == m2  # content-deterministic
+    assert cents1 == cents2
+    assert set(m1.values()) <= set(range(4))
+    assert len(m1) == emb.count()
+
+    # inertia is non-increasing with more iterations
+    def inertia(iters):
+        a, _ = kmeans_quantized(emb, "embedding", "vec_id", k=4, iters=iters)
+        return a.agg(F.sum("d2")).first()[0]
+
+    i1, i3 = inertia(1), inertia(3)
+    assert i3 <= i1
