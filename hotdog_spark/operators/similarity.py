@@ -110,10 +110,11 @@ def ivf_topk(
     df: DataFrame,
     vec_col: str,
     id_col: str,
-    centroid_filter: Column,
-    probe_filter: Column,
+    centroid_filter: Column | None = None,
+    probe_filter: Column | None = None,
     k: int = 3,
     nprobe: int = 2,
+    centroids: list[tuple[int, list[int]]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: assign every vector to its nearest centroid
     cell, then search only the probe's ``nprobe`` nearest cells.
@@ -136,10 +137,17 @@ def ivf_topk(
     cell, score, rank).
     """
     base = with_quantized(df, vec_col, id_col)
-    cents = [
-        (r["vid"], r["q"], r["n2"])
-        for r in base.filter(centroid_filter).collect()
-    ]
+    if centroids is not None:
+        # externally trained model (e.g. kmeans_quantized output):
+        # (cell_id, quantized_vector) pairs become the cell literals
+        cents = [
+            (cid, qc, sum(int(x) * int(x) for x in qc)) for cid, qc in centroids
+        ]
+    else:
+        cents = [
+            (r["vid"], r["q"], r["n2"])
+            for r in base.filter(centroid_filter).collect()
+        ]
 
     def dist2_to(cid: int, qc: list[int], n2c: int) -> Column:
         # |v - c|^2 = n2(v) + n2(c) - 2·v·c, all bigint-exact.

@@ -419,3 +419,32 @@ def test_kmeans_deterministic_and_converging(spark):
 
     i1, i3 = inertia(1), inertia(3)
     assert i3 <= i1
+
+
+def test_kmeans_centroids_feed_ivf(spark):
+    """The trained-model hand-off: kmeans_quantized centroids plug into
+    ivf_topk as the cell structure; every probe gets ranked neighbors and
+    neighbors come from the probe's nprobe cells only."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.similarity import ivf_topk, kmeans_quantized
+    from hotdog_spark.sources.batch import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    _assigned, cents = kmeans_quantized(emb, "embedding", "vec_id", k=4, iters=2)
+    res = ivf_topk(
+        emb,
+        "embedding",
+        "vec_id",
+        probe_filter=(F.col("vid") >= 10) & (F.col("vid") < 15),
+        k=3,
+        nprobe=2,
+        centroids=cents,
+    ).collect()
+    by_probe = {}
+    for r in res:
+        by_probe.setdefault(r.query_id, []).append(r)
+    assert set(by_probe) == {10, 11, 12, 13, 14}
+    for rows in by_probe.values():
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3]
+        assert len({r.cell for r in rows}) <= 2  # within nprobe cells
