@@ -285,3 +285,55 @@ def union_by_name_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("price", F.lit(-1.0)).alias("price"),
         F.coalesce("qty", F.lit(-1.0)).alias("qty"),
     )
+
+
+@register(
+    "map_functions_nation_counts",
+    oracle="""
+    WITH per AS (
+      SELECT r.r_name, n.n_name, COUNT(*) AS cnt
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name, n.n_name
+    ), maps AS (
+      SELECT r_name,
+             map_from_entries(list({'k': n_name, 'v': cnt})) AS m
+      FROM per GROUP BY r_name
+    )
+    SELECT r_name,
+           cardinality(m) AS n_nations,
+           COALESCE(m['NATION_5'][1], -1) AS nation5_customers,
+           COALESCE(m['NATION_13'][1], -1) AS nation13_customers
+    FROM maps
+    """,
+)
+def map_functions_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed aggregation: per-region nation→customer-count maps built
+    with map_from_entries, then key lookups (element_at, null on absent
+    key — matching DuckDB's m[k][1]).  Maps never leave the engine as
+    map-typed output — the compare surface is scalar extractions."""
+    from pyspark.sql.functions import broadcast
+
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    per = (
+        c.join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    maps = per.groupBy("r_name").agg(
+        F.map_from_entries(F.collect_list(F.struct("n_name", "cnt"))).alias("m")
+    )
+    return maps.select(
+        "r_name",
+        F.size("m").alias("n_nations"),
+        F.coalesce(F.element_at("m", "NATION_5"), F.lit(-1)).alias(
+            "nation5_customers"
+        ),
+        F.coalesce(F.element_at("m", "NATION_13"), F.lit(-1)).alias(
+            "nation13_customers"
+        ),
+    )
