@@ -197,3 +197,24 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # pruned scan reads exactly the one partition's rows
     total = spark.read.parquet(out).count()
     assert n_click < total
+
+
+def test_q19_disjunction_pushes_both_sides(spark):
+    """q19's OR-of-conjunction predicate spans the join, but Catalyst
+    derives the single-side implications and pushes them into BOTH scans:
+    the quantity-range disjunction reaches the lineitem scan and the
+    brand/size disjunction reaches the part scan — neither side reads
+    rows no branch could accept."""
+    from hotdog_spark.queries.tpch_extra import q19_disjunctive_revenue
+
+    plan = (
+        q19_disjunctive_revenue(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scans = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    li_scan = next(ln for ln in scans if "lineitem" in ln)
+    part_scan = next(ln for ln in scans if "part.parquet" in ln)
+    assert "l_quantity" in li_scan.split("DataFilters:")[1]
+    assert "p_brand" in part_scan.split("DataFilters:")[1]
