@@ -337,3 +337,60 @@ def map_functions_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nation13_customers"
         ),
     )
+
+
+@register(
+    "date_functions_extended",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 45 DAY, '%Y-%m-%d')
+             AS due_date,
+           CAST(dayofweek(o_orderdate) AS BIGINT) AS dow,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          DATE '2002-01-01') AS BIGINT) AS days_to_cutoff,
+           strftime(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH, '%Y-%m-%d')
+             AS plus_quarter
+    FROM orders WHERE o_orderkey % 50 = 0
+    """,
+)
+def date_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended date arithmetic: last_day / interval add / day-of-week /
+    day diff / add_months.  Engine quirk pinned here: Spark's dayofweek
+    is 1=Sunday, DuckDB's is 0=Sunday — the engine emits the DuckDB
+    convention (dayofweek - 1) so downstream consumers get one stable
+    encoding."""
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_add(d, 45), "yyyy-MM-dd").alias("due_date"),
+        (F.dayofweek(d) - 1).cast("long").alias("dow"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).cast("long").alias(
+            "days_to_cutoff"
+        ),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_quarter"),
+    )
+
+
+@register(
+    "string_regexp_extract_all",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(regexp_extract_all(text, '[a-z]{5,}'), ',') AS long_words,
+           len(regexp_extract_all(text, '[a-z]{5,}')) AS n_long
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+)
+def string_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regexp_extract_all: every 5+-letter word per document, joined to a
+    string for engine-neutral comparison — the multi-match extraction the
+    single-group regexp_extract can't express."""
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    matches = F.expr(r"regexp_extract_all(text, '[a-z]{5,}', 0)")
+    return d.select(
+        "doc_id",
+        F.array_join(matches, ",").alias("long_words"),
+        F.size(matches).alias("n_long"),
+    )
