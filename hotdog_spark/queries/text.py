@@ -266,3 +266,45 @@ def pack_token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
     )
+
+
+@register(
+    "corpus_mix_report",
+    oracle="""
+    WITH feats AS (
+      SELECT lang,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,
+             md5(text) AS content_hash,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '0ccc'
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT lang, split,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens,
+           COUNT(DISTINCT content_hash) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT content_hash) AS n_dup_rows
+    FROM feats GROUP BY lang, split
+    """,
+)
+def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mix accounting report every training run starts from:
+    per (language, split) — document counts, token budget, exact-dup
+    exposure — composed from the split assigner, tokenizer, and content
+    hash in ONE scan + ONE aggregate.  The shape that matters at 100 TB:
+    corpus accounting costs one pass, not one pass per metric."""
+    from hotdog_spark.operators.sampling import with_split
+
+    d = with_split(table(spark, sf_dir, "documents"), "doc_id", test_frac=0.05)
+    feats = d.select(
+        "lang",
+        "split",
+        F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n_tokens"),
+        F.md5("text").alias("content_hash"),
+    )
+    return feats.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.countDistinct("content_hash").alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct("content_hash")).alias("n_dup_rows"),
+    )
