@@ -394,3 +394,43 @@ def string_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(matches, ",").alias("long_words"),
         F.size(matches).alias("n_long"),
     )
+
+
+@register(
+    "window_range_frame_rolling_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS d,
+             SUM(CAST(o_totalprice AS DECIMAL(16,2))) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(revenue AS DOUBLE) AS daily_revenue,
+           CAST(SUM(revenue) OVER (
+             ORDER BY d RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling7
+    FROM daily
+    """,
+)
+def window_range_frame_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based): 7-day rolling
+    revenue that is correct across calendar GAPS — a missing day still
+    ages out exactly 7 days of history, which a ROWS frame gets wrong.
+    Spark expresses the range over integer day offsets
+    (rangeBetween(-6, 0) on datediff) ≡ DuckDB's INTERVAL frame.  The
+    window input is one row per day (pre-aggregated), so the
+    single-partition ordering is over ~thousands of rows at any corpus
+    size — the daily aggregate is what scales."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date(F.date_trunc("day", "o_orderdate")).alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(16,2)")).alias("revenue")
+    )
+    w = (
+        Window.orderBy(F.datediff(F.col("d"), F.lit("1995-01-01").cast("date")))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("revenue").cast("double").alias("daily_revenue"),
+        F.sum("revenue").over(w).cast("double").alias("rolling7"),
+    )
