@@ -36,18 +36,39 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the most recent right row with
-    ``right_ts <= left_ts`` sharing the ``on`` keys (inclusive as-of).
+    """For each left row, attach one right row sharing the ``on`` keys:
+
+    * ``direction='backward'`` (default): latest right with
+      ``right_ts <= left_ts`` — the classic as-of;
+    * ``'forward'``: earliest right with ``right_ts >= left_ts``;
+    * ``'nearest'``: whichever of the two is closer in time (ties →
+      backward) — pandas ``merge_asof`` semantics throughout (exact
+      matches allowed).
 
     Returns the left rows plus ``right_cols`` (each aliased
     ``asof_<name>``) and ``asof_ts``.  ``how='left'`` keeps unmatched left
     rows with nulls; ``'inner'`` drops them.
 
+    All three directions are the same union-and-carry shape — one shuffle
+    on the key, one sort; forward is the mirrored frame
+    (first over [current, following]) and nearest evaluates both frames
+    in ONE window pass and picks per row.
+
     Right-side rows must be unique per (on, right_ts) — pre-aggregate if
-    not — so the carry-forward is deterministic in every engine.
+    not — so the carry is deterministic in every engine.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction {direction!r}")
     lcols = left.columns
+    # at equal _t the right row must be eligible in BOTH directions:
+    # backward scans [unbounded, current] (right sorts first → included),
+    # forward scans [current, unbounded] and uses side 2 (right sorts
+    # after left → included).  nearest uses side 0; its forward frame
+    # misses exact ties, but a tie has delta 0 and backward wins ties
+    # anyway, so the result is unaffected.
+    right_side = 2 if direction == "forward" else 0
     tagged_left = left.select(
         *[F.col(c) for c in lcols],
         F.col(left_ts).alias("_t"),
@@ -59,25 +80,71 @@ def asof_join(
         *[F.lit(None).cast(dict(left.dtypes).get(c, "string")).alias(c) for c in lcols if c not in on],
         *[F.col(k) for k in on],
         F.col(right_ts).alias("_t"),
-        F.lit(0).alias("_side"),  # sorts before left at equal _t → inclusive
+        F.lit(right_side).alias("_side"),
         *[F.col(c).alias(f"_r_{c}") for c in right_cols],
         F.col(right_ts).alias("_rt"),
     ).select(*tagged_left.columns)
 
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(F.col("_t"), F.col("_side"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = tagged_left.unionByName(tagged_right).select(
-        *[F.col(c) for c in lcols],
-        F.col("_side"),
-        *[
-            F.last(F.col(f"_r_{c}"), ignorenulls=True).over(w).alias(f"asof_{c}")
-            for c in right_cols
-        ],
-        F.last(F.col("_rt"), ignorenulls=True).over(w).alias("asof_ts"),
-    )
+    ordering = Window.partitionBy(*on).orderBy(F.col("_t"), F.col("_side"))
+    wb = ordering.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = ordering.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    union = tagged_left.unionByName(tagged_right)
+
+    if direction == "backward":
+        carried = union.select(
+            *[F.col(c) for c in lcols],
+            F.col("_side"),
+            *[
+                F.last(F.col(f"_r_{c}"), ignorenulls=True).over(wb).alias(f"asof_{c}")
+                for c in right_cols
+            ],
+            F.last(F.col("_rt"), ignorenulls=True).over(wb).alias("asof_ts"),
+        )
+    elif direction == "forward":
+        carried = union.select(
+            *[F.col(c) for c in lcols],
+            F.col("_side"),
+            *[
+                F.first(F.col(f"_r_{c}"), ignorenulls=True).over(wf).alias(f"asof_{c}")
+                for c in right_cols
+            ],
+            F.first(F.col("_rt"), ignorenulls=True).over(wf).alias("asof_ts"),
+        )
+    else:  # nearest: both carries in one window pass, pick per row
+        both = union.select(
+            *[F.col(c) for c in lcols],
+            F.col("_side"),
+            F.col("_t"),
+            *[
+                F.last(F.col(f"_r_{c}"), ignorenulls=True).over(wb).alias(f"_b_{c}")
+                for c in right_cols
+            ],
+            F.last(F.col("_rt"), ignorenulls=True).over(wb).alias("_bt"),
+            *[
+                F.first(F.col(f"_r_{c}"), ignorenulls=True).over(wf).alias(f"_f_{c}")
+                for c in right_cols
+            ],
+            F.first(F.col("_rt"), ignorenulls=True).over(wf).alias("_ft"),
+        )
+        back_wins = F.col("_ft").isNull() | (
+            F.col("_bt").isNotNull()
+            & (
+                F.unix_micros(F.col("_t")) - F.unix_micros(F.col("_bt"))
+                <= F.unix_micros(F.col("_ft")) - F.unix_micros(F.col("_t"))
+            )
+        )
+        carried = both.select(
+            *[F.col(c) for c in lcols],
+            F.col("_side"),
+            *[
+                F.when(back_wins, F.col(f"_b_{c}"))
+                .otherwise(F.col(f"_f_{c}"))
+                .alias(f"asof_{c}")
+                for c in right_cols
+            ],
+            F.when(back_wins, F.col("_bt")).otherwise(F.col("_ft")).alias("asof_ts"),
+        )
+
     out = carried.filter(F.col("_side") == 1).drop("_side")
     if how == "inner":
         out = out.filter(F.col("asof_ts").isNotNull())

@@ -448,3 +448,47 @@ def test_kmeans_centroids_feed_ivf(spark):
     for rows in by_probe.values():
         assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [1, 2, 3]
         assert len({r.cell for r in rows}) <= 2  # within nprobe cells
+
+
+def test_asof_join_directions_match_pandas(spark):
+    """asof_join backward/forward/nearest match pandas merge_asof
+    (the de-facto reference semantics) on keyed random-ish data with
+    exact-timestamp ties."""
+    import pandas as pd
+
+    from hotdog_spark.operators.temporal import asof_join
+
+    left_rows = [
+        (k, pd.Timestamp(f"2024-01-01 10:{m:02d}:00"))
+        for k in ("a", "b")
+        for m in (0, 5, 10, 17, 40, 59)
+    ]
+    right_rows = [
+        ("a", pd.Timestamp("2024-01-01 10:05:00"), 105),
+        ("a", pd.Timestamp("2024-01-01 10:12:00"), 112),
+        ("a", pd.Timestamp("2024-01-01 10:30:00"), 130),
+        ("b", pd.Timestamp("2024-01-01 10:20:00"), 220),
+    ]
+    lp = pd.DataFrame(left_rows, columns=["k", "lt"]).sort_values("lt")
+    rp = pd.DataFrame(right_rows, columns=["k", "rt", "v"]).sort_values("rt")
+    ls = spark.createDataFrame(lp)
+    rs = spark.createDataFrame(rp)
+
+    for direction in ("backward", "forward", "nearest"):
+        expected = pd.merge_asof(
+            lp,
+            rp.rename(columns={"rt": "lt"}),
+            on="lt",
+            by="k",
+            direction=direction,
+        )
+        exp = {
+            (r.k, str(r.lt)): (None if pd.isna(r.v) else int(r.v))
+            for r in expected.itertuples()
+        }
+        got_rows = asof_join(
+            ls, rs, on=["k"], left_ts="lt", right_ts="rt",
+            right_cols=["v"], how="left", direction=direction,
+        ).collect()
+        got = {(r.k, str(r.lt)): r.asof_v for r in got_rows}
+        assert got == exp, direction
