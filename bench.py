@@ -53,6 +53,9 @@ HEADLINE = [
     "text_top_terms",              # TF ranking window over explode
     "pack_token_budget_bins",      # window cumsum packing
     "array_higher_order_stats",    # JVM lambda array math
+    "text_pii_scrub",              # PII/denylist regex redaction audit
+    "text_repetition_stats",       # islands run-detection repetition filters
+    "decontaminate_ngram_overlap", # broadcast benchmark-gram decontamination
 ]
 
 

@@ -1,0 +1,74 @@
+"""PII / denylist scrubbing for training corpora.
+
+Before text reaches a training mix it gets scrubbed: structured PII
+(emails, IPs, phone numbers) is redacted to placeholder tokens, and
+configurable denylist terms are masked.  The reference engine has no such
+operator (it is a syslog router); this belongs to the north-star
+LLM-pipeline surface alongside dedup and quality scoring.
+
+Everything is built-in `regexp_extract_all` / `regexp_replace` column
+expressions — whole-stage codegen, zero shuffle, a pure projection that
+scales linearly with the corpus.  The regex dialect is restricted to the
+intersection of Java regex (Spark) and RE2 (DuckDB oracle): no
+backreferences, no lookaround, ASCII `\\b` word boundaries only, so the
+same pattern strings drive both engines bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from hotdog_spark.operators import fan_out
+
+# Patterns are applied to casefolded text, in this order (counts are
+# independent per category; redaction is sequential in the same order).
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def denylist_re(terms: list[str]) -> str:
+    """Whole-word alternation over casefolded denylist terms."""
+    return r"\b(" + "|".join(sorted(t.lower() for t in terms)) + r")\b"
+
+
+def _count(text: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+
+
+def redacted_text(text: Column, deny_terms: list[str]) -> Column:
+    """Casefold then redact email → ipv4 → phone → denylist, in order."""
+    red = F.lower(text)
+    for pattern, token in (
+        (EMAIL_RE, "<email>"),
+        (IPV4_RE, "<ip>"),
+        (PHONE_RE, "<phone>"),
+        (denylist_re(deny_terms), "<term>"),
+    ):
+        red = F.regexp_replace(red, pattern, token)
+    return red
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str, id_col: str, deny_terms: list[str]
+) -> DataFrame:
+    """Per-document PII/denylist audit + redaction fingerprint.
+
+    Returns (id, n_email, n_ipv4, n_phone, n_denylist, redacted_fp) where
+    ``redacted_fp`` is the 16-hex-char md5 of the fully redacted text —
+    the key downstream exact-dedup runs on so that documents differing
+    only in scrubbed PII collapse together.
+    """
+    text = F.col(text_col)
+    low = F.lower(text)
+    return fan_out(df).select(
+        F.col(id_col),
+        _count(low, EMAIL_RE).alias("n_email"),
+        _count(low, IPV4_RE).alias("n_ipv4"),
+        _count(low, PHONE_RE).alias("n_phone"),
+        _count(low, denylist_re(deny_terms)).alias("n_denylist"),
+        F.substring(F.md5(redacted_text(text, deny_terms)), 1, 16).alias(
+            "redacted_fp"
+        ),
+    )

@@ -207,6 +207,48 @@ def top_terms(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFram
     ).filter(F.col("rnk") <= k)
 
 
+def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document.
+
+    Returns (id, n_tokens, n_distinct, distinct_ratio, top_tok_cnt,
+    max_run): total tokens, vocabulary size, their exact ratio, the count
+    of the most frequent token, and the longest run of consecutive
+    identical tokens — the features repetition filters threshold on
+    (Rae et al. 2021 §A1.1).
+
+    Shape: posexplode → gaps-and-islands run detection → two-level
+    aggregation, every stage keyed by the document id, so the whole
+    computation rides ONE doc-keyed shuffle family; nothing is ever
+    grouped on a low-cardinality key.
+    """
+    from pyspark.sql.window import Window
+
+    base = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(normalized_tokens(F.col(text_col))).alias("pos", "tok"),
+    )
+    # Consecutive equal tokens share (pos - rank-within-(id,tok)): the
+    # classic islands trick, no sequential scan needed.
+    w = Window.partitionBy("id", "tok").orderBy("pos")
+    runs = (
+        base.withColumn("grp", F.col("pos") - F.row_number().over(w))
+        .groupBy("id", "tok", "grp")
+        .agg(F.count(F.lit(1)).alias("run"))
+    )
+    per_tok = runs.groupBy("id", "tok").agg(
+        F.sum("run").alias("cnt"), F.max("run").alias("mrun")
+    )
+    return per_tok.groupBy("id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (
+            F.count(F.lit(1)).cast("double") / F.sum("cnt").cast("double")
+        ).alias("distinct_ratio"),
+        F.max("cnt").alias("top_tok_cnt"),
+        F.max("mrun").alias("max_run"),
+    )
+
+
 def doc_frequency(df: DataFrame, text_col: str, id_col: str, top: int = 20) -> DataFrame:
     """Corpus document frequency: for the ``top`` most widespread terms,
     how many documents contain them, next to the corpus size (the exact

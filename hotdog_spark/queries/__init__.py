@@ -45,6 +45,7 @@ def _load_modules() -> None:
     # Import for registration side effects.
     from hotdog_spark.queries import (  # noqa: F401
         analytics,
+        curation,
         dedup,
         functional,
         hotdog,

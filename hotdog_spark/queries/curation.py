@@ -1,0 +1,118 @@
+"""Corpus-curation queries: PII scrubbing, repetition quality signals,
+benchmark decontamination — over the `documents` table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hotdog_spark.operators import privacy
+from hotdog_spark.operators.decontam import decontaminate
+from hotdog_spark.operators.sampling import hex_threshold
+from hotdog_spark.operators.textops import repetition_stats
+from hotdog_spark.queries import register
+from hotdog_spark.sources.batch import table
+
+_TOKS = "string_split_regex(trim(lower(text)), '\\s+')"
+
+# The synthetic corpus carries no real PII, so the regex categories prove
+# themselves in unit tests (tests/test_curation.py) while the denylist
+# terms — chosen from the corpus vocabulary — exercise non-trivial counts
+# and redaction end-to-end at driver scale.
+DENY_TERMS = ["customer", "spark", "vector"]
+_DENY = privacy.denylist_re(DENY_TERMS)
+
+_REDACTED = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    f"lower(text), '{privacy.EMAIL_RE}', '<email>', 'g'), "
+    f"'{privacy.IPV4_RE}', '<ip>', 'g'), "
+    f"'{privacy.PHONE_RE}', '<phone>', 'g'), "
+    f"'{_DENY}', '<term>', 'g')"
+)
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '{privacy.EMAIL_RE}')) AS n_email,
+           len(regexp_extract_all(lower(text), '{privacy.IPV4_RE}')) AS n_ipv4,
+           len(regexp_extract_all(lower(text), '{privacy.PHONE_RE}')) AS n_phone,
+           len(regexp_extract_all(lower(text), '{_DENY}')) AS n_denylist,
+           substring(md5({_REDACTED}), 1, 16) AS redacted_fp
+    FROM documents
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII/denylist scrub audit: per-category match counts + the md5
+    fingerprint of the redacted text (the dedup key after scrubbing).
+    Pure regex projection — codegen'd, zero shuffle."""
+    return privacy.pii_scrub(
+        table(spark, sf_dir, "documents"), "text", "doc_id", DENY_TERMS
+    )
+
+
+@register(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok,
+             generate_subscripts({_TOKS}, 1) AS pos
+      FROM documents
+    ), isl AS (
+      SELECT doc_id, tok, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id, tok ORDER BY pos) AS grp
+      FROM toks
+    ), runs AS (
+      SELECT doc_id, tok, grp, COUNT(*) AS run FROM isl GROUP BY doc_id, tok, grp
+    ), per_tok AS (
+      SELECT doc_id, tok, CAST(SUM(run) AS BIGINT) AS cnt, MAX(run) AS mrun
+      FROM runs GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) AS distinct_ratio,
+           MAX(cnt) AS top_tok_cnt,
+           MAX(mrun) AS max_run
+    FROM per_tok GROUP BY doc_id
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters' inputs: vocabulary ratio, top-token
+    count, longest consecutive-token run — one doc-keyed shuffle family."""
+    return repetition_stats(
+        table(spark, sf_dir, "documents"), "text", "doc_id"
+    ).withColumnRenamed("id", "doc_id")
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, {_TOKS} AS w,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{hex_threshold(0.05)}'
+               AS is_bench
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, is_bench, array_to_string(w[i:i+4], ' ') AS g
+      FROM words, UNNEST(range(1, len(w) - 3)) AS t(i)
+    ), bench AS (SELECT DISTINCT g FROM grams WHERE is_bench)
+    SELECT grams.doc_id, COUNT(*) AS shared_grams
+    FROM grams JOIN bench ON grams.g = bench.g
+    WHERE NOT grams.is_bench
+    GROUP BY grams.doc_id
+    """,
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: the held-out 5% md5 split plays the eval
+    benchmark; corpus docs sharing any word 5-gram with it are reported
+    with their shared-gram counts.  Benchmark gram set broadcast — the
+    corpus is never shuffled on the gram key."""
+    docs = table(spark, sf_dir, "documents")
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < F.lit(
+        hex_threshold(0.05)
+    )
+    bench = docs.filter(is_bench)
+    corpus = docs.filter(~is_bench)
+    return decontaminate(corpus, bench, "text", "doc_id", n=5)
