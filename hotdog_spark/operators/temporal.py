@@ -243,3 +243,40 @@ def timeseries_topk_similar(
     topk = scored.orderBy(F.col("d2"), F.col("key")).limit(k)
     w = Window.orderBy(F.col("d2"), F.col("key"))
     return topk.withColumn("rank", F.row_number().over(w))
+
+
+def latest_snapshot(
+    df: DataFrame, keys: list[str], ts_col: str, tiebreak_col: str
+) -> DataFrame:
+    """Upsert compaction: the latest row per key — the batch equivalent of
+    replaying a changelog into a keyed state store (Kafka log compaction,
+    MERGE INTO ... WHEN MATCHED UPDATE).
+
+    Deterministic even with timestamp ties via the explicit tiebreak
+    column.  One shuffle on the key; the ranking window rides it.
+    """
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).desc(), F.col(tiebreak_col).desc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def scd2_intervals(
+    df: DataFrame, keys: list[str], ts_col: str, tiebreak_col: str
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history: each change event
+    becomes a validity interval ``[valid_from, valid_to)``, with NULL
+    ``valid_to`` marking the current row — the point-in-time join target
+    every feature-store backfill needs.
+
+    Pure ``lead()`` window over the change log: one keyed shuffle, no
+    self-join, no state.
+    """
+    w = Window.partitionBy(*keys).orderBy(F.col(ts_col), F.col(tiebreak_col))
+    return df.withColumn("valid_from", F.col(ts_col)).withColumn(
+        "valid_to", F.lead(ts_col).over(w)
+    )

@@ -134,3 +134,47 @@ def timeseries_similar_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeseries_topk_similar(
         ev, "ts", "user_id", "value", probe_key=1, k=10, min_common=3
     )
+
+
+@register(
+    "upsert_latest_state",
+    oracle="""
+    SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts, value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def upsert_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → current state: latest event per (user, event_type) —
+    batch upsert/log-compaction semantics, deterministic under timestamp
+    ties via the event_id tiebreak.  One keyed shuffle."""
+    from hotdog_spark.operators.temporal import latest_snapshot
+
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", "ts", "value"
+    )
+    return latest_snapshot(ev, ["user_id", "event_type"], "ts", "event_id")
+
+
+@register(
+    "scd2_user_state_history",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           CAST(ts AS TIMESTAMP) AS valid_from,
+           LEAD(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS valid_to
+    FROM events
+    """,
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history build: each user event becomes a validity
+    interval [valid_from, valid_to), NULL end = current — the
+    point-in-time join target for feature backfills.  Pure lead()
+    window, one keyed shuffle."""
+    from hotdog_spark.operators.temporal import scd2_intervals
+
+    ev = table(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    return scd2_intervals(ev, ["user_id"], "ts", "event_id").select(
+        "user_id", "event_id", "event_type", "valid_from", "valid_to"
+    )

@@ -519,3 +519,30 @@ def test_multimodal_features_feed_similarity(spark):
         ranks = sorted(r.rank for r in rows)
         assert ranks == [1, 2, 3, 4]
         assert all(-1.0001 <= r.score <= 1.0001 for r in rows)
+
+
+def test_latest_snapshot_and_scd2(spark):
+    from hotdog_spark.operators.temporal import latest_snapshot, scd2_intervals
+
+    rows = [
+        (1, "a", 10, 100.0),
+        (1, "a", 20, 200.0),   # latest for (1, a)
+        (1, "b", 20, 300.0),
+        (2, "a", 20, 400.0),
+        (2, "a", 20, 401.0),   # ts tie: higher event_id wins
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts", "value"]).withColumn(
+        "event_id", (F.col("value") * 10).cast("long")
+    )
+    snap = {
+        (r.user_id, r.event_type): r.value
+        for r in latest_snapshot(df, ["user_id", "event_type"], "ts", "event_id").collect()
+    }
+    assert snap == {(1, "a"): 200.0, (1, "b"): 300.0, (2, "a"): 401.0}
+
+    hist = scd2_intervals(
+        df.filter((F.col("user_id") == 1) & (F.col("event_type") == "a")),
+        ["user_id"], "ts", "event_id",
+    ).collect()
+    by_from = {r.valid_from: r.valid_to for r in hist}
+    assert by_from == {10: 20, 20: None}  # current row open-ended
