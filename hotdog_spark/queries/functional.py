@@ -50,15 +50,20 @@ def array_higher_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     qv = F.transform(F.col("embedding"), lambda x: F.round(x * 1000).cast("long"))
     zero = F.lit(0).cast("long")
-    return emb.select(
+    # Two-step projection: materialize the quantized vector once.  A single
+    # select would inline `qv` into all six output columns (CollapseProject
+    # re-duplicates it) and re-run the transform per column — measured 2.3×
+    # slower at sf0.1.
+    base = emb.select("vec_id", qv.alias("qv"))
+    return base.select(
         "vec_id",
-        F.size(qv).alias("n_dims"),
-        F.size(F.filter(qv, lambda x: x > 0)).alias("n_pos"),
-        F.aggregate(qv, zero, lambda acc, x: acc + F.abs(x)).alias("l1"),
-        F.aggregate(qv, zero, lambda acc, x: acc + x * x).alias("sum_sq"),
-        F.array_max(F.transform(qv, F.abs)).alias("max_abs"),
+        F.size("qv").alias("n_dims"),
+        F.size(F.filter("qv", lambda x: x > 0)).alias("n_pos"),
+        F.aggregate("qv", zero, lambda acc, x: acc + F.abs(x)).alias("l1"),
+        F.aggregate("qv", zero, lambda acc, x: acc + x * x).alias("sum_sq"),
+        F.array_max(F.transform("qv", F.abs)).alias("max_abs"),
         F.aggregate(
-            F.zip_with(qv, F.reverse(qv), lambda x, y: x * y),
+            F.zip_with("qv", F.reverse("qv"), lambda x, y: x * y),
             zero,
             lambda acc, x: acc + x,
         ).alias("dot_rev"),
