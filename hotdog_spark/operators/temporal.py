@@ -280,3 +280,46 @@ def scd2_intervals(
     return df.withColumn("valid_from", F.col(ts_col)).withColumn(
         "valid_to", F.lead(ts_col).over(w)
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int = 300,
+) -> DataFrame:
+    """Join interval rows to interval rows (same keys) whose closed
+    ranges overlap: ``l.start <= r.end AND r.start <= l.end``.
+
+    Both sides explode into fixed-width epoch buckets and equi-join on
+    (keys..., bucket) — the same trick as ``range_join_buckets``, with
+    one extra subtlety: a pair overlapping across several shared buckets
+    would match once per bucket, so only the pair's FIRST shared bucket
+    (``max(bucket(l.start), bucket(r.start))``, which any overlapping
+    pair shares) emits the row.  Exactly-once without a distinct, so no
+    post-join dedup shuffle.  Returns all left + right columns.
+    """
+    b = F.lit(bucket_seconds)
+
+    def bucket(col: str) -> Column:
+        return (F.unix_timestamp(F.col(col)) / b).cast("bigint")
+
+    l = left.withColumn(
+        "_bucket", F.explode(F.sequence(bucket(left_start), bucket(left_end)))
+    )
+    r = right.withColumn(
+        "_bucket", F.explode(F.sequence(bucket(right_start), bucket(right_end)))
+    )
+    return (
+        l.join(r, [*on, "_bucket"])
+        .filter(
+            (F.col(left_start) <= F.col(right_end))
+            & (F.col(right_start) <= F.col(left_end))
+            & (F.col("_bucket") == F.greatest(bucket(left_start), bucket(right_start)))
+        )
+        .drop("_bucket")
+    )

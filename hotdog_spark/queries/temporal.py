@@ -178,3 +178,54 @@ def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_intervals(ev, ["user_id"], "ts", "event_id").select(
         "user_id", "event_id", "event_type", "valid_from", "valid_to"
     )
+
+
+@register(
+    "interval_overlap_error_bursts",
+    oracle="""
+    WITH err AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS s,
+             CAST(ts AS TIMESTAMP) + INTERVAL 5 MINUTE AS e
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT a.user_id, a.event_id AS a_id, b.event_id AS b_id,
+           epoch_us(least(a.e, b.e)) - epoch_us(greatest(a.s, b.s)) AS overlap_us
+    FROM err a JOIN err b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def interval_overlap_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: pairs of a user's 5-minute error
+    windows that overlap (error bursts), with the exact overlap duration
+    in microseconds.  The inequality pair join becomes a bucketed
+    equi-join emitting each pair exactly once — no all-pairs blowup, no
+    post-join distinct."""
+    from hotdog_spark.operators.temporal import interval_overlap_join
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    win = F.expr("INTERVAL 5 MINUTES")
+    a = ev.select(
+        F.col("event_id").alias("a_id"),
+        "user_id",
+        F.col("ts").alias("a_s"),
+        (F.col("ts") + win).alias("a_e"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("user_id_b"),
+        F.col("ts").alias("b_s"),
+        (F.col("ts") + win).alias("b_e"),
+    ).withColumnRenamed("user_id_b", "user_id")
+    ov = interval_overlap_join(
+        a, b, ["user_id"], "a_s", "a_e", "b_s", "b_e", bucket_seconds=300
+    ).filter(F.col("a_id") < F.col("b_id"))
+    return ov.select(
+        "user_id",
+        "a_id",
+        "b_id",
+        (
+            F.unix_micros(F.least("a_e", "b_e"))
+            - F.unix_micros(F.greatest("a_s", "b_s"))
+        ).alias("overlap_us"),
+    )

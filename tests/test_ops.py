@@ -546,3 +546,33 @@ def test_latest_snapshot_and_scd2(spark):
     ).collect()
     by_from = {r.valid_from: r.valid_to for r in hist}
     assert by_from == {10: 20, 20: None}  # current row open-ended
+
+
+def test_interval_overlap_join_exactly_once(spark):
+    """Pairs sharing several epoch buckets must emit exactly once; closed
+    endpoints touch-overlap; disjoint intervals never match."""
+    import datetime as dt
+
+    from hotdog_spark.operators.temporal import interval_overlap_join
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def mk(rows, ids):
+        return spark.createDataFrame(
+            [(i, 1, t0 + dt.timedelta(seconds=s), t0 + dt.timedelta(seconds=e))
+             for i, (s, e) in zip(ids, rows)],
+            ["iid", "k", "s", "e"],
+        )
+
+    # left interval spans 3 buckets (300 s each); right overlaps it across 2.
+    left = mk([(0, 900)], ["L1"]).toDF("a_id", "k", "a_s", "a_e")
+    right = mk(
+        [(250, 700), (900, 1000), (1000, 1200)], ["R1", "R2", "R3"]
+    ).toDF("b_id", "k", "b_s", "b_e")
+    got = interval_overlap_join(
+        left, right, ["k"], "a_s", "a_e", "b_s", "b_e", bucket_seconds=300
+    ).select("a_id", "b_id").collect()
+    pairs = sorted((r.a_id, r.b_id) for r in got)
+    # R1 overlaps (multi-bucket, must appear ONCE); R2 touches at 900 (closed
+    # endpoints overlap); R3 starts after L1 ends.
+    assert pairs == [("L1", "R1"), ("L1", "R2")]
