@@ -116,3 +116,37 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(is_bench)
     corpus = docs.filter(~is_bench)
     return decontaminate(corpus, bench, "text", "doc_id", n=5)
+
+
+from hotdog_spark.queries.text import _QUALITY_SQL
+
+_DECILE_ORACLE = f"""
+WITH feats AS (
+  SELECT doc_id, lang, {_QUALITY_SQL} AS quality FROM documents
+), d AS (
+  SELECT doc_id, lang,
+         NTILE(10) OVER (PARTITION BY lang ORDER BY quality, doc_id) AS decile
+  FROM feats
+)
+SELECT doc_id, lang, decile FROM d WHERE decile > 1
+"""
+
+
+@register("quality_decile_filter", oracle=_DECILE_ORACLE)
+def quality_decile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quality gate: instead of a fixed threshold, drop each
+    language's bottom quality decile (ntile over (quality, doc_id) — an
+    exact integer assignment, no interpolated percentiles to drift across
+    engines).  One keyed window shuffle; the gate recalibrates itself as
+    the corpus distribution shifts."""
+    from pyspark.sql.window import Window
+
+    from hotdog_spark.operators.textops import quality_expr
+
+    docs = table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id", "lang", quality_expr(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    d = feats.withColumn("decile", F.ntile(10).over(w))
+    return d.filter(F.col("decile") > 1).select("doc_id", "lang", "decile")

@@ -827,3 +827,48 @@ def test_streaming_session_window_with_watermark(spark, tmp_path):
         assert got[("2024-01-01 12:00:00", "7")] == 1
     finally:
         q.stop()
+
+
+def test_streaming_curation_pipeline(spark, tmp_path):
+    """The curation projections (PII scrub, quality, fingerprint) are pure
+    column expressions, so the SAME operators run unchanged under
+    Structured Streaming — one pipeline for batch corpus washes and live
+    ingestion."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators import privacy
+    from hotdog_spark.operators.textops import fingerprint_expr, quality_expr
+
+    src = str(tmp_path / "docs")
+    rows = [
+        (1, "reach me at a@b.com please"),
+        (2, "the the the the spam spam"),
+        (3, "reach me at z@y.org please"),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    curated = stream.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(privacy.EMAIL_RE), F.lit(0))
+        ).alias("n_email"),
+        quality_expr(F.col("text")).alias("quality"),
+        fingerprint_expr(privacy.redacted_text(F.col("text"), [])).alias("scrub_fp"),
+    )
+    q = (
+        curated.writeStream.format("memory")
+        .queryName("curation_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cur_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r.doc_id: r for r in spark.sql("SELECT * FROM curation_sink").collect()}
+        assert got[1].n_email == 1 and got[2].n_email == 0
+        # docs 1 and 3 differ only in the redacted email → same scrub key
+        assert got[1].scrub_fp == got[3].scrub_fp != got[2].scrub_fp
+    finally:
+        q.stop()
