@@ -81,3 +81,58 @@ def weekly_retention(
         )
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Batch sessionization: split each user's event sequence wherever the
+    gap to the previous event exceeds ``gap_seconds``; number the sessions
+    by a running sum of the break flags (the gaps-and-islands idiom).
+
+    Per user: one lag() + one cumulative sum, both on the SAME
+    (user, ts)-sorted window — one keyed shuffle, one sort, no self-join.
+    Adds ``session_id`` (0-based per user).
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
+    is_new = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
+    return df.withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        - 1,
+    )
+
+
+def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    """One-pass data-profiling summary: per column — non-null count, null
+    count, distinct count, min and max (rendered as strings so mixed
+    types stack into one long-format result).
+
+    All columns profile in a SINGLE aggregate over one scan (the property
+    that matters at 100 TB: profiling cost ≈ one table pass, not one pass
+    per column), then unpivot driver-side — the wide row is 5×N scalar
+    cells, never data-sized.
+    """
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+            F.count(F.lit(1)).alias(f"{c}__n"),
+        ]
+    wide = df.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nn, {c}__nd, {c}__min, {c}__max, {c}__n - {c}__nn" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col_name, non_null, n_distinct, min_val, max_val, n_null)"
+    )

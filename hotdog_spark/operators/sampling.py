@@ -109,3 +109,35 @@ def pack_token_budget(
     return df.withColumn(
         "bin", F.floor((cum - F.col(tokens_col)) / F.lit(budget)).cast("bigint")
     )
+
+
+def rebalance_to_min_group(
+    df: DataFrame, key_col: str, group_col: str
+) -> DataFrame:
+    """Deterministically downsample every group to ≈ the smallest group's
+    size — the data-mix rebalancer ("equal docs per source") that keeps
+    the same rows on every rerun.
+
+    Per-group keep-rate = min_count / count, applied through the same
+    md5-prefix threshold as ``md5_sample`` (threshold = ⌊rate·16^4⌋ as
+    4-digit hex; rate 1 keeps everything explicitly, sidestepping the
+    5-hex-digit '10000' comparing lexicographically *below* all 4-digit
+    prefixes).  Cost: one tiny group-count aggregate broadcast back onto
+    the corpus — the corpus itself is never shuffled.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    mn = counts.agg(F.min("_cnt").alias("_min"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        group_col,
+        F.col("_cnt"),
+        F.floor(F.col("_min") * _SPACE / F.col("_cnt")).cast("long").alias("_th"),
+    )
+    keep = (F.col("_th") >= _SPACE) | (
+        _prefix(F.col(key_col)) < F.format_string(f"%0{_PREFIX_LEN}x", F.col("_th"))
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(keep)
+        .drop("_th")
+        .withColumnRenamed("_cnt", "n_before")
+    )

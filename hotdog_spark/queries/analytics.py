@@ -180,3 +180,79 @@ def activity_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_days") >= 7)
         .drop("_island")
     )
+
+
+@register(
+    "sessionize_user_events",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), lagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS brk
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+      FROM lagged
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS duration_us
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap): gaps-and-islands
+    lag + running-sum on ONE (user, ts) sorted window, then per-session
+    stats on the same keys — one shuffle, no self-join.  The batch twin
+    of the streaming session_window query."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.analytics import sessionize
+
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+    )
+
+
+@register(
+    "profile_orders_columns",
+    oracle="""
+    SELECT 'o_custkey' AS col_name, COUNT(o_custkey) AS non_null,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_val,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_val,
+           COUNT(*) - COUNT(o_custkey) AS n_null FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(o_orderstatus), COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR),
+           COUNT(*) - COUNT(o_orderstatus) FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(o_orderpriority), COUNT(DISTINCT o_orderpriority),
+           CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR),
+           COUNT(*) - COUNT(o_orderpriority) FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(o_orderdate), COUNT(DISTINCT o_orderdate),
+           CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR),
+           COUNT(*) - COUNT(o_orderdate) FROM orders
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary (null/distinct/min/max per column) computed
+    in ONE aggregate over ONE scan — profiling cost stays a single table
+    pass at any width, never a pass per column."""
+    from hotdog_spark.operators.analytics import profile_columns
+
+    return profile_columns(
+        table(spark, sf_dir, "orders"),
+        ["o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"],
+    )

@@ -150,3 +150,34 @@ def quality_decile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("lang").orderBy("quality", "doc_id")
     d = feats.withColumn("decile", F.ntile(10).over(w))
     return d.filter(F.col("decile") > 1).select("doc_id", "lang", "decile")
+
+
+@register(
+    "rebalance_source_mix",
+    oracle="""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source
+    ), m AS (SELECT MIN(cnt) AS mn FROM counts),
+    r AS (
+      SELECT source, cnt, CAST(FLOOR(mn * 65536 / cnt) AS BIGINT) AS th
+      FROM counts, m
+    )
+    SELECT d.source, r.cnt AS n_before, COUNT(*) AS n_kept
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE r.th >= 65536
+       OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', r.th)
+    GROUP BY d.source, r.cnt
+    """,
+)
+def rebalance_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mix rebalancing: every source deterministically downsampled to
+    ≈ the smallest source's size (per-source md5 thresholds).  The corpus
+    is never shuffled — one tiny count aggregate broadcasts back onto a
+    pure filter projection."""
+    from hotdog_spark.operators.sampling import rebalance_to_min_group
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = rebalance_to_min_group(docs, "doc_id", "source")
+    return kept.groupBy("source", "n_before").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )

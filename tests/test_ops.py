@@ -576,3 +576,51 @@ def test_interval_overlap_join_exactly_once(spark):
     # R1 overlaps (multi-bucket, must appear ONCE); R2 touches at 900 (closed
     # endpoints overlap); R3 starts after L1 ends.
     assert pairs == [("L1", "R1"), ("L1", "R2")]
+
+
+def test_sessionize_gap_splits(spark):
+    import datetime as dt
+
+    from hotdog_spark.operators.analytics import sessionize
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=10)),   # same session (gap 10m)
+        (1, t0 + dt.timedelta(minutes=50)),   # new session (gap 40m)
+        (2, t0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        (r.user_id, r.ts.minute): r.session_id
+        for r in sessionize(df, "user_id", "ts", gap_seconds=1800).collect()
+    }
+    assert got == {(1, 0): 0, (1, 10): 0, (1, 50): 1, (2, 0): 0}
+
+
+def test_rebalance_to_min_group(spark):
+    from hotdog_spark.operators.sampling import rebalance_to_min_group
+
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(400)] + [(i + 1000, "small") for i in range(40)],
+        ["k", "g"],
+    )
+    kept = rebalance_to_min_group(df, "k", "g").groupBy("g").count().collect()
+    sizes = {r.g: r["count"] for r in kept}
+    assert sizes["small"] == 40                   # rate 1 keeps everything
+    assert 20 <= sizes["big"] <= 70               # ~40 expected, md5 variance
+    # deterministic: same result on rerun
+    kept2 = rebalance_to_min_group(df, "k", "g").groupBy("g").count().collect()
+    assert sizes == {r.g: r["count"] for r in kept2}
+
+
+def test_profile_columns_one_pass(spark):
+    from hotdog_spark.operators.analytics import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "b")], ["x", "y"]
+    )
+    got = {r.col_name: r for r in profile_columns(df, ["x", "y"]).collect()}
+    assert (got["x"].non_null, got["x"].n_distinct, got["x"].n_null) == (3, 2, 0)
+    assert (got["y"].non_null, got["y"].n_null) == (2, 1)
+    assert (got["x"].min_val, got["x"].max_val) == ("1", "2")
