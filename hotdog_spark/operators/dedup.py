@@ -276,3 +276,29 @@ def apply_exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         )
         .select("keep_id", "text_kept", "group_size")
     )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Incremental-ingest dedup: admit only new documents whose content
+    fingerprint is absent from the existing corpus ``index`` (a DataFrame
+    with one ``fp`` column), collapsing duplicates within the batch to the
+    min-id representative.
+
+    This is the shape a continuously-growing corpus actually runs — the
+    full corpus is never re-deduped; each ingest batch costs one
+    fingerprint projection, one hash anti-join against the (bucketable,
+    incrementally-maintained) index, and one batch-local aggregate.
+    Returns (fp, keep_id).
+    """
+    from hotdog_spark.operators.textops import fingerprint_expr
+
+    batch = new_docs.select(
+        F.col(id_col).alias("_id"), fingerprint_expr(F.col(text_col)).alias("fp")
+    )
+    fresh = batch.join(index.select("fp"), "fp", "left_anti")
+    return fresh.groupBy("fp").agg(F.min("_id").alias("keep_id"))

@@ -243,3 +243,36 @@ def dedup_exact_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload + collapsed count) in ONE aggregate — min_by carries the
     kept payload so there is no join-back shuffle."""
     return ops.apply_exact_dedup(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "dedup_incremental_ingest",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             substring(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 16) AS fp,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '8000' AS is_old
+      FROM documents
+    ), idx AS (SELECT DISTINCT fp FROM f WHERE is_old)
+    SELECT fp, MIN(doc_id) AS keep_id
+    FROM f
+    WHERE NOT is_old AND fp NOT IN (SELECT fp FROM idx)
+    GROUP BY fp
+    """,
+)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion: the md5<'8000' half plays the already
+    -indexed corpus; the rest is the ingest batch, admitted only when its
+    fingerprint is new (anti-join) and unique within the batch.  The full
+    corpus is never re-deduped."""
+    from hotdog_spark.operators.dedup import incremental_dedup
+    from hotdog_spark.operators.textops import fingerprint_expr
+
+    docs = table(spark, sf_dir, "documents")
+    is_old = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < F.lit("8000")
+    index = (
+        docs.filter(is_old)
+        .select(fingerprint_expr(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    return incremental_dedup(docs.filter(~is_old), index, "text", "doc_id")

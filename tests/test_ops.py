@@ -624,3 +624,21 @@ def test_profile_columns_one_pass(spark):
     assert (got["x"].non_null, got["x"].n_distinct, got["x"].n_null) == (3, 2, 0)
     assert (got["y"].non_null, got["y"].n_null) == (2, 1)
     assert (got["x"].min_val, got["x"].max_val) == ("1", "2")
+
+
+def test_incremental_dedup_admits_only_new(spark):
+    from hotdog_spark.operators.dedup import incremental_dedup
+    from hotdog_spark.operators.textops import fingerprint_expr
+
+    old = spark.createDataFrame([(1, "known doc")], ["doc_id", "text"])
+    index = old.select(fingerprint_expr(F.col("text")).alias("fp")).distinct()
+    batch = spark.createDataFrame(
+        [
+            (10, "known  DOC"),   # dup of indexed (normalization collapses)
+            (11, "fresh doc"),
+            (12, "fresh doc"),    # in-batch dup → min id kept
+        ],
+        ["doc_id", "text"],
+    )
+    kept = incremental_dedup(batch, index, "text", "doc_id").collect()
+    assert [(r.keep_id) for r in kept] == [11]
