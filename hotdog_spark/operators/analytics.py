@@ -136,3 +136,53 @@ def profile_columns(df: DataFrame, cols: list[str]) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) AS "
         "(col_name, non_null, n_distinct, min_val, max_val, n_null)"
     )
+
+
+def gap_filled_hourly_counts(df: DataFrame, ts_col: str) -> DataFrame:
+    """Dense hourly event-rate series: truncate to hours, count, then
+    LEFT-join the counts onto a generated hour spine spanning
+    [min hour, max hour] so silent hours appear as explicit zeros — the
+    densification every rate/anomaly model needs before differencing.
+
+    The spine is one generated-and-exploded row (span/3600 rows total,
+    time-bounded, never data-sized); the only data shuffle is the hourly
+    count aggregate.  Returns (hr, n).
+    """
+    hourly = df.select(F.date_trunc("hour", F.col(ts_col)).alias("hr")).groupBy(
+        "hr"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = hourly.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    )
+    return spine.join(hourly, "hr", "left").select(
+        "hr", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, key_col: str, compare_cols: list[str]
+) -> DataFrame:
+    """Diff two snapshots of a keyed table: full-outer join on the key,
+    compare an md5 over the tracked columns, and label every key
+    ``added`` / ``removed`` / ``changed`` / ``unchanged`` — the
+    change-data-capture primitive for snapshot-only upstreams.
+
+    One co-partitioned full-outer join on the key; the row hash makes the
+    comparison one column regardless of width.  Returns (key, status).
+    """
+    def hashed(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(key_col),
+            F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in compare_cols]))
+            .alias(f"_h_{side}"),
+        )
+
+    j = hashed(old, "old").join(hashed(new, "new"), key_col, "full_outer")
+    status = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") == F.col("_h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(F.col(key_col), status.alias("status"))

@@ -273,3 +273,41 @@ def doc_frequency(df: DataFrame, text_col: str, id_col: str, top: int = 20) -> D
         .orderBy(F.col("df").desc(), F.col("tok"))
         .limit(top)
     )
+
+
+def classify_by_taxonomy(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    taxonomy: dict[str, str],
+) -> DataFrame:
+    """Keyword-taxonomy topic tagging: explode tokens, equi-join against
+    the (term → topic) taxonomy, count hits per (doc, topic), keep each
+    document's top topic (ties broken alphabetically).
+
+    The taxonomy is a curated vocabulary — thousands of terms at most —
+    so the join is a broadcast hash join against the exploded corpus:
+    no shuffle touches the corpus until the per-doc argmax, whose input
+    is already collapsed to (doc, topic) rows.  Returns
+    (id, topic, hits).
+    """
+    from pyspark.sql.window import Window
+
+    tax = df.sparkSession.createDataFrame(
+        sorted(taxonomy.items()), ["tok", "topic"]
+    )
+    toks = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(normalized_tokens(F.col(text_col))).alias("tok"),
+    )
+    hits = (
+        toks.join(F.broadcast(tax), "tok")
+        .groupBy("id", "topic")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    w = Window.partitionBy("id").orderBy(F.col("hits").desc(), F.col("topic"))
+    return (
+        hits.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )

@@ -256,3 +256,72 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "orders"),
         ["o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"],
     )
+
+
+@register(
+    "gap_filled_hourly_rates",
+    oracle="""
+    WITH hourly AS (
+      SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, COUNT(*) AS n
+      FROM events GROUP BY 1
+    ), b AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM hourly),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b
+    )
+    SELECT spine.hr, COALESCE(hourly.n, 0) AS n
+    FROM spine LEFT JOIN hourly USING (hr)
+    """,
+)
+def gap_filled_hourly_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly event rates: silent hours appear as explicit zeros via
+    a generated hour spine (time-bounded, never data-sized) — the
+    densification step before any differencing/anomaly model."""
+    from hotdog_spark.operators.analytics import gap_filled_hourly_counts
+
+    return gap_filled_hourly_counts(table(spark, sf_dir, "events"), "ts")
+
+
+@register(
+    "snapshot_diff_orders",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, CAST(o_totalprice AS VARCHAR) AS h
+      FROM orders WHERE o_orderkey % 10 != 3
+    ), new AS (
+      SELECT o_orderkey,
+             CAST(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1
+                       ELSE o_totalprice END AS VARCHAR) AS h
+      FROM orders WHERE o_orderkey % 10 != 7
+    ), d AS (
+      SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+             CASE WHEN old.o_orderkey IS NULL THEN 'added'
+                  WHEN new.o_orderkey IS NULL THEN 'removed'
+                  WHEN old.h = new.h THEN 'unchanged'
+                  ELSE 'changed' END AS status
+      FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    )
+    SELECT status, COUNT(*) AS n, MIN(o_orderkey) AS min_key
+    FROM d GROUP BY status
+    """,
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff CDC: two simulated snapshots of `orders` (disjoint
+    key slices removed/added, every 5th price bumped) full-outer-joined on
+    the key with a row hash — added/removed/changed/unchanged labels in
+    one co-partitioned join."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.analytics import snapshot_diff
+
+    o = table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 10 != 3).select("o_orderkey", "o_totalprice")
+    new = o.filter(F.col("o_orderkey") % 10 != 7).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    d = snapshot_diff(old, new, "o_orderkey", ["o_totalprice"])
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n"), F.min("o_orderkey").alias("min_key")
+    )

@@ -308,3 +308,39 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("content_hash").alias("n_unique"),
         (F.count(F.lit(1)) - F.countDistinct("content_hash")).alias("n_dup_rows"),
     )
+
+
+TAXONOMY = {
+    "agg": "compute", "hash": "compute", "join": "compute",
+    "merge": "compute", "scan": "compute", "sort": "compute",
+    "batch": "streaming", "stream": "streaming", "window": "streaming",
+    "column": "storage", "data": "storage", "row": "storage", "table": "storage",
+}
+
+_TAX_VALUES = ", ".join(f"('{t}', '{c}')" for t, c in sorted(TAXONOMY.items()))
+
+
+@register(
+    "classify_docs_by_taxonomy",
+    oracle=f"""
+    WITH tax(tok, topic) AS (VALUES {_TAX_VALUES}),
+    toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ), hits AS (
+      SELECT doc_id, topic, COUNT(*) AS hits
+      FROM toks JOIN tax USING (tok) GROUP BY doc_id, topic
+    )
+    SELECT doc_id, topic, hits FROM hits
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY hits DESC, topic) = 1
+    """,
+)
+def classify_docs_by_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-taxonomy topic tagging: each document labeled with its
+    dominant topic by curated-vocabulary hits (broadcast taxonomy join —
+    the corpus never shuffles until the per-doc argmax)."""
+    from hotdog_spark.operators.textops import classify_by_taxonomy
+
+    return classify_by_taxonomy(
+        table(spark, sf_dir, "documents"), "text", "doc_id", TAXONOMY
+    ).withColumnRenamed("id", "doc_id")

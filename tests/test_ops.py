@@ -642,3 +642,24 @@ def test_incremental_dedup_admits_only_new(spark):
     )
     kept = incremental_dedup(batch, index, "text", "doc_id").collect()
     assert [(r.keep_id) for r in kept] == [11]
+
+
+def test_snapshot_diff_labels(spark):
+    from hotdog_spark.operators.analytics import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], ["k", "v"])
+    new = spark.createDataFrame([(2, "b"), (3, "CHANGED"), (4, "d")], ["k", "v"])
+    got = {r.k: r.status for r in snapshot_diff(old, new, "k", ["v"]).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_gap_filled_hourly_zero_rows(spark):
+    import datetime as dt
+
+    from hotdog_spark.operators.analytics import gap_filled_hourly_counts
+
+    t0 = dt.datetime(2026, 1, 1, 0, 30)
+    rows = [(t0,), (t0 + dt.timedelta(hours=3),)]  # hours 1 and 2 silent
+    df = spark.createDataFrame(rows, ["ts"])
+    got = {r.hr.hour: r.n for r in gap_filled_hourly_counts(df, "ts").collect()}
+    assert got == {0: 1, 1: 0, 2: 0, 3: 1}
