@@ -56,6 +56,7 @@ HEADLINE = [
     "text_pii_scrub",              # PII/denylist regex redaction audit
     "text_repetition_stats",       # islands run-detection repetition filters
     "decontaminate_ngram_overlap", # broadcast benchmark-gram decontamination
+    "pipeline_corpus_build",       # composed scrub→gate→dedup→pack pipeline
 ]
 
 

@@ -181,3 +181,65 @@ def rebalance_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("source", "n_before").agg(
         F.count(F.lit(1)).alias("n_kept")
     )
+
+
+@register(
+    "pipeline_corpus_build",
+    oracle=f"""
+    WITH red AS (
+      SELECT doc_id, lang, {_REDACTED} AS rtext, {_QUALITY_SQL} AS quality
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, lang, quality,
+             substring(md5(trim(regexp_replace(rtext, '\\s+', ' ', 'g'))), 1, 16) AS fp,
+             len(string_split_regex(trim(rtext), '\\s+')) AS n_tokens
+      FROM red
+    ), surv AS (SELECT * FROM feats WHERE quality > 0.1),
+    kept AS (
+      SELECT fp, MIN(doc_id) AS doc_id, arg_min(lang, doc_id) AS lang,
+             arg_min(n_tokens, doc_id) AS n_tokens
+      FROM surv GROUP BY fp
+    ), packed AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0)
+                  AS BIGINT) AS bin
+      FROM kept
+    )
+    SELECT lang, bin, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+    FROM packed GROUP BY lang, bin
+    """,
+)
+def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END corpus build in one DAG: PII/denylist redaction →
+    quality gate → redacted-fingerprint dedup (min-id canonical) →
+    per-language 2048-token sequence packing → bin accounting.
+
+    Feature extraction is a single projection riding the scan; the whole
+    pipeline costs one fp aggregate + one language-keyed window + the
+    final bin aggregate — the composed shape a 100 TB corpus wash
+    actually executes, with every intermediate engine-deterministic.
+    """
+    from hotdog_spark.operators.dedup import normalized_tokens
+    from hotdog_spark.operators.sampling import pack_token_budget
+    from hotdog_spark.operators.textops import fingerprint_expr, quality_expr
+
+    docs = table(spark, sf_dir, "documents")
+    red = privacy.redacted_text(F.col("text"), DENY_TERMS)
+    feats = docs.select(
+        "doc_id",
+        "lang",
+        quality_expr(F.col("text")).alias("quality"),
+        fingerprint_expr(red).alias("fp"),
+        F.size(normalized_tokens(red)).alias("n_tokens"),
+    )
+    surv = feats.filter(F.col("quality") > 0.1)
+    kept = surv.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min_by("lang", "doc_id").alias("lang"),
+        F.min_by("n_tokens", "doc_id").alias("n_tokens"),
+    )
+    packed = pack_token_budget(kept, "doc_id", "n_tokens", 2048, group_col="lang")
+    return packed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("bin_tokens")
+    )
