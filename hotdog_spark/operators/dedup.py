@@ -302,3 +302,44 @@ def incremental_dedup(
     )
     fresh = batch.join(index.select("fp"), "fp", "left_anti")
     return fresh.groupBy("fp").agg(F.min("_id").alias("keep_id"))
+
+
+def fuzzy_pairs_levenshtein(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_dist: int = 25,
+) -> DataFrame:
+    """String-similarity join: near-duplicate pairs by Levenshtein edit
+    distance, with candidate generation by blocking instead of all-pairs.
+
+    Blocking key = (token count, first token): a cheap projection that
+    near-identical texts almost always share, so the self-join explodes
+    per-block (tiny) instead of per-corpus (n²).  Candidates then pay the
+    exact O(len²) edit-distance check — an integer metric, so thresholds
+    behave identically in every engine.  Returns (a_id, b_id, dist) with
+    a_id < b_id.
+    """
+    toks = normalized_tokens(F.col(text_col))
+    blocked = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("t"),
+        F.size(toks).alias("_n"),
+        F.element_at(toks, 1).alias("_t0"),
+    )
+    a = blocked.select(
+        F.col("id").alias("a_id"), F.col("t").alias("a_t"), "_n", "_t0"
+    )
+    b = blocked.select(
+        F.col("id").alias("b_id"), F.col("t").alias("b_t"), "_n", "_t0"
+    )
+    return (
+        a.join(b, ["_n", "_t0"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.levenshtein(F.col("a_t"), F.col("b_t")).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )

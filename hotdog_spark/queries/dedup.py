@@ -276,3 +276,31 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return incremental_dedup(docs.filter(~is_old), index, "text", "doc_id")
+
+
+@register(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    WITH blocked AS (
+      SELECT doc_id, text,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n,
+             string_split_regex(trim(lower(text)), '\\s+')[1] AS t0
+      FROM documents
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           levenshtein(a.text, b.text) AS dist
+    FROM blocked a JOIN blocked b ON a.n = b.n AND a.t0 = b.t0
+    WHERE a.doc_id < b.doc_id AND levenshtein(a.text, b.text) <= 120
+    """,
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy near-dup pairs by edit distance with (token-count, first
+    token) blocking — the exact-verification stage fuzzy dedup runs on
+    LSH/blocked candidates, never on all pairs.  (Threshold 120: the
+    synthetic corpus has no exact dups; its nearest blocked pairs sit at
+    distance ≥ 41.)"""
+    from hotdog_spark.operators.dedup import fuzzy_pairs_levenshtein
+
+    return fuzzy_pairs_levenshtein(
+        table(spark, sf_dir, "documents"), "text", "doc_id", max_dist=120
+    )

@@ -663,3 +663,20 @@ def test_gap_filled_hourly_zero_rows(spark):
     df = spark.createDataFrame(rows, ["ts"])
     got = {r.hr.hour: r.n for r in gap_filled_hourly_counts(df, "ts").collect()}
     assert got == {0: 1, 1: 0, 2: 0, 3: 1}
+
+
+def test_fuzzy_levenshtein_blocking(spark):
+    from hotdog_spark.operators.dedup import fuzzy_pairs_levenshtein
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "alpha beta gamxa"),    # dist 1, same block
+            (3, "alpha beta"),          # different token count → unblocked
+            (4, "zeta beta gamma"),     # different first token → unblocked
+        ],
+        ["doc_id", "text"],
+    )
+    got = {(r.a_id, r.b_id): r.dist
+           for r in fuzzy_pairs_levenshtein(df, "text", "doc_id", 5).collect()}
+    assert got == {(1, 2): 1}
