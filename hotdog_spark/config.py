@@ -28,7 +28,8 @@ import yaml
 
 # Matches the dotted-identifier subset of JMESPath that ships in every
 # reference config (e.g. ``meta.topic``, hotdog.yml:46).  Anything outside
-# this subset requires the optional ``jmespath`` package (UDF slow path).
+# this subset runs through the bundled jmespath_lite evaluator as an
+# Arrow-batched UDF (functions/jsonquery.py — the sanctioned slow path).
 _JMESPATH_SUBSET = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*(\.[A-Za-z_][A-Za-z0-9_]*)*$")
 
 VALID_FIELDS = ("msg", "severity", "facility", "hostname", "appname")
@@ -183,26 +184,21 @@ def validate_jmespath(expression: str) -> str:
     """Validate a JMESPath expression at config-load time.
 
     Returns "subset" when the expression is a dotted identifier path our
-    native JSONPath translation covers, or "full" when the optional
-    ``jmespath`` package is present and compiles it.  Raises ConfigError
-    otherwise — mirroring the reference where JMESPath compile failure
-    disables processing (src/connection.rs:76-82, 293-307; the invalid
-    fixture test/configs/single-rule-with-invalid-jmespath.yml must fail).
+    native JSONPath translation covers, or "full" when the bundled
+    jmespath_lite evaluator compiles it (UDF matcher path).  Raises
+    ConfigError otherwise — mirroring the reference where JMESPath compile
+    failure disables processing (src/connection.rs:76-82, 293-307; the
+    invalid fixture test/configs/single-rule-with-invalid-jmespath.yml
+    must fail).
     """
     if _JMESPATH_SUBSET.match(expression):
         return "subset"
-    try:
-        import jmespath  # type: ignore
+    from hotdog_spark.functions import jmespath_lite
 
-        jmespath.compile(expression)
+    try:
+        jmespath_lite.compile(expression)
         return "full"
-    except ImportError:
-        raise ConfigError(
-            f"JMESPath expression {expression!r} is outside the natively "
-            "supported dotted-path subset and the `jmespath` package is "
-            "not installed"
-        ) from None
-    except Exception as e:
+    except jmespath_lite.JMESPathSyntaxError as e:
         raise ConfigError(f"invalid JMESPath expression {expression!r}: {e}") from e
 
 

@@ -124,15 +124,26 @@ class CompiledCascade:
     rules: list[CompiledRule]
 
 
+def _jmespath_is_subset(expr: str) -> bool:
+    from hotdog_spark.config import _JMESPATH_SUBSET
+
+    return bool(_JMESPATH_SUBSET.match(expr))
+
+
 def _match_condition(rule: Rule, field_col: Column) -> Column:
     if rule.regex is not None:
         # rlike on a null column yields null, which CaseWhen treats as
         # false — the null-field guard comes free (SURVEY §2.3 F3).
         return field_col.rlike(java_pattern(rule.regex))
-    # JMESPath: match iff the (dotted-path subset) result is non-null.
-    # get_json_object returns null for invalid JSON, missing keys and JSON
-    # null — exactly the reference's match-iff-non-null (src/rules.rs:75-93).
-    return F.get_json_object(field_col, _jsonpath(rule.jmespath)).isNotNull()
+    # JMESPath: match iff the result is non-null (src/rules.rs:75-93).
+    # Dotted-path subset → native get_json_object (null for invalid JSON,
+    # missing keys and JSON null); anything richer → the bundled
+    # jmespath_lite evaluator as an Arrow-batched UDF.
+    if _jmespath_is_subset(rule.jmespath):
+        return F.get_json_object(field_col, _jsonpath(rule.jmespath)).isNotNull()
+    from hotdog_spark.functions.jsonquery import jmespath_struct
+
+    return jmespath_struct(field_col, rule.jmespath)["res_json"].isNotNull()
 
 
 def _rule_variables(
@@ -145,8 +156,13 @@ def _rule_variables(
             # Unmatched optional groups extract as "" — handlebars renders
             # missing vars as "" too, so behavior matches the reference.
             variables[name] = F.regexp_extract(field_col, pat, idx)
-    else:
+    elif _jmespath_is_subset(rule.jmespath):
         variables["value"] = _jmespath_value_var(field_col, rule.jmespath)
+    else:
+        from hotdog_spark.functions.jsonquery import jmespath_struct
+
+        # string results only, like the subset path (src/rules.rs:83-90)
+        variables["value"] = jmespath_struct(field_col, rule.jmespath)["res_str"]
     # Built-ins inserted last → they shadow captures (src/connection.rs:155-157).
     variables["msg"] = msg
     variables["version"] = F.lit(ENGINE_VERSION)

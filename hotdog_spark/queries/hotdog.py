@@ -323,3 +323,49 @@ def replace_template_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     routed = process_envelope(env, settings)
     return routed.select("doc_id", "payload", "topic")
+
+
+@register(
+    "jmespath_full_filter",
+    oracle="""
+    SELECT event_id,
+           concat_ws(',',
+             CASE WHEN event_id % 7 >= 4 THEN 'a' END,
+             CASE WHEN user_id % 7 >= 4 THEN 'b' END) AS names,
+           (CASE WHEN event_id % 7 >= 4 THEN 1 ELSE 0 END
+            + CASE WHEN user_id % 7 >= 4 THEN 1 ELSE 0 END) AS n
+    FROM events
+    """,
+)
+def jmespath_full_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-JMESPath matcher path (filters + functions + multihash via the
+    bundled jmespath_lite evaluator, functions/jsonquery.py): JSON rows
+    synthesized from `events` columns run through
+    ``{names: join(',', items[?sev >= `4`].name), n: length(...)}``;
+    the oracle derives the same answers arithmetically from the source
+    columns — two independent routes to one result.  Reference parity:
+    src/rules.rs:75-93 (full JMESPath matching)."""
+    from hotdog_spark.functions.jsonquery import jmespath_struct
+
+    ev = fan_out(table(spark, sf_dir, "events")).select(
+        "event_id",
+        F.concat(
+            F.lit('{"items":[{"sev":'),
+            (F.col("event_id") % 7).cast("string"),
+            F.lit(',"name":"a"},{"sev":'),
+            (F.col("user_id") % 7).cast("string"),
+            F.lit(',"name":"b"}]}'),
+        ).alias("payload"),
+    )
+    expr = (
+        "{names: join(',', items[?sev >= `4`].name), "
+        "n: length(items[?sev >= `4`])}"
+    )
+    res = ev.select(
+        "event_id", jmespath_struct(F.col("payload"), expr)["res_json"].alias("r")
+    )
+    return res.select(
+        "event_id",
+        F.get_json_object("r", "$.names").alias("names"),
+        F.get_json_object("r", "$.n").cast("int").alias("n"),
+    )

@@ -309,3 +309,59 @@ def test_cli_test_mode_report(spark, canonical, tmp_path):
     i = report.index("Line 4 matches on:")
     assert report[i + 1] == "\t - JMESPath: meta.topic"
     assert report[i + 2] == "\t - Regex: .*"
+
+
+def test_full_jmespath_rule_cascade(spark, tmp_path):
+    """A rule whose JMESPath uses filters/functions (beyond the dotted
+    subset) matches via the bundled jmespath_lite UDF path, exposes the
+    string result as {{value}}, and composes with the cascade."""
+    cfg = tmp_path / "full-jmespath.yml"
+    cfg.write_text(
+        """
+---
+global:
+  listen:
+    address: '127.0.0.1'
+    port: 514
+rules:
+  - jmespath: "alerts[?sev >= `3`].name | join(',', @)"
+    field: msg
+    actions:
+      - type: forward
+        topic: 'sev-{{value}}'
+"""
+    )
+    from hotdog_spark.config import load
+
+    settings = load(str(cfg))
+    msgs = [
+        '{"alerts":[{"sev":5,"name":"disk"},{"sev":1,"name":"noise"},{"sev":4,"name":"mem"}]}',
+        '{"alerts":[{"sev":1,"name":"noise"}]}',   # join -> "" (still a match)
+        "not json at all",                          # no match
+    ]
+    out = route(spark, settings, msgs)
+    assert out[msgs[0]][0] == "sev-disk,mem"
+    assert out[msgs[1]][0] == "sev-"
+    assert msgs[2] not in out  # no match → no topic → dropped
+
+
+def test_full_jmespath_invalid_still_fails(tmp_path):
+    from hotdog_spark.config import ConfigError, load
+
+    cfg = tmp_path / "bad.yml"
+    cfg.write_text(
+        """
+---
+global:
+  listen:
+    address: '127.0.0.1'
+    port: 514
+rules:
+  - jmespath: "alerts[?sev >= "
+    field: msg
+    actions:
+      - type: stop
+"""
+    )
+    with pytest.raises(ConfigError):
+        load(str(cfg))
