@@ -343,3 +343,48 @@ def fuzzy_pairs_levenshtein(
         )
         .filter(F.col("dist") <= max_dist)
     )
+
+
+def materialize_minhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    table_name: str,
+    bands: int = 8,
+    k: int = 3,
+    buckets: int = 32,
+) -> None:
+    """Materialize MinHash signatures as a bucketed table: the 100 TB
+    move that turns every later LSH self-join into a co-located scan.
+
+    Signatures are computed once and written ``bucketBy(buckets, band,
+    sig)`` + sorted, so ``lsh_pairs_from_index`` plans a sort-merge join
+    with ZERO exchanges (asserted in tests/test_plans.py) — re-dedup
+    against a grown corpus stops paying the signature shuffle entirely.
+    """
+    (
+        minhash_signatures(df, text_col, id_col, bands, k)
+        .write.bucketBy(buckets, "band", "sig")
+        .sortBy("band", "sig")
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
+def lsh_pairs_from_index(spark, table_name: str) -> DataFrame:
+    """Candidate pairs from a materialized signature index (see
+    ``materialize_minhash_index``): co-located self-join on (band, sig),
+    no shuffle of the signature table."""
+    sigs = spark.table(table_name)
+    a = sigs.select("band", "sig", F.col("id").alias("id_a"))
+    b = sigs.select(
+        F.col("band").alias("band_b"),
+        F.col("sig").alias("sig_b"),
+        F.col("id").alias("id_b"),
+    )
+    return (
+        a.join(b, (a.band == b.band_b) & (a.sig == b.sig_b) & (a.id_a < b.id_b))
+        .select("id_a", "id_b")
+        .distinct()
+    )

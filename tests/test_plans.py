@@ -218,3 +218,48 @@ def test_q19_disjunction_pushes_both_sides(spark):
     part_scan = next(ln for ln in scans if "part.parquet" in ln)
     assert "l_quantity" in li_scan.split("DataFilters:")[1]
     assert "p_brand" in part_scan.split("DataFilters:")[1]
+
+
+def test_minhash_index_join_has_no_signature_shuffle(spark, tmp_path):
+    """The materialized (bucketed) MinHash index makes the LSH candidate
+    self-join co-located: no Exchange below the join, and the candidates
+    match the direct (unmaterialized) path exactly."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.dedup import (
+        lsh_pairs_from_index,
+        materialize_minhash_index,
+        minhash_lsh_pairs,
+    )
+
+    db = f"mh_{uuid.uuid4().hex[:8]}"
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{tmp_path}/wh'")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta {'x' if i % 3 else 'epsilon'} {i % 5}")
+             for i in range(60)],
+            ["doc_id", "text"],
+        )
+        materialize_minhash_index(
+            docs, "text", "doc_id", f"{db}.sigs", bands=4, buckets=4
+        )
+        pairs = lsh_pairs_from_index(spark, f"{db}.sigs")
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        join_part = plan[plan.find("SortMergeJoin"):]
+        # the only exchange allowed is for the final distinct(), above the join
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning(band" not in plan
+        expected = {
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(docs, "text", "doc_id", bands=4).collect()
+        }
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert got == expected and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql(f"DROP DATABASE {db} CASCADE")
