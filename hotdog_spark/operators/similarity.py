@@ -106,6 +106,70 @@ def _lit_vec(values: list[int]) -> Column:
     return F.array(*[F.lit(int(v)) for v in values])
 
 
+def _centroid_rows(
+    base: DataFrame,
+    centroid_filter: Column | None,
+    centroids: list[tuple[int, list[int]]] | None,
+) -> list[tuple[int, list[int], int]]:
+    """(cell_id, quantized_vector, |c|²) triples — the tiny trained model,
+    collected to the driver and inlined as literals."""
+    if centroids is not None:
+        # externally trained model (e.g. kmeans_quantized output)
+        return [(cid, qc, sum(int(x) * int(x) for x in qc)) for cid, qc in centroids]
+    return [
+        (r["vid"], r["q"], r["n2"]) for r in base.filter(centroid_filter).collect()
+    ]
+
+
+def _sorted_cells_expr(cents: list[tuple[int, list[int], int]]) -> Column:
+    """Array of (d², cell_id) structs sorted nearest-first, evaluated per
+    row against the (q, n2) columns: cell assignment as a pure projection."""
+
+    def dist2_to(qc: list[int], n2c: int) -> Column:
+        # |v - c|^2 = n2(v) + n2(c) - 2·v·c, all bigint-exact.
+        return F.col("n2") + F.lit(int(n2c)) - F.lit(2) * _dot(F.col("q"), _lit_vec(qc))
+
+    return F.array_sort(
+        F.array(
+            *[
+                F.struct(dist2_to(qc, n2c).alias("d2"), F.lit(int(cid)).alias("cid"))
+                for cid, qc, n2c in cents
+            ]
+        )
+    )
+
+
+def materialize_ivf_index(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    path: str,
+    centroid_filter: Column | None = None,
+    centroids: list[tuple[int, list[int]]] | None = None,
+) -> list[tuple[int, list[int], int]]:
+    """Materialize IVF cell assignments partitioned by cell — the ANN
+    counterpart of ``materialize_minhash_index``: every later probe scans
+    only its ``nprobe`` cell directories (parquet partition pruning,
+    asserted in tests/test_plans.py), not the corpus.
+
+    Returns the centroid triples so probes rank cells with the exact
+    model that built the index.
+    """
+    base = with_quantized(df, vec_col, id_col)
+    cents = _centroid_rows(base, centroid_filter, centroids)
+    cells = _sorted_cells_expr(cents)
+    assigned = base.withColumn("cell", F.element_at(cells, 1).getField("cid"))
+    assigned.write.partitionBy("cell").mode("overwrite").parquet(path)
+    return cents
+
+
+def ivf_candidates_from_index(spark, path: str, cells: list[int]) -> DataFrame:
+    """Candidate vectors for a probe from a materialized IVF index: a
+    scan with ``cell IN (…)`` that prunes to the probed partitions."""
+    idx = spark.read.parquet(path)
+    return idx.filter(idx.cell.isin([int(c) for c in cells]))
+
+
 def ivf_topk(
     df: DataFrame,
     vec_col: str,
@@ -137,30 +201,8 @@ def ivf_topk(
     cell, score, rank).
     """
     base = with_quantized(df, vec_col, id_col)
-    if centroids is not None:
-        # externally trained model (e.g. kmeans_quantized output):
-        # (cell_id, quantized_vector) pairs become the cell literals
-        cents = [
-            (cid, qc, sum(int(x) * int(x) for x in qc)) for cid, qc in centroids
-        ]
-    else:
-        cents = [
-            (r["vid"], r["q"], r["n2"])
-            for r in base.filter(centroid_filter).collect()
-        ]
-
-    def dist2_to(cid: int, qc: list[int], n2c: int) -> Column:
-        # |v - c|^2 = n2(v) + n2(c) - 2·v·c, all bigint-exact.
-        return F.col("n2") + F.lit(int(n2c)) - F.lit(2) * _dot(F.col("q"), _lit_vec(qc))
-
-    cells = F.array_sort(
-        F.array(
-            *[
-                F.struct(dist2_to(cid, qc, n2c).alias("d2"), F.lit(int(cid)).alias("cid"))
-                for cid, qc, n2c in cents
-            ]
-        )
-    )
+    cents = _centroid_rows(base, centroid_filter, centroids)
+    cells = _sorted_cells_expr(cents)
     assigned = base.withColumn("cell", F.element_at(cells, 1).getField("cid"))
 
     probes = (

@@ -263,3 +263,39 @@ def test_minhash_index_join_has_no_signature_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql(f"DROP DATABASE {db} CASCADE")
+
+
+def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
+    """A materialized IVF index (partitionBy cell) turns probing into a
+    partition-pruned scan: PartitionFilters on `cell`, and the candidate
+    set equals the unmaterialized assignment path."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.similarity import (
+        _sorted_cells_expr,
+        ivf_candidates_from_index,
+        materialize_ivf_index,
+        with_quantized,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 7) + 1.0, float((i * 3) % 5) + 1.0]) for i in range(80)],
+        ["vec_id", "embedding"],
+    )
+    path = str(tmp_path / "ivf_idx")
+    cents = materialize_ivf_index(
+        vecs, "embedding", "vec_id", path, centroid_filter=F.col("vid") < 3
+    )
+    assert len(cents) == 3
+    probe_cells = [cents[0][0], cents[1][0]]
+    cand = ivf_candidates_from_index(spark, path, probe_cells)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters")[1][:120]
+    # parity with the direct (unmaterialized) assignment
+    base = with_quantized(vecs, "embedding", "vec_id")
+    assigned = base.withColumn(
+        "cell", F.element_at(_sorted_cells_expr(cents), 1).getField("cid")
+    )
+    expected = {r.vid for r in assigned.filter(F.col("cell").isin(probe_cells)).collect()}
+    got = {r.vid for r in cand.collect()}
+    assert got == expected and len(got) > 0
