@@ -299,3 +299,49 @@ def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
     expected = {r.vid for r in assigned.filter(F.col("cell").isin(probe_cells)).collect()}
     got = {r.vid for r in cand.collect()}
     assert got == expected and len(got) > 0
+
+
+def test_aqe_splits_skewed_join(spark, tmp_path):
+    """AQE skew-join handling is the engine's answer to hot keys when
+    salting isn't configured: with skew thresholds scaled to the test
+    data, the final adaptive plan marks the sort-merge join skew=true
+    (runtime partition splitting) — the safety net under every big join
+    at 100 TB."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "32",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # 95% of the fact rows share one key; dim side is uniform
+        fact = spark.range(2_000_000).select(
+            F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        # no keyed operator above the join (that would veto skew splitting);
+        # the post-join filter keeps the collected result tiny
+        joined = fact.join(dim, "k").filter(F.col("v") % 997 == 0)
+        rows = joined.collect()  # finalizes THIS df's adaptive plan
+        assert len(rows) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
