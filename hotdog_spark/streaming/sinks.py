@@ -184,3 +184,54 @@ def memory_sink(routed: DataFrame, name: str) -> StreamingQuery:
         .outputMode("append")
         .start()
     )
+
+
+def upsert_parquet_sink(
+    routed: DataFrame,
+    path: str,
+    keys: list[str],
+    ts_col: str,
+    tiebreak_col: str,
+    checkpoint: str,
+):
+    """Materialize a change stream into a keyed current-state parquet
+    table (streaming upsert / log compaction): per micro-batch, reduce
+    the batch to its latest row per key, merge with the existing table,
+    and atomically swap the result in via a staging directory + Hadoop
+    FileSystem rename.
+
+    This is the streaming twin of ``operators.temporal.latest_snapshot``
+    — the dimension-table materialization the reference's topic router
+    feeds but cannot build.  The staging swap is atomic on HDFS/local
+    filesystems; on object stores, rename is copy-based — production
+    deployments there should use a table format with MERGE INTO
+    (Delta/Iceberg) behind the same per-batch reduction.
+    """
+    from hotdog_spark.operators.temporal import latest_snapshot
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_latest = latest_snapshot(batch_df, keys, ts_col, tiebreak_col)
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        hadoop_conf = jsc.hadoopConfiguration()
+        fs_path = jvm.org.apache.hadoop.fs.Path(path)
+        fs = fs_path.getFileSystem(hadoop_conf)
+        if fs.exists(fs_path):
+            existing = spark.read.parquet(path)
+            merged = latest_snapshot(
+                existing.unionByName(batch_latest), keys, ts_col, tiebreak_col
+            )
+        else:
+            merged = batch_latest
+        staging = path.rstrip("/") + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        staging_path = jvm.org.apache.hadoop.fs.Path(staging)
+        fs.delete(fs_path, True)
+        fs.rename(staging_path, fs_path)
+
+    return (
+        routed.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )

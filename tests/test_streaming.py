@@ -872,3 +872,46 @@ def test_streaming_curation_pipeline(spark, tmp_path):
         assert got[1].scrub_fp == got[3].scrub_fp != got[2].scrub_fp
     finally:
         q.stop()
+
+
+def test_upsert_parquet_sink_builds_current_state(spark, tmp_path):
+    """The streaming upsert sink replays a change log into the same
+    current-state table the batch latest_snapshot computes — one keyed
+    materialization usable from both engines' paths."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.temporal import latest_snapshot
+    from hotdog_spark.streaming.sinks import upsert_parquet_sink
+    from hotdog_spark.streaming.sources import parquet_replay
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (1, t0, 10.0, 1),
+        (2, t0, 20.0, 2),
+        (1, t0 + dt.timedelta(minutes=1), 11.0, 3),   # upsert of key 1
+        (3, t0 + dt.timedelta(minutes=2), 30.0, 4),
+        (2, t0 + dt.timedelta(minutes=2), 21.0, 5),   # upsert of key 2
+    ]
+    log = str(tmp_path / "changelog")
+    df = spark.createDataFrame(rows, ["k", "ts", "v", "seq"])
+    df.repartition(3).write.parquet(log)
+    schema = spark.read.parquet(log).schema
+
+    state = str(tmp_path / "state")
+    stream = parquet_replay(spark, log, schema, max_files_per_trigger=1)
+    q = upsert_parquet_sink(
+        stream, state, ["k"], "ts", "seq", str(tmp_path / "ckpt")
+    ).start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r.k: (r.v, r.seq) for r in spark.read.parquet(state).collect()}
+    want = {
+        r.k: (r.v, r.seq)
+        for r in latest_snapshot(df, ["k"], "ts", "seq").collect()
+    }
+    assert got == want == {1: (11.0, 3), 2: (21.0, 5), 3: (30.0, 4)}
