@@ -71,3 +71,28 @@ def test_query_matches_oracle(spark, duck, name):
         (a, b) for a, b in zip(s_rows, d_rows) if a != b
     ]
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+def test_harness_detects_mismatches(spark, duck):
+    """Negative control: the comparator must FLAG a wrong result — guards
+    against the sweep silently going vacuous (e.g. a canon() bug folding
+    every value to the same string)."""
+    name = "q6_forecast_revenue"
+    spark_df = QUERIES[name](spark, SF_DIR).toPandas()
+    sc, sr = _canon(spark_df)
+    # value perturbation
+    wrong = duck.execute(
+        f"SELECT revenue + 1 AS revenue, n FROM ({ORACLES[name]}) t"
+    ).fetchdf()
+    dc, dr = _canon(wrong)
+    assert sc == dc and sr != dr
+    # column-name perturbation
+    renamed = duck.execute(
+        f"SELECT revenue AS not_revenue, n FROM ({ORACLES[name]}) t"
+    ).fetchdf()
+    dc2, _ = _canon(renamed)
+    assert sc != dc2
+    # row-count perturbation
+    fewer = duck.execute(f"SELECT * FROM ({ORACLES[name]}) t LIMIT 0").fetchdf()
+    _, dr3 = _canon(fewer)
+    assert sr != dr3
