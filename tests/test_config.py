@@ -81,3 +81,26 @@ def test_kafka_parquet_mutually_exclusive():
 def test_uuid_assigned():
     s = load(os.path.join(CONFIGS, "canonical.yml"))
     assert len({r.uuid for r in s.rules}) == 3
+
+
+def test_reference_example_configs_load_unchanged():
+    """The reference's shipped example configs (hotdog.yml,
+    hotdog-parquet.yml) load without edits — the switch-without-rewriting
+    property a migrating user needs."""
+    kafka_cfg = load(os.path.join(CONFIGS, "hotdog-kafka-example.yml"))
+    g = kafka_cfg.global_
+    assert g.listen.tls is not None
+    assert g.kafka.buffer == 1024
+    assert g.kafka.topic == "test"
+    assert g.kafka.conf["bootstrap.servers"] == "127.0.0.1:9092"
+    assert g.status["port"] == 8585
+    assert [r.regex or r.jmespath for r in kafka_cfg.rules] == [
+        r"^hello\s+(?P<name>\w+)?", "meta.topic", ".*",
+    ]
+
+    pq_cfg = load(os.path.join(CONFIGS, "hotdog-parquet-example.yml"))
+    gp = pq_cfg.global_
+    assert gp.parquet.url == "s3://hotdog/streams/"
+    assert gp.parquet.buffer == 1024000
+    assert gp.parquet.flush_ms == 60000
+    assert gp.kafka is None
