@@ -411,3 +411,53 @@ def kmeans_quantized(
         cents = [(cid, by_cluster.get(cid, qc)) for cid, qc in cents]
 
     return assign(cents), cents
+
+
+def label_cohesion(df: DataFrame, vec_col: str, id_col: str, label_col: str) -> DataFrame:
+    """Per-label embedding cohesion: each label's centroid (exact integer
+    sums over quantized components) and the distribution of its members'
+    squared-L2 distances to it — the class-compactness report that flags
+    mislabeled points and collapsing classes before training.
+
+    Scale shape: the centroid aggregation shuffles only (label, dim)
+    cells — map-side combinable, label×dim rows total, never data-sized —
+    and joins back as a broadcast; the corpus itself is touched by one
+    projection and one final label-keyed aggregate.  Distances are
+    floored to integer millis so the per-label sums are order-independent
+    and engine-exact.  Returns (label, n_vecs, sum_qd2, max_qd2).
+    """
+    base = fan_out(df).select(
+        F.col(id_col).alias("vid"),
+        F.col(label_col).alias("label"),
+        quantized(F.col(vec_col)).alias("q"),
+    )
+    dims = base.select("label", F.posexplode("q").alias("dim", "qv"))
+    cent = dims.groupBy("label", "dim").agg(
+        F.sum("qv").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    cent_arr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "s", "c"))),
+            lambda x: x["s"].cast("double") / x["c"].cast("double"),
+        ).alias("centroid")
+    )
+    scored = base.join(broadcast(cent_arr), "label").select(
+        "label",
+        F.floor(
+            F.aggregate(
+                F.zip_with(
+                    "q",
+                    "centroid",
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            * 1000
+        ).cast("bigint").alias("qd2"),
+    )
+    return scored.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("qd2").alias("sum_qd2"),
+        F.max("qd2").alias("max_qd2"),
+    )

@@ -163,3 +163,41 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum("d2").alias("inertia"),
     )
+
+
+@register(
+    "embedding_label_cohesion",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, label, {_QUANT} AS q FROM embeddings
+    ), dims AS (
+      SELECT label, unnest(q) AS qv, generate_subscripts(q, 1) AS dim FROM base
+    ), cent AS (
+      SELECT label, dim, SUM(qv) AS s, COUNT(*) AS c
+      FROM dims GROUP BY label, dim
+    ), cent_arr AS (
+      SELECT label, list(CAST(s AS DOUBLE) / c ORDER BY dim) AS centroid
+      FROM cent GROUP BY label
+    ), scored AS (
+      SELECT b.label,
+             CAST(FLOOR(list_sum(list_transform(list_zip(b.q, ca.centroid),
+                    p -> (CAST(p[1] AS DOUBLE) - p[2]) * (CAST(p[1] AS DOUBLE) - p[2])))
+                  * 1000) AS BIGINT) AS qd2
+      FROM base b JOIN cent_arr ca USING (label)
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           CAST(SUM(qd2) AS BIGINT) AS sum_qd2, MAX(qd2) AS max_qd2
+    FROM scored GROUP BY label
+    """,
+)
+def embedding_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label class compactness: centroid from exact integer sums, and
+    each member's squared-L2 to it (floored to integer millis so sums are
+    order-independent).  Centroids = label×dim cells, broadcast back —
+    the corpus is one projection + one label-keyed aggregate.  The report
+    that flags mislabeled points/collapsing classes before training."""
+    from hotdog_spark.operators.similarity import label_cohesion
+
+    return label_cohesion(
+        table(spark, sf_dir, "embeddings"), "embedding", "vec_id", "label"
+    )

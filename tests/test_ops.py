@@ -680,3 +680,19 @@ def test_fuzzy_levenshtein_blocking(spark):
     got = {(r.a_id, r.b_id): r.dist
            for r in fuzzy_pairs_levenshtein(df, "text", "doc_id", 5).collect()}
     assert got == {(1, 2): 1}
+
+
+def test_label_cohesion_orders_classes_by_spread(spark):
+    from hotdog_spark.operators.similarity import label_cohesion
+
+    rows = (
+        # label 0: tight cluster around (1, 1)
+        [(i, [1.0 + 0.001 * i, 1.0], 0) for i in range(4)]
+        # label 1: spread out
+        + [(10 + i, [float(i * 5), -float(i * 3)], 1) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {r.label: r for r in label_cohesion(df, "embedding", "vec_id", "label").collect()}
+    assert got[0].n_vecs == got[1].n_vecs == 4
+    assert got[0].sum_qd2 < got[1].sum_qd2
+    assert got[0].max_qd2 < got[1].max_qd2
