@@ -365,3 +365,27 @@ rules:
     )
     with pytest.raises(ConfigError):
         load(str(cfg))
+
+
+def test_reference_example_log_dry_run(spark, canonical, tmp_path):
+    """The reference's own smoke input (example.log:1-4) through our dry
+    run against the canonical config: line 1 matches the hello rule +
+    catch-all, lines 2-3 only the catch-all, line 4 the JMESPath rule +
+    catch-all — the exact matches `hotdog -t example.log` reports
+    (README.adoc:85-98)."""
+    log = tmp_path / "example.log"
+    log.write_text(
+        "hello there\n"
+        "This is a somewhat longer line of logs?\n"
+        "This is a MUCH longer log line and it should not be truncated, hopefully\n"
+        '{"this": "is some JSON data", "which": "should also be transmitted properly", '
+        '"meta" : {"topic" : "test"}}\n'
+    )
+    from hotdog_spark.sources.batch import read_log_file
+
+    df = read_log_file(spark, str(log))
+    rows = {r.line_no: r.matches for r in dry_run(df, canonical).collect()}
+    assert rows[1] == [0, 2]
+    assert rows[2] == [2]
+    assert rows[3] == [2]
+    assert rows[4] == [1, 2]
