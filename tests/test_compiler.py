@@ -389,3 +389,31 @@ def test_reference_example_log_dry_run(spark, canonical, tmp_path):
     assert rows[2] == [2]
     assert rows[3] == [2]
     assert rows[4] == [1, 2]
+
+
+def test_builtin_variables_override_captures(spark):
+    """Code-faithful quirk: README.adoc:348-353 says named groups override
+    built-ins, but the reference inserts built-ins LAST via HashMap insert
+    (src/connection.rs:155-157) — so a capture named `msg` loses to the
+    original message.  We follow the code, not the README."""
+    import hotdog_spark.config as cfg
+
+    settings = cfg.load_dict(
+        {
+            "global": {"listen": {"port": 1}},
+            "rules": [
+                {
+                    "regex": r"^(?P<msg>\w+)",
+                    "field": "msg",
+                    "actions": [
+                        {"type": "replace", "template": "got: {{msg}}"},
+                        {"type": "forward", "topic": "t"},
+                    ],
+                }
+            ],
+        },
+        environ={},
+    )
+    out = route(spark, settings, ["first second"])
+    # capture would render "got: first"; the built-in renders the whole line
+    assert out["first second"][1] == "got: first second"
