@@ -417,3 +417,36 @@ def test_builtin_variables_override_captures(spark):
     out = route(spark, settings, ["first second"])
     # capture would render "got: first"; the built-in renders the whole line
     assert out["first second"][1] == "got: first second"
+
+
+def test_merge_after_replace_discards_replace_output(spark):
+    """Faithful subtlety: merge always reads the ORIGINAL msg, not a prior
+    replace's output (perform_merge takes msg.msg — the &mut is simd-json
+    in-place parsing, not a rewrite; src/connection.rs:213-224, 310-335).
+    So [replace, merge, forward] forwards merged(msg), discarding the
+    replace rendering."""
+    import json as _json
+
+    import hotdog_spark.config as cfg
+
+    settings = cfg.load_dict(
+        {
+            "global": {"listen": {"port": 1}},
+            "rules": [
+                {
+                    "regex": ".*",
+                    "field": "msg",
+                    "actions": [
+                        {"type": "replace", "template": "REPLACED {{msg}}"},
+                        {"type": "merge", "json": {"tag": "x"}},
+                        {"type": "forward", "topic": "t"},
+                    ],
+                }
+            ],
+        },
+        environ={},
+    )
+    msg = '{"a": 1}'
+    out = route(spark, settings, [msg])
+    payload = _json.loads(out[msg][1])
+    assert payload == {"a": 1, "tag": "x"}  # no trace of "REPLACED"
