@@ -450,3 +450,29 @@ def test_merge_after_replace_discards_replace_output(spark):
     out = route(spark, settings, [msg])
     payload = _json.loads(out[msg][1])
     assert payload == {"a": 1, "tag": "x"}  # no trace of "REPLACED"
+
+
+def test_actions_after_forward_are_skipped(spark):
+    """forward BREAKS the action loop (src/connection.rs:210's break) —
+    unlike stop/merge-failure which only set the flag.  A replace after
+    forward must not affect the emitted payload."""
+    import hotdog_spark.config as cfg
+
+    settings = cfg.load_dict(
+        {
+            "global": {"listen": {"port": 1}},
+            "rules": [
+                {
+                    "regex": ".*",
+                    "field": "msg",
+                    "actions": [
+                        {"type": "forward", "topic": "t"},
+                        {"type": "replace", "template": "SHOULD NOT APPEAR"},
+                    ],
+                }
+            ],
+        },
+        environ={},
+    )
+    out = route(spark, settings, ["plain line"])
+    assert out["plain line"] == ("t", "plain line")
