@@ -941,3 +941,45 @@ def join_salted_hot_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(_dec(F.col("o_totalprice"), 14)).cast("double").alias("total"),
     )
+
+
+@register(
+    "null_handling_functions",
+    oracle="""
+    SELECT o_orderkey,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_or_open,
+           CASE WHEN o_totalprice > 100000 THEN NULL
+                ELSE o_totalprice END AS small_price,
+           COALESCE(CASE WHEN o_totalprice > 100000 THEN NULL
+                         ELSE o_totalprice END, -1.0) AS small_price_filled,
+           LEAST(o_orderkey % 7, o_custkey % 5) AS least_mod,
+           GREATEST(o_orderkey % 7, o_custkey % 5) AS greatest_mod,
+           (CASE WHEN o_orderstatus = 'F' THEN NULL ELSE o_orderkey END
+            IS NOT NULL) AS open_flag
+    FROM orders
+    """,
+)
+def null_handling_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling scalar surface: coalesce / nullif / least / greatest
+    / IS NOT NULL over `orders` — completing the conditional-function
+    family next to string/date/json/case_when.  Pure projection."""
+    o = table(spark, sf_dir, "orders")
+    small = F.when(F.col("o_totalprice") > 100000, F.lit(None)).otherwise(
+        F.col("o_totalprice")
+    )
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias(
+            "status_or_open"
+        ),
+        small.alias("small_price"),
+        F.coalesce(small, F.lit(-1.0)).alias("small_price_filled"),
+        F.least(F.col("o_orderkey") % 7, F.col("o_custkey") % 5).alias("least_mod"),
+        F.greatest(F.col("o_orderkey") % 7, F.col("o_custkey") % 5).alias(
+            "greatest_mod"
+        ),
+        F.when(F.col("o_orderstatus") == "F", F.lit(None))
+        .otherwise(F.col("o_orderkey"))
+        .isNotNull()
+        .alias("open_flag"),
+    )
