@@ -120,3 +120,31 @@ def test_matcher_contract_null_means_no_match():
     assert s("meta.topic", {"meta": {"topic": "t1"}}) == "t1"
     assert s("meta.topic", {"meta": {}}) is None
     assert s("meta.topic", "not json object") is None
+
+
+def test_spec_edge_cases():
+    # slices with negative step and bounds clamping
+    assert s("[::-1]", [1, 2, 3]) == [3, 2, 1]
+    assert s("[-2:]", [1, 2, 3]) == [2, 3]
+    # projections stop at pipe but not at chained filters
+    data = {"a": [{"b": [{"c": 1}, {"c": 2}]}, {"b": [{"c": 3}]}]}
+    assert s("a[].b[].c", data) == [1, 2, 3]
+    # nested multiselect inside a projection
+    people = {"people": [{"a": 1, "b": 2}, {"a": 3, "b": 4}]}
+    assert s("people[*].[a, b]", people) == [[1, 2], [3, 4]]
+    # or-expression element defaulting
+    assert s("a || b", {"b": 2}) == 2
+    assert s("a || b", {"a": None, "b": 2}) == 2
+    assert s("a && b", {"a": 1, "b": 2}) == 2
+    # comparisons against missing keys are null → filter drops
+    assert s("x[?missing > `1`]", {"x": [{"v": 5}]}) == []
+    # quoted identifiers with spaces through subexpressions
+    assert s('a."b c".d', {"a": {"b c": {"d": 9}}}) == 9
+    # literals in multiselect hashes
+    assert s("{v: `42`, w: 'str'}", {"anything": 1}) == {"v": 42, "w": "str"}
+    # floor/ceil/abs on negatives
+    assert s("floor(`-1.5`)", {}) == -2
+    assert s("ceil(`-1.5`)", {}) == -1
+    assert s("abs(`-3`)", {}) == 3
+    # merge later args win
+    assert s("merge(`{\"a\":1}`, `{\"a\":2,\"b\":3}`)", {}) == {"a": 2, "b": 3}
