@@ -19,7 +19,7 @@ Supported surface:
   expression references ``&expr``, and functions: length, contains,
   starts_with, ends_with, keys, values, min, max, sum, avg, abs, floor,
   ceil, join, reverse, sort, sort_by, min_by, max_by, map, merge,
-  to_string, to_number, type, not_null.
+  to_array, to_string, to_number, type, not_null.
 
 Search semantics follow the spec: projections map their RHS over
 elements and drop nulls; comparisons between incomparable types yield
@@ -446,6 +446,8 @@ def _eval_func(name: str, args: list, node_args: list, value: Any) -> Any:
                 raise _TypeError
             out.update(d)
         return out
+    if name == "to_array":
+        return a[0] if isinstance(a[0], list) else [a[0]] if a[0] is not None else None
     if name == "to_string":
         return a[0] if isinstance(a[0], str) else json.dumps(a[0])
     if name == "to_number":

@@ -148,3 +148,9 @@ def test_spec_edge_cases():
     assert s("abs(`-3`)", {}) == 3
     # merge later args win
     assert s("merge(`{\"a\":1}`, `{\"a\":2,\"b\":3}`)", {}) == {"a": 2, "b": 3}
+
+
+def test_to_array():
+    assert s("to_array(@)", [1, 2]) == [1, 2]
+    assert s("to_array(@)", "x") == ["x"]
+    assert s("to_array(missing)", {}) is None
