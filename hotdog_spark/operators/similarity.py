@@ -10,7 +10,7 @@ Two paths, as a production vector pipeline would have:
   reproducible variant); candidates only within the probe's bucket, so the
   scored set shrinks by ~2^bits.  The scale path.
 
-Determinism: embeddings are quantized to integers (round(x*1000)) before
+Determinism: embeddings are quantized to integers (round(double(x)*1000)) before
 any arithmetic, so dot products and norms are exact integers in every
 engine; the only float ops are a sqrt and a divide on identical inputs,
 which IEEE 754 makes bit-identical.  Ranking ties break on vec_id.
@@ -28,7 +28,12 @@ from hotdog_spark.operators import fan_out
 
 def quantized(col: Column, scale: int = 1000) -> Column:
     """array<float> → array<bigint> via round(x*scale): exact cross-engine."""
-    return F.transform(col, lambda x: F.round(x * scale, 0).cast("bigint"))
+    # cast to double FIRST: float32 × int would round the product to a
+    # float32 (e.g. 319.49999928· → 319.5f), landing exactly on a .5 tie
+    # that double arithmetic never reaches — engines then disagree.
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * scale, 0).cast("bigint")
+    )
 
 
 def _dot(a: Column, b: Column) -> Column:

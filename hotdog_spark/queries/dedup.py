@@ -133,7 +133,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BUCKET8 = " || ".join(
     f"(CASE WHEN qv[{i}] >= 0 THEN '1' ELSE '0' END)" for i in range(1, 9)
 )
-_QUANT_EMB = "list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))"
+_QUANT_EMB = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
 
 @register(

@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 from hotdog_spark.queries import register
 from hotdog_spark.sources.batch import table
 
-_QV = "list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))"
+_QV = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
 
 @register(
@@ -48,7 +48,9 @@ def array_higher_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd lambdas, zero Python.  This is the building-block set the
     similarity operators compose (dot products, norms, clipping)."""
     emb = table(spark, sf_dir, "embeddings")
-    qv = F.transform(F.col("embedding"), lambda x: F.round(x * 1000).cast("long"))
+    qv = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
     zero = F.lit(0).cast("long")
     # Two-step projection: materialize the quantized vector once.  A single
     # select would inline `qv` into all six output columns (CollapseProject
@@ -245,7 +247,9 @@ def posexplode_embedding_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id, dimension position, quantized value) rows — the long-format
     gateway to per-dimension statistics and sparse representations."""
     emb = table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 50)
-    qv = F.transform(F.col("embedding"), lambda x: F.round(x * 1000).cast("long"))
+    qv = F.transform(
+        F.col("embedding"), lambda x: F.round(x.cast("double") * 1000).cast("long")
+    )
     return emb.select("vec_id", F.posexplode(qv).alias("pos", "val"))
 
 

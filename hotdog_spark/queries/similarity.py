@@ -13,7 +13,7 @@ from hotdog_spark.operators import similarity as ops
 from hotdog_spark.queries import register
 from hotdog_spark.sources.batch import table
 
-_QUANT = "list_transform(embedding, x -> CAST(round(x * 1000) AS BIGINT))"
+_QUANT = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
 
 @register(
