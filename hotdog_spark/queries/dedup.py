@@ -304,3 +304,61 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_pairs_levenshtein(
         table(spark, sf_dir, "documents"), "text", "doc_id", max_dist=120
     )
+
+
+from hotdog_spark.queries.text import _QUALITY_SQL as _QSQL
+
+_BEST_QUALITY_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+e AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN e ON r.dst = e.src
+),
+comp AS (
+  SELECT src AS id, LEAST(src, MIN(dst)) AS component FROM reach GROUP BY src
+),
+q AS (SELECT doc_id, {_QSQL} AS quality FROM documents)
+SELECT component, n_members, best_id, best_quality FROM (
+  SELECT c.component, c.id AS best_id, q.quality AS best_quality,
+         COUNT(*) OVER (PARTITION BY c.component) AS n_members,
+         ROW_NUMBER() OVER (PARTITION BY c.component
+                            ORDER BY q.quality DESC, c.id) AS rn
+  FROM comp c JOIN q ON c.id = q.doc_id
+) t WHERE rn = 1
+"""
+
+
+@register("dedup_components_best_quality", oracle=_BEST_QUALITY_ORACLE)
+def dedup_components_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: within each MinHash near-dup
+    component keep the HIGHEST-quality member (ties → lowest id) instead
+    of the arbitrary min-id — the policy real corpus washes use.  One
+    ranking window over the (tiny) component assignment joined to the
+    quality projection."""
+    from pyspark.sql.window import Window
+
+    from hotdog_spark.operators.textops import quality_expr
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = ops.minhash_lsh_pairs(docs, "text", "doc_id", bands=8, k=3)
+    comp = ops.connected_components(pairs)
+    q = docs.select("doc_id", quality_expr(F.col("text")).alias("quality"))
+    j = comp.join(q, comp.id == q.doc_id).select("component", "id", "quality")
+    w = Window.partitionBy("component").orderBy(F.col("quality").desc(), F.col("id"))
+    return (
+        j.withColumn("n_members", F.count(F.lit(1)).over(Window.partitionBy("component")))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "component",
+            "n_members",
+            F.col("id").alias("best_id"),
+            F.col("quality").alias("best_quality"),
+        )
+    )
