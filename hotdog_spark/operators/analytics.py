@@ -88,6 +88,7 @@ def sessionize(
     user_col: str,
     ts_col: str,
     gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Batch sessionization: split each user's event sequence wherever the
     gap to the previous event exceeds ``gap_seconds``; number the sessions
@@ -96,10 +97,16 @@ def sessionize(
     Per user: one lag() + one cumulative sum, both on the SAME
     (user, ts)-sorted window — one keyed shuffle, one sort, no self-join.
     Adds ``session_id`` (0-based per user).
+
+    ``tiebreak_col`` (e.g. a unique event id) makes the ROWS-frame
+    cumulative sum deterministic when timestamps tie: ordering by ``ts``
+    alone leaves tied rows in partition order, which is not stable across
+    cluster sizes.  Pass it whenever ``(user, ts)`` is not provably unique.
     """
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(user_col).orderBy(ts_col)
+    order = [ts_col] if tiebreak_col is None else [ts_col, tiebreak_col]
+    w = Window.partitionBy(user_col).orderBy(*order)
     gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
     is_new = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
     return df.withColumn(

@@ -186,17 +186,18 @@ def activity_streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize_user_events",
     oracle="""
     WITH ev AS (
-      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts FROM events
     ), lagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, event_id, ts,
              CASE WHEN lag(ts) OVER w IS NULL
                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                   THEN 1 ELSE 0 END AS brk
-      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, ts,
-             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
-                            ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+             CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) - 1
+                  AS BIGINT) AS session_id
       FROM lagged
     )
     SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -214,8 +215,8 @@ def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hotdog_spark.operators.analytics import sessionize
 
-    ev = table(spark, sf_dir, "events").select("user_id", "ts")
-    s = sessionize(ev, "user_id", "ts", gap_seconds=1800)
+    ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    s = sessionize(ev, "user_id", "ts", gap_seconds=1800, tiebreak_col="event_id")
     return s.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("start_ts"),

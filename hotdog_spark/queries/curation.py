@@ -206,7 +206,8 @@ def rebalance_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS bin
       FROM kept
     )
-    SELECT lang, bin, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+    SELECT lang, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
     FROM packed GROUP BY lang, bin
     """,
 )

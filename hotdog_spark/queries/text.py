@@ -246,7 +246,8 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
                          - n_tokens) / 2048.0) AS BIGINT) AS bin
       FROM toks
     )
-    SELECT lang, bin, COUNT(*) AS n_docs, SUM(n_tokens) AS bin_tokens
+    SELECT lang, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
     FROM packed GROUP BY lang, bin
     """,
 )
@@ -281,7 +282,7 @@ def pack_token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, split,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
            COUNT(DISTINCT content_hash) AS n_unique,
            COUNT(*) - COUNT(DISTINCT content_hash) AS n_dup_rows
     FROM feats GROUP BY lang, split

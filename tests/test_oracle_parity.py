@@ -32,7 +32,19 @@ def duck():
 
 
 def _canon(df):
-    """pandas frame → sorted list of row tuples with canonical values."""
+    """pandas frame → sorted list of row tuples with canonical values.
+
+    Values are TYPE-PREFIXED so integer-vs-float drift between the two
+    engines cannot be masked by string formatting.  This is exactly the
+    class of bug the r1 driver caught (DuckDB SUM(int) → HUGEINT →
+    float64 in pandas, vs Spark BIGINT → int64): ``123`` and ``123.0``
+    hash differently under the driver, so they must compare differently
+    here too.  Decimals keep their own prefix (both engines surface
+    ``decimal.Decimal`` objects for DECIMAL columns, which the driver
+    accepts), and bools are distinguished from ints.
+    """
+    import decimal
+
     cols = sorted(df.columns)
     df = df[cols]
 
@@ -41,9 +53,15 @@ def _canon(df):
             return None
         if hasattr(v, "item"):
             v = v.item()
+        if isinstance(v, bool):
+            return f"b:{v}"
+        if isinstance(v, int):
+            return f"i:{v}"
         if isinstance(v, float):
-            return f"{v:.10g}"
-        return str(v)
+            return f"f:{v:.10g}"
+        if isinstance(v, decimal.Decimal):
+            return f"d:{v}"
+        return f"s:{v}"
 
     rows = sorted(tuple(canon_val(v) for v in row) for row in df.itertuples(index=False))
     return cols, rows
