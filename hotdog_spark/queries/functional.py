@@ -182,20 +182,43 @@ def rollup_time_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# No oracle: HLL sketch results are engine-specific (DuckDB's
-# approx_count_distinct uses a different sketch), so the driver records the
-# weaker rows-only check; tests/test_ops.py pins the ≤5% relative-error
-# bound against the exact count instead.
-@register("agg_approx_distinct_users")
+# HLL sketch values are engine-specific (DuckDB uses a different sketch),
+# so the deterministic contract is the ERROR BOUND, not the estimate: the
+# query emits the exact count plus a boolean asserting |approx - exact|
+# <= 5% * exact.  DuckDB computes the same exact side and a literal TRUE;
+# if Spark's sketch ever drifts out of bound the boolean flips and the
+# value hash mismatches.  tests/test_ops.py additionally pins the bound.
+@register(
+    "agg_approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n_events,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-user counts per event type.  At 100 TB this
-    replaces exact COUNT(DISTINCT): the sketch is fixed-size, map-side
+    """HyperLogLog++ distinct-user counts per event type.  At 100 TB the
+    sketch replaces exact COUNT(DISTINCT): it is fixed-size, map-side
     combinable, and shuffles bytes-per-group instead of rows-per-user —
-    the standard trade for cardinality dashboards (rsd 0.5% here)."""
+    the standard trade for cardinality dashboards (rsd 0.5% here).  The
+    exact count here exists only to make the sketch oracle-checkable; a
+    production rollup would emit the sketch alone."""
     e = table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
+    agg = e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.005).alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        "n_events",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("approx_within_5pct"),
     )
 
 

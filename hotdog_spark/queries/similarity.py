@@ -147,10 +147,71 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "bucket", "score", "rank")
 
 
-# No oracle: 3 unrolled Lloyd iterations are not reasonably expressible in
-# one SQL statement — the driver records the rows-only check;
-# tests/test_ops.py pins determinism, cluster count, and inertia descent.
-@register("kmeans_embedding_clusters")
+def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
+    """Unrolled Lloyd's k-means as one DuckDB statement.
+
+    Expressible as SQL precisely because kmeans_quantized is deterministic
+    end-to-end: integer-quantized vectors, lowest-vid init, (d2, cid)
+    tie-breaks, and centroids re-quantized each round via floor of the
+    exact rational mean.  The floor is emulated exactly in integer
+    arithmetic (subtract the non-negative remainder, then divide) so no
+    float division can perturb a boundary.  Empty clusters carry the
+    previous centroid, mirroring the Spark trainer."""
+    d2 = (
+        "list_sum(list_transform(list_zip(v.q, c.cv),"
+        " s -> (s[1] - s[2]) * (s[1] - s[2])))"
+    )
+    blocks = [
+        f"""v AS (SELECT vec_id AS vid, {_QUANT} AS q FROM embeddings),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vid) - 1 AS cid, q AS cv
+  FROM (SELECT vid, q FROM v ORDER BY vid LIMIT {k})
+)"""
+    ]
+    for i in range(iters):
+        blocks.append(
+            f"""asg{i} AS (
+  SELECT vid, q, cid, d2 FROM (
+    SELECT vid, q, cid, d2,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+    FROM (SELECT v.vid, v.q, c.cid, {d2} AS d2 FROM v, c{i} c)
+  ) WHERE rn = 1
+),
+newc{i} AS (
+  SELECT cid, list(comp ORDER BY dim) AS cv FROM (
+    SELECT cid, dim,
+           CAST((s - (((s % n) + n) % n)) // n AS BIGINT) AS comp
+    FROM (
+      SELECT cid, dim, SUM(qv) AS s, COUNT(*) AS n FROM (
+        SELECT cid, unnest(q) AS qv, generate_subscripts(q, 1) AS dim
+        FROM asg{i}
+      ) GROUP BY cid, dim
+    )
+  ) GROUP BY cid
+),
+c{i + 1} AS (
+  SELECT p.cid, COALESCE(nn.cv, p.cv) AS cv
+  FROM c{i} p LEFT JOIN newc{i} nn ON p.cid = nn.cid
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f""",
+fin AS (
+  SELECT vid, cid, d2 FROM (
+    SELECT vid, cid, d2,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
+    FROM (SELECT v.vid, c.cid, {d2} AS d2 FROM v, c{iters} c)
+  ) WHERE rn = 1
+)
+SELECT CAST(cid AS INTEGER) AS cluster, COUNT(*) AS n_vectors,
+       CAST(SUM(d2) AS BIGINT) AS inertia
+FROM fin GROUP BY cid"""
+    )
+
+
+@register("kmeans_embedding_clusters", oracle=_kmeans_oracle())
 def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-means (k=8, 3 Lloyd iterations, deterministic lowest-id init)
     over quantized embeddings → per-cluster sizes and inertia.  The
