@@ -2,7 +2,33 @@
 LLM-data-pipeline toolkit (dedup, similarity search, text analysis,
 multimodal plumbing), each designed partition-parallel for 100 TB scale."""
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def epoch_us(col: Column | str) -> Column:
+    """Microseconds since the epoch, safe for BOTH timestamp flavors.
+
+    Parquet written without a timezone (pandas/arrow ``timestamp[us]`` —
+    most real lakes, and the current testdata) reads as ``TIMESTAMP_NTZ``
+    in Spark 4, which ``F.unix_micros`` rejects outright
+    (DATATYPE_MISMATCH).  Casting to ``timestamp_ltz`` first is a no-op
+    for regular timestamps and reinterprets NTZ in the session zone; every
+    caller here uses epoch values in DIFFERENCES, so the zone offset
+    cancels and the result is identical either way (sessions pin UTC
+    anyway).  Use this instead of ``F.unix_micros`` everywhere.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp_ltz"))
+
+
+def epoch_s(col: Column | str) -> Column:
+    """Whole seconds since the epoch (sub-second truncated), NTZ-safe.
+    Same cast rationale as :func:`epoch_us`; used for bucket quantization
+    where both join sides quantize identically, so truncation direction
+    never changes which rows pair up."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_timestamp(c.cast("timestamp_ltz"))
 
 
 def fan_out(df: DataFrame) -> DataFrame:

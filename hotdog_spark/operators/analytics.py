@@ -105,9 +105,11 @@ def sessionize(
     """
     from pyspark.sql.window import Window
 
+    from hotdog_spark.operators import epoch_us
+
     order = [ts_col] if tiebreak_col is None else [ts_col, tiebreak_col]
     w = Window.partitionBy(user_col).orderBy(*order)
-    gap = F.unix_micros(F.col(ts_col)) - F.unix_micros(F.lag(ts_col).over(w))
+    gap = epoch_us(ts_col) - epoch_us(F.lag(ts_col).over(w))
     is_new = F.when(gap.isNull() | (gap > gap_seconds * 1_000_000), 1).otherwise(0)
     return df.withColumn(
         "session_id",

@@ -27,6 +27,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from hotdog_spark.operators import epoch_s, epoch_us
+
 
 def asof_join(
     left: DataFrame,
@@ -129,8 +131,8 @@ def asof_join(
         back_wins = F.col("_ft").isNull() | (
             F.col("_bt").isNotNull()
             & (
-                F.unix_micros(F.col("_t")) - F.unix_micros(F.col("_bt"))
-                <= F.unix_micros(F.col("_ft")) - F.unix_micros(F.col("_t"))
+                epoch_us("_t") - epoch_us("_bt")
+                <= epoch_us("_ft") - epoch_us("_t")
             )
         )
         carried = both.select(
@@ -170,13 +172,13 @@ def range_join_buckets(
     O(1) per interval.  Returns all point columns + all interval columns.
     """
     b = F.lit(bucket_seconds)
-    p = points.withColumn("_bucket", (F.unix_timestamp(F.col(point_ts)) / b).cast("bigint"))
+    p = points.withColumn("_bucket", (epoch_s(point_ts) / b).cast("bigint"))
     iv = intervals.withColumn(
         "_bucket",
         F.explode(
             F.sequence(
-                (F.unix_timestamp(F.col(start_ts)) / b).cast("bigint"),
-                (F.unix_timestamp(F.col(end_ts)) / b).cast("bigint"),
+                (epoch_s(start_ts) / b).cast("bigint"),
+                (epoch_s(end_ts) / b).cast("bigint"),
             )
         ),
     )
@@ -306,7 +308,7 @@ def interval_overlap_join(
     b = F.lit(bucket_seconds)
 
     def bucket(col: str) -> Column:
-        return (F.unix_timestamp(F.col(col)) / b).cast("bigint")
+        return (epoch_s(col) / b).cast("bigint")
 
     l = left.withColumn(
         "_bucket", F.explode(F.sequence(bucket(left_start), bucket(left_end)))

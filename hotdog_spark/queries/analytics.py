@@ -215,13 +215,15 @@ def sessionize_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from hotdog_spark.operators.analytics import sessionize
 
+    from hotdog_spark.operators import epoch_us
+
     ev = table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
     s = sessionize(ev, "user_id", "ts", gap_seconds=1800, tiebreak_col="event_id")
     return s.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("start_ts"),
         F.max("ts").alias("end_ts"),
-        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("duration_us"),
+        (epoch_us(F.max("ts")) - epoch_us(F.min("ts"))).alias("duration_us"),
     )
 
 

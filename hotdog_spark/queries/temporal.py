@@ -217,6 +217,8 @@ def interval_overlap_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("ts").alias("b_s"),
         (F.col("ts") + win).alias("b_e"),
     ).withColumnRenamed("user_id_b", "user_id")
+    from hotdog_spark.operators import epoch_us
+
     ov = interval_overlap_join(
         a, b, ["user_id"], "a_s", "a_e", "b_s", "b_e", bucket_seconds=300
     ).filter(F.col("a_id") < F.col("b_id"))
@@ -225,7 +227,7 @@ def interval_overlap_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame
         "a_id",
         "b_id",
         (
-            F.unix_micros(F.least("a_e", "b_e"))
-            - F.unix_micros(F.greatest("a_s", "b_s"))
+            epoch_us(F.least("a_e", "b_e"))
+            - epoch_us(F.greatest("a_s", "b_s"))
         ).alias("overlap_us"),
     )

@@ -31,24 +31,17 @@ TABLES = (
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one synthetic table from an sf directory.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark only
-    reads as a nanos-long (`spark.sql.legacy.parquet.nanosAsLong`); we
-    normalize it back to a microsecond TimestampType column so event-time
-    operators see a real timestamp (DuckDB's TIMESTAMP cast truncates
-    ns→µs identically).
+    No per-table special cases: ``events.ts`` is plain ``timestamp[us]``
+    with no timezone, which Spark 4 reads as ``TIMESTAMP_NTZ`` — the
+    engine treats naive timestamps as first-class (all epoch math goes
+    through the NTZ-safe ``hotdog_spark.operators.epoch_us``/``epoch_s``).
+    ``scripts/presnapshot_gate.py`` probes the dtype so a testdata
+    regeneration that changes it fails loudly instead of silently.
     """
     from hotdog_spark.dist import ensure_shipped
 
     ensure_shipped(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        from pyspark.sql import functions as F
-
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
     return spark.read.parquet(path)
 
 
