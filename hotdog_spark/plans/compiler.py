@@ -55,32 +55,84 @@ from hotdog_spark.functions.jsonmerge import (
 from hotdog_spark.plans import schema as schema_mod
 from hotdog_spark.version import ENGINE_VERSION
 
-_TEMPLATE_TOKEN = re.compile(r"\{\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*\}\}")
+_TEMPLATE_TOKEN = re.compile(
+    r"\{\{\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*\}\}\}"        # {{{raw}}}
+    r"|\{\{\s*(&\s*)?([A-Za-z_][A-Za-z0-9_]*)\s*\}\}"    # {{escaped}} / {{&raw}}
+)
 
 ISO8601_FORMAT = "yyyy-MM-dd'T'HH:mm:ssXXX"
+
+# Handlebars' default escapeExpression table (handlebars 6 keeps the
+# classic handlebars.js map; the reference registers no custom escape_fn,
+# src/connection.rs:260-289, so every {{var}} goes through this).  Order
+# matters only for '&', which must be escaped first.
+_HB_ESCAPES = (
+    ("&", "&amp;"),
+    ("<", "&lt;"),
+    (">", "&gt;"),
+    ('"', "&quot;"),
+    ("'", "&#x27;"),
+    ("`", "&#x60;"),
+    ("=", "&#x3d;"),
+)
+
+
+def _hb_escape(col: Column) -> Column:
+    """HTML-escape a string Column the way handlebars' default escape
+    does — seven chained JVM-side replaces, codegen-friendly."""
+    for ch, rep in _HB_ESCAPES:
+        col = F.replace(col, F.lit(ch), F.lit(rep))
+    return col
 
 
 def compile_template(template: str, variables: dict[str, Column]) -> Column:
     """Handlebars-subset template → concat expression.
 
-    Supports ``{{var}}`` substitution (the only handlebars feature the
-    reference's configs and README use).  Unknown / null variables render
-    as empty string, matching handlebars' default lenient mode.  The
-    resulting expression is constant-folded by Catalyst when all parts are
-    literals (the analog of the reference's template precompilation,
-    src/connection.rs:260-289).
+    Supports ``{{var}}`` (HTML-escaped, handlebars' default — the
+    reference registers no custom escape_fn so its Handlebars 6 instance
+    escapes ``& < > " ' \\` =`` on every double-stache) plus the raw forms
+    ``{{{var}}}`` and ``{{&var}}``.  Unknown / null variables render as
+    empty string, matching handlebars' default lenient mode.
+
+    Anything else between mustaches — block helpers (``{{#if}}``),
+    closers, partials (``{{> p}}``), comments (``{{! c}}``), dotted paths
+    — is REJECTED at compile time with ``ValueError``: the reference's
+    ``register_template_string`` would accept-and-evaluate these
+    (handlebars is a full engine), so silently emitting them as literal
+    text (the old behavior) would diverge wrong-way; failing the config
+    load is the honest subset boundary.  The resulting expression is
+    constant-folded by Catalyst when all parts are literals (the analog of
+    the reference's template precompilation, src/connection.rs:260-289).
     """
     parts: list[Column] = []
     pos = 0
+
+    def literal(text: str) -> None:
+        # A stray '}}' is plain text to handlebars (JSON merge patches end
+        # in '}}'); an unconsumed '{{' opener is a construct we don't
+        # support (block helper, partial, comment, dotted path).
+        if "{{" in text:
+            raise ValueError(
+                f"unsupported handlebars construct in template {template!r}: "
+                f"only {{{{var}}}}, {{{{{{var}}}}}} and {{{{&var}}}} are "
+                "supported (no block helpers, partials, comments, or paths)"
+            )
+        if text:
+            parts.append(F.lit(text))
+
     for m in _TEMPLATE_TOKEN.finditer(template):
-        if m.start() > pos:
-            parts.append(F.lit(template[pos:m.start()]))
-        name = m.group(1)
+        literal(template[pos:m.start()])
+        raw_name, amp, esc_name = m.group(1), m.group(2), m.group(3)
+        name = raw_name or esc_name
+        raw = raw_name is not None or amp is not None
         var = variables.get(name)
-        parts.append(F.coalesce(var.cast("string"), F.lit("")) if var is not None else F.lit(""))
+        if var is None:
+            parts.append(F.lit(""))
+        else:
+            rendered = F.coalesce(var.cast("string"), F.lit(""))
+            parts.append(rendered if raw else _hb_escape(rendered))
         pos = m.end()
-    if pos < len(template):
-        parts.append(F.lit(template[pos:]))
+    literal(template[pos:])
     if not parts:
         return F.lit("")
     return F.concat(*parts) if len(parts) > 1 else parts[0]
@@ -112,15 +164,17 @@ class CompiledRule:
     terminal: Column         # given matched: does processing stop here?
     topic: Column            # routing topic when terminal (null = drop)
     payload: Column          # payload when terminal
+    merge_fail: Column       # given matched: did a merge action abort?
 
 
 @dataclass
 class CompiledCascade:
-    """The whole cascade as three Column expressions + per-rule parts."""
+    """The whole cascade as Column expressions + per-rule parts."""
 
     topic: Column
     payload: Column
     matched_rule: Column     # 0-based index of the terminating rule (null = none)
+    merge_aborted: Column    # any reached rule's merge action aborted
     rules: list[CompiledRule]
 
 
@@ -249,6 +303,7 @@ def compile_rule(
         terminal=terminal,
         topic=topic_expr,
         payload=payload,
+        merge_fail=merge_fail if merge_fail is not None else F.lit(False),
     )
 
 
@@ -312,8 +367,26 @@ def compile_cascade(
         payload = F.when(cond, cr.payload).otherwise(payload)
         matched_rule = F.when(cond, F.lit(cr.index)).otherwise(matched_rule)
 
+    # merge_aborted (the reference's hotdog.error.merge_target_not_json):
+    # rule i's actions run iff it matches AND every earlier rule was
+    # unmatched-or-non-terminal, so walk forward carrying "reached".
+    # matched/merge_fail can be NULL (rlike on a null field, JSON checks on
+    # null msg) — coalesce to false so the chain stays three-valued-safe.
+    merge_aborted: Column = F.lit(False)
+    reached: Column = F.lit(True)
+    for cr in compiled:
+        hit = F.coalesce(cr.matched, F.lit(False))
+        fail = F.coalesce(cr.merge_fail, F.lit(False))
+        term = F.coalesce(cr.terminal, F.lit(False))
+        merge_aborted = merge_aborted | (reached & hit & fail)
+        reached = reached & ~(hit & term)
+
     return CompiledCascade(
-        topic=topic, payload=payload, matched_rule=matched_rule, rules=compiled
+        topic=topic,
+        payload=payload,
+        matched_rule=matched_rule,
+        merge_aborted=merge_aborted,
+        rules=compiled,
     )
 
 
@@ -340,6 +413,7 @@ def apply_cascade(
             "topic": cascade.topic,
             "payload": cascade.payload,
             "matched_rule": cascade.matched_rule,
+            "merge_aborted": cascade.merge_aborted,
         }
     )
     if not keep_dropped:

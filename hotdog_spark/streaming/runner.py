@@ -43,6 +43,7 @@ def build_routed_stream(
         F.lit(None).cast("string").alias("topic"),
         F.lit(None).cast("string").alias("payload"),
         F.lit(None).cast("int").alias("matched_rule"),
+        F.lit(False).alias("merge_aborted"),
     )
     observed = with_pipeline_observer(routed.unionByName(unparsed))
     return observed.filter(F.col("topic").isNotNull())

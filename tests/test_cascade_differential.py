@@ -26,9 +26,24 @@ from hotdog_spark.version import ENGINE_VERSION
 
 _VAR = re.compile(r"\{\{\s*(\w+)\s*\}\}")
 
+# handlebars' default escapeExpression table ('&' first), applied by the
+# reference to every {{var}} (no custom escape_fn is registered).
+_HB_ESCAPES = (
+    ("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;"),
+    ("'", "&#x27;"), ("`", "&#x60;"), ("=", "&#x3d;"),
+)
+
+
+def _hb_escape(s: str) -> str:
+    for ch, rep in _HB_ESCAPES:
+        s = s.replace(ch, rep)
+    return s
+
 
 def _render(template: str, variables: dict) -> str:
-    return _VAR.sub(lambda m: str(variables.get(m.group(1), "")), template)
+    return _VAR.sub(
+        lambda m: _hb_escape(str(variables.get(m.group(1), ""))), template
+    )
 
 
 def _render_patch(value, variables):

@@ -278,6 +278,43 @@ def test_template_compiler(spark):
     assert df.select(col.alias("t")).collect()[0].t == "a X b  c"
 
 
+def test_template_escapes_like_handlebars(spark):
+    """Pin the handlebars-6 default escape on {{var}} (the reference
+    registers no custom escape_fn — src/connection.rs:260-289) and the
+    raw forms {{{var}}} / {{&var}}."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1)
+    hot = F.lit("""a&b<c>d"e'f`g=h""")
+    out = df.select(
+        compile_template("[{{v}}]", {"v": hot}).alias("esc"),
+        compile_template("[{{{v}}}]", {"v": hot}).alias("raw3"),
+        compile_template("[{{&v}}]", {"v": hot}).alias("rawamp"),
+    ).collect()[0]
+    assert out.esc == "[a&amp;b&lt;c&gt;d&quot;e&#x27;f&#x60;g&#x3d;h]"
+    assert out.raw3 == """[a&b<c>d"e'f`g=h]"""
+    assert out.rawamp == """[a&b<c>d"e'f`g=h]"""
+
+
+def test_template_rejects_unsupported_constructs(spark):
+    """Block helpers / partials / comments / dotted paths fail the config
+    load instead of leaking through as literal text (the reference's full
+    Handlebars engine would evaluate them, so passthrough would silently
+    diverge)."""
+    from pyspark.sql import functions as F
+
+    for bad in (
+        "{{#if x}}y{{/if}}",
+        "{{> partial}}",
+        "{{! a comment }}",
+        "{{a.b}}",
+    ):
+        with pytest.raises(ValueError, match="unsupported handlebars"):
+            compile_template(bad, {"x": F.lit("X")})
+    # stray '}}' is plain text (JSON patches end with '}}')
+    compile_template('{"a": {"b": "{{v}}"}}', {"v": F.lit("X")})
+
+
 def test_dry_run(spark, canonical):
     df = spark.createDataFrame(
         [Row(value="hello there"), Row(value='{"meta":{"topic":"test"}}'), Row(value="zzz")]

@@ -141,6 +141,21 @@ _var_values = st.fixed_dictionaries(
 )
 
 
+# handlebars' default escapeExpression table ('&' first): the reference's
+# Handlebars 6 instance escapes every {{var}} this way (no custom
+# escape_fn registered, src/connection.rs:260-289).
+_HB_ESCAPES = (
+    ("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;"),
+    ("'", "&#x27;"), ("`", "&#x60;"), ("=", "&#x3d;"),
+)
+
+
+def _hb_escape(s):
+    for ch, rep in _HB_ESCAPES:
+        s = s.replace(ch, rep)
+    return s
+
+
 @settings(max_examples=10, deadline=None)
 @given(segments=_segments, values=_var_values)
 def test_template_matches_reference_renderer(spark, segments, values):
@@ -148,7 +163,8 @@ def test_template_matches_reference_renderer(spark, segments, values):
         "{{" + s[1] + "}}" if isinstance(s, tuple) else s for s in segments
     )
     expected = "".join(
-        (values.get(s[1]) or "") if isinstance(s, tuple) else s for s in segments
+        _hb_escape(values.get(s[1]) or "") if isinstance(s, tuple) else s
+        for s in segments
     )
     variables = {k: F.lit(v) for k, v in values.items()}
     out = (
