@@ -68,15 +68,150 @@ def media_from_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def decode_image(content: bytes) -> bytes:
-    """Real decoder stub: the container has no image libraries.
+    """Pixel decoder stub: the container has no image libraries.
 
     Raises so nobody mistakes the fake features for real ones; swap in
-    PIL/libvips here in a real deployment.
+    PIL/libvips here in a real deployment.  Container/HEADER parsing, by
+    contrast, is real — see parse_png_header / parse_wav_header below
+    (pure stdlib struct, no codec library needed).
     """
     raise NotImplementedError(
         "image decoding requires an image library not present in this "
         "environment; extract_features uses a deterministic fake instead"
     )
+
+
+# ---------------------------------------------------------------------------
+# Real container parsers (stdlib struct/zlib — public PNG/RIFF specs).
+# These are NOT stubs: they read actual bytes of the two formats and are
+# exercised against synthesized-but-valid files in the registered query.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def synth_png(width: int, height: int, bit_depth: int = 8, color_type: int = 6) -> bytes:
+    """Build a structurally valid PNG prelude: signature + IHDR chunk with
+    a correct CRC32 + IEND.  (No IDAT — enough for any header parser;
+    pixel payload would need a codec.)"""
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
+    out = bytearray(_PNG_MAGIC)
+    for tag, body in ((b"IHDR", ihdr), (b"IEND", b"")):
+        out += struct.pack(">I", len(body)) + tag + body
+        out += struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    return bytes(out)
+
+
+def synth_wav(pcm: bytes, sample_rate: int = 16000, channels: int = 1, bits: int = 16) -> bytes:
+    """Build a canonical RIFF/WAVE file around raw PCM bytes (PCM fmt
+    chunk + data chunk) — the exact layout `wave`-writing tools emit."""
+    import struct
+
+    block_align = channels * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate, sample_rate * block_align, block_align, bits
+    )
+    chunks = b"WAVE"
+    chunks += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def parse_png_header(content: bytes) -> dict | None:
+    """PNG signature + IHDR → (width, height, bit_depth, color_type), or
+    None when the bytes are not a PNG / the IHDR is malformed."""
+    import struct
+    import zlib
+
+    if not content or not content.startswith(_PNG_MAGIC):
+        return None
+    buf = content[len(_PNG_MAGIC):]
+    if len(buf) < 8 + 13 + 4 or buf[4:8] != b"IHDR":
+        return None
+    (length,) = struct.unpack(">I", buf[:4])
+    if length != 13:
+        return None
+    body = buf[8:21]
+    (crc,) = struct.unpack(">I", buf[21:25])
+    if crc != (zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF):
+        return None
+    width, height, bit_depth, color_type = struct.unpack(">IIBB", body[:10])
+    return {
+        "format": "png",
+        "width": width,
+        "height": height,
+        "bit_depth": bit_depth,
+        "color_type": color_type,
+    }
+
+
+def parse_wav_header(content: bytes) -> dict | None:
+    """RIFF/WAVE chunk walk → (channels, sample_rate, bits_per_sample,
+    data_bytes), or None for non-WAV / truncated input.  Walks the chunk
+    list properly (word-aligned), so extra chunks (LIST, fact) between
+    fmt and data parse fine."""
+    import struct
+
+    if (
+        not content
+        or len(content) < 12
+        or content[:4] != b"RIFF"
+        or content[8:12] != b"WAVE"
+    ):
+        return None
+    meta: dict = {"format": "wav"}
+    pos = 12
+    while pos + 8 <= len(content):
+        tag = content[pos:pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4:pos + 8])
+        body = content[pos + 8:pos + 8 + size]
+        if tag == b"fmt " and len(body) >= 16:
+            _, channels, sample_rate, _, _, bits = struct.unpack("<HHIIHH", body[:16])
+            meta.update(channels=channels, sample_rate=sample_rate, bits_per_sample=bits)
+        elif tag == b"data":
+            meta["data_bytes"] = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    return meta if "sample_rate" in meta else None
+
+
+def sniff_media_meta(df: DataFrame) -> DataFrame:
+    """Magic-byte sniff + REAL header parse over binary content: PNG and
+    WAV route to their stdlib parsers; anything else reports format
+    'unknown' with null fields.  Arrow-batched mapInPandas — bounded
+    memory per batch, no collect; columns absent for a format are null."""
+    from hotdog_spark.dist import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    cols = (
+        "width", "height", "bit_depth", "color_type",
+        "channels", "sample_rate", "bits_per_sample", "data_bytes",
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows: dict[str, list] = {"media_id": [], "format": []}
+            for c in cols:
+                rows[c] = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(blob) if blob is not None else b""
+                meta = parse_png_header(blob) or parse_wav_header(blob) or {}
+                rows["media_id"].append(mid)
+                rows["format"].append(meta.get("format", "unknown"))
+                for c in cols:
+                    rows[c].append(meta.get(c))
+            yield pd.DataFrame(rows)
+
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("format", StringType()),
+            *[StructField(c, LongType()) for c in cols],
+        ]
+    )
+    return df.select("media_id", "content").mapInPandas(kernel, schema)
 
 
 def _fake_features(content: bytes, dim: int) -> list[float]:
@@ -115,6 +250,39 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
             )
 
     return df.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+def synthesize_media(df: DataFrame, id_col: str, text_col: str, len_col: str) -> DataFrame:
+    """Deterministically build REAL container bytes per row — WAV for even
+    ids (pcm = the text's utf-8 bytes), PNG for odd ids (dimensions from
+    ``len_col``) — so downstream parsers exercise true format layouts.
+    Arrow-batched generator, the write-side twin of sniff_media_meta."""
+    from hotdog_spark.dist import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid, text, n in zip(pdf[id_col], pdf[text_col], pdf[len_col]):
+                mid, n = int(mid), int(n)
+                if mid % 2 == 0:
+                    blob = synth_wav(
+                        (text or "").encode("utf-8"),
+                        sample_rate=8000 + (mid % 5) * 1000,
+                        channels=1 + (mid // 2) % 2,
+                        bits=16,
+                    )
+                else:
+                    blob = synth_png(n % 640 + 1, n % 480 + 1, 8, 6)
+                ids.append(mid)
+                blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("content", BinaryType())]
+    )
+    return df.select(id_col, text_col, len_col).mapInPandas(kernel, schema)
 
 
 RESIZE_SCHEMA = StructType(

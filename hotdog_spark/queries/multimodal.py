@@ -41,6 +41,47 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_media_sniff",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'png' END AS format,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN n_chars % 640 + 1 ELSE -1 END AS BIGINT) AS width,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN n_chars % 480 + 1 ELSE -1 END AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 8 ELSE -1 END AS BIGINT) AS bit_depth,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 6 ELSE -1 END AS BIGINT) AS color_type,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + (doc_id // 2) % 2 ELSE -1 END AS BIGINT) AS channels,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 5) * 1000 ELSE -1 END AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 16 ELSE -1 END AS BIGINT) AS bits_per_sample,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN octet_length(encode(text)) ELSE -1 END AS BIGINT) AS data_bytes
+    FROM documents
+    """,
+)
+def multimodal_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL container round-trip: per row, build actual WAV (even ids,
+    pcm = text bytes) or PNG (odd ids) files with stdlib struct, then
+    magic-sniff and header-parse them back (operators/multimodal.py
+    parse_wav_header/parse_png_header — real parsers, not stubs).  The
+    oracle predicts every parsed field arithmetically from the source
+    columns: two fully independent routes to the same metadata.
+    Fields a format doesn't carry are -1 (not NULL) so the driver's
+    row-sort comparator never orders on mixed null/non-null columns."""
+    docs = table(spark, sf_dir, "documents")
+    media = ops.synthesize_media(docs, "doc_id", "text", "n_chars")
+    sniffed = ops.sniff_media_meta(media)
+    return sniffed.select(
+        "media_id",
+        "format",
+        *[
+            F.coalesce(F.col(c), F.lit(-1)).alias(c)
+            for c in (
+                "width", "height", "bit_depth", "color_type",
+                "channels", "sample_rate", "bits_per_sample", "data_bytes",
+            )
+        ],
+    )
+
+
+@register(
     "multimodal_feature_stub",
     oracle="""
     SELECT doc_id AS media_id,

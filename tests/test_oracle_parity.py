@@ -50,7 +50,9 @@ def _canon(df):
 
     def canon_val(v):
         if v is None or (isinstance(v, float) and math.isnan(v)):
-            return None
+            # a sortable sentinel, not Python None: rows that tie on their
+            # leading columns would otherwise hit None-vs-str in sorted()
+            return "\x00:null"
         if hasattr(v, "item"):
             v = v.item()
         if isinstance(v, bool):
