@@ -148,19 +148,42 @@ def ngram_jaccard_pairs(
     length_col: str,
     length_tol: int = 5,
     threshold: float = 0.2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Token-set Jaccard similarity for blocked candidate pairs.
 
     Blocking (same ``block_cols``, |length difference| ≤ tol) bounds the
     pair count; the intersection is computed distributively by exploding
     distinct tokens and joining on token — never an all-pairs loop.
-    Returns (id_a, id_b, inter, union_n, jaccard)."""
+    Returns (id_a, id_b, inter, union_n, jaccard).
+
+    ``max_df`` is the 100 TB skew guard: a token appearing in d same-block
+    docs contributes O(d²) join pairs, so one ubiquitous token ("the")
+    makes both a hot shuffle partition AND a quadratic row blowup no join
+    strategy can save.  With ``max_df`` set, tokens whose per-block
+    document frequency exceeds it are removed from the token UNIVERSE
+    (sizes and intersections alike), so the result is exactly Jaccard over
+    the informative-token sets — a deterministic, documented semantic the
+    oracle mirrors, not an approximation of the uncapped answer.  The
+    over-cap token list is tiny by construction (≤ total_tokens/max_df
+    entries, stopword-scale in practice), so it broadcasts."""
     toks = fan_out(df).select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
         F.col(length_col).alias("_len"),
         F.explode(F.array_distinct(normalized_tokens(F.col(text_col)))).alias("tok"),
     )
+    if max_df is not None:
+        # tokens are distinct per doc, so count(*) per (block, tok) IS the
+        # document frequency; map-side partial agg keeps the hot token's
+        # rows linear, and the anti-join is map-side (broadcast).
+        hot = (
+            toks.groupBy(*block_cols, "tok")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select(*block_cols, "tok")
+        )
+        toks = toks.join(F.broadcast(hot), [*block_cols, "tok"], "left_anti")
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
     a = toks.select(
         F.col("id").alias("id_a"),

@@ -93,10 +93,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
-    WITH toks AS (
+    WITH rawtoks AS (
       SELECT doc_id, lang, n_chars,
              unnest(list_distinct({_TOKS})) AS tok
       FROM documents
+    ), toks AS (
+      -- per-block document-frequency cap (max_df=100): the skew guard the
+      -- Spark side applies; tokens in >100 same-lang docs leave the
+      -- token universe entirely (sizes AND intersections).
+      SELECT t.* FROM rawtoks t
+      JOIN (SELECT lang, tok FROM rawtoks GROUP BY lang, tok
+            HAVING COUNT(*) <= 100) keep
+        ON t.lang = keep.lang AND t.tok = keep.tok
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
     ), inter AS (
@@ -118,7 +126,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked token-set Jaccard: candidates limited to same-language,
     similar-length docs; intersection computed distributively by joining
-    exploded distinct tokens."""
+    exploded distinct tokens.  max_df=100 drops ubiquitous tokens from
+    the token universe before the join — the 100 TB skew/blowup guard
+    (see ngram_jaccard_pairs docstring); the oracle applies the identical
+    cap, so the match is exact by construction."""
     return ops.ngram_jaccard_pairs(
         table(spark, sf_dir, "documents"),
         "text",
@@ -127,6 +138,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         length_col="n_chars",
         length_tol=5,
         threshold=0.2,
+        max_df=100,
     )
 
 

@@ -58,6 +58,68 @@ def asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_nearest_click",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM ev WHERE event_type = 'click' GROUP BY user_id, ts
+    ), purch AS (
+      SELECT event_id, user_id, ts FROM ev WHERE event_type = 'purchase'
+    ), b AS (
+      SELECT p.event_id, c.click_id AS b_id, c.ts AS b_ts
+      FROM purch p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    ), f AS (
+      SELECT p.event_id, c.click_id AS f_id, c.ts AS f_ts
+      FROM purch p ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts <= c.ts
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN back_wins THEN b_id ELSE f_id END AS asof_click_id,
+           CASE WHEN back_wins THEN b_ts ELSE f_ts END AS asof_ts
+    FROM (
+      SELECT p.event_id, p.user_id, p.ts, b.b_id, b.b_ts, f.f_id, f.f_ts,
+             (f.f_ts IS NULL OR (b.b_ts IS NOT NULL
+               AND epoch_us(p.ts) - epoch_us(b.b_ts)
+                   <= epoch_us(f.f_ts) - epoch_us(p.ts))) AS back_wins
+      FROM purch p
+      JOIN b ON p.event_id = b.event_id
+      JOIN f ON p.event_id = f.event_id
+    ) t
+    WHERE (CASE WHEN back_wins THEN b_ts ELSE f_ts END) IS NOT NULL
+    """,
+)
+def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, ``direction='nearest'``: each purchase attached to the
+    user's click CLOSEST in time, before or after (ties → backward —
+    pandas merge_asof semantics).  Exercises the nearest branch of
+    asof_join (operators/temporal.py:113-146), which evaluates both carry
+    frames in ONE window pass over one keyed shuffle; the oracle is two
+    DuckDB ASOF joins + per-row pick — independent implementations."""
+    ev = table(spark, sf_dir, "events")
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return ops.asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["click_id"],
+        how="inner",
+        direction="nearest",
+    ).select("event_id", "user_id", "ts", "asof_click_id", "asof_ts")
+
+
+@register(
     "range_join_error_window_clicks",
     oracle="""
     WITH ev AS (

@@ -55,6 +55,41 @@ def test_jaccard_near_dup_scores(spark, docs):
     assert 0.5 < rows[(0, 2)] < 1.0
 
 
+def test_jaccard_max_df_drops_ubiquitous_tokens(spark):
+    """The skew guard: a token present in more than max_df same-block
+    docs must leave the token universe — absent from the join input AND
+    from the per-doc sizes, so Jaccard is exact over the kept tokens."""
+    rows = [
+        (0, "the alpha beta", "en", 14),
+        (1, "the alpha beta", "en", 14),
+        (2, "the gamma delta", "en", 15),
+        (3, "the epsilon zeta", "en", 16),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    # "the" is in all 4 docs; max_df=3 drops it.
+    out = {
+        (r.id_a, r.id_b): r
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", ["lang"], "n_chars", 5, 0.01, max_df=3
+        ).collect()
+    }
+    # docs 0/1 still identical over kept tokens {alpha, beta}
+    assert out[(0, 1)].jaccard == 1.0
+    assert out[(0, 1)].union_n == 2  # "the" not counted in sizes
+    # every other pairing shared ONLY "the" → no intersection → absent
+    assert set(out) == {(0, 1)}
+    # and with the cap disabled, "the" alone links every pair
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", ["lang"], "n_chars", 5, 0.01
+        ).collect()
+    }
+    assert (0, 2) in uncapped and (2, 3) in uncapped
+
+
 def test_cosine_topk_self_similarity(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),
@@ -86,6 +121,72 @@ def test_multimodal_feature_stub_deterministic(spark, docs):
 def test_multimodal_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
+
+
+def test_png_header_golden_bytes():
+    """Hand-pinned golden bytes: the 8-byte PNG signature, a 13-byte IHDR
+    for 1×1 8-bit RGBA, and its known CRC — the parser must read the real
+    layout, and the synth builder must produce exactly it."""
+    golden = bytes.fromhex(
+        "89504e470d0a1a0a"              # signature
+        "0000000d49484452"              # len=13, "IHDR"
+        "0000000100000001"              # width=1, height=1
+        "0806000000"                    # depth=8, color=6, comp/filt/inter=0
+        "1f15c489"                      # CRC32 of IHDR+body (well-known)
+        "0000000049454e44ae426082"      # empty IEND + its CRC
+    )
+    assert multimodal.synth_png(1, 1, 8, 6) == golden
+    meta = multimodal.parse_png_header(golden)
+    assert meta == {
+        "format": "png", "width": 1, "height": 1, "bit_depth": 8, "color_type": 6,
+    }
+    # corrupted CRC must be rejected, not half-parsed
+    # (IHDR CRC sits at offset 29: 8 sig + 4 len + 4 tag + 13 body)
+    bad = bytearray(golden)
+    bad[29] ^= 0xFF
+    assert multimodal.parse_png_header(bytes(bad)) is None
+    assert multimodal.parse_png_header(b"\x89PNG") is None
+    assert multimodal.parse_png_header(b"") is None
+
+
+def test_wav_header_golden_bytes():
+    """Round-trip against Python's own stdlib `wave` writer: whatever the
+    standard library emits, our parser must read back — and our builder's
+    bytes must parse identically."""
+    import io
+    import wave
+
+    pcm = bytes(range(64)) * 2  # 128 bytes = 64 samples of 16-bit mono
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(22050)
+        w.writeframes(pcm)
+    meta = multimodal.parse_wav_header(buf.getvalue())
+    assert meta == {
+        "format": "wav", "channels": 1, "sample_rate": 22050,
+        "bits_per_sample": 16, "data_bytes": 128,
+    }
+    ours = multimodal.synth_wav(pcm, sample_rate=22050, channels=1, bits=16)
+    assert multimodal.parse_wav_header(ours) == meta
+    assert multimodal.parse_wav_header(b"RIFFxxxx") is None
+    assert multimodal.parse_wav_header(b"") is None
+
+
+def test_sniff_media_meta_routes_formats(spark):
+    rows = [
+        (0, multimodal.synth_wav(b"\x00" * 10, 8000, 2, 16)),
+        (1, multimodal.synth_png(640, 480)),
+        (2, b"neither of the two"),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r for r in multimodal.sniff_media_meta(df).collect()}
+    assert got[0].format == "wav" and got[0].sample_rate == 8000
+    assert got[0].channels == 2 and got[0].data_bytes == 10
+    assert got[1].format == "png" and (got[1].width, got[1].height) == (640, 480)
+    assert got[1].sample_rate is None
+    assert got[2].format == "unknown" and got[2].width is None
 
 
 def test_frame_sample(spark, docs):
