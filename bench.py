@@ -11,13 +11,33 @@ timings capture scan→compute→shuffle, not driver-side collection.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import sys
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
+
+
+def _prev_bench() -> tuple[str, dict] | None:
+    """Latest BENCH_r{N}.json in the repo root, for round-over-round
+    per-query deltas (requested by the r1 verdict)."""
+    benches = []
+    for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            benches.append((int(m.group(1)), p))
+    if not benches:
+        return None
+    _, path = max(benches)
+    try:
+        with open(path) as f:
+            return os.path.basename(path), json.load(f)
+    except Exception:
+        return None
 
 # The headline set: one representative per operator family, stable across
 # rounds for comparability.
@@ -108,17 +128,29 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_set_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_query_set_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    prev = _prev_bench()
+    if prev is not None:
+        prev_name, prev_data = prev
+        prev_q = prev_data.get("queries", {})
+        payload["delta_vs_prev"] = {
+            "baseline": prev_name,
+            "total_ratio": round(total / prev_data["value"], 3)
+            if prev_data.get("value")
+            else None,
+            "queries": {
+                n: round(t / prev_q[n], 2)
+                for n, t in timings.items()
+                if prev_q.get(n)
+            },
+        }
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -345,7 +345,8 @@ def kmeans_quantized(
     Deterministic by construction: init = the k lowest-id vectors (no
     RNG), all distances are squared-L2 over integer-quantized components,
     assignment ties break on centroid index, and updated centroids are
-    re-quantized to integers (floor of the exact decimal mean) each
+    re-quantized to integers (floor of the exact RATIONAL mean, computed
+    with the pmod identity so no decimal rounding can drift it) each
     round.  Rerun- and partitioning-stable, therefore testable.
 
     Each iteration: assignment is a pure map-side projection against
@@ -393,22 +394,23 @@ def kmeans_quantized(
 
     for _ in range(iters):
         assigned = assign(cents)
-        # new centroid = floor(exact decimal mean) per component, so the
-        # next round's literals are integers again (cross-engine exact)
+        # new centroid = floor(exact rational mean) per component, via the
+        # integer identity floor(s/n) = (s - pmod(s, n)) / n: the numerator
+        # is exactly divisible, so the decimal division is exact (no
+        # HALF_UP drift at any cluster size — plain floor(sum/n) rounds
+        # the quotient at scale ~6 first, which flips means within 5e-7
+        # below an integer once clusters pass ~2e6 rows).  Exact while
+        # |quotient| < 1e32 (decimal(38) minus the division scale).
         dim = len(cents[0][1])
+
+        def floor_mean(i: int):
+            s = F.sum(F.element_at("q", i + 1).cast("decimal(38,0)"))
+            n = F.count(F.lit(1))
+            return ((s - F.pmod(s, n)) / n).cast("bigint").alias(f"c{i}")
+
         new_rows = (
             assigned.groupBy("cluster")
-            .agg(
-                *[
-                    F.floor(
-                        F.sum(F.element_at("q", i + 1).cast("decimal(28,0)"))
-                        / F.count(F.lit(1))
-                    )
-                    .cast("bigint")
-                    .alias(f"c{i}")
-                    for i in range(dim)
-                ]
-            )
+            .agg(*[floor_mean(i) for i in range(dim)])
             .collect()
         )
         by_cluster = {r["cluster"]: [r[f"c{i}"] for i in range(dim)] for r in new_rows}

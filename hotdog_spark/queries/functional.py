@@ -215,9 +215,11 @@ def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "exact_users",
         "n_events",
+        # the max(1, 5%) floor keeps tiny groups from flapping the check:
+        # at exact_users < 20 a sketch error of just 1 is within contract
         (
             F.abs(F.col("approx_users") - F.col("exact_users"))
-            <= 0.05 * F.col("exact_users")
+            <= F.greatest(F.lit(1.0), 0.05 * F.col("exact_users"))
         ).alias("approx_within_5pct"),
     )
 

@@ -114,7 +114,8 @@ def parquet_writer(
 
 
 def typed_parquet_foreach_batch(
-    settings: Settings, base_path: str, infer_undeclared: bool = True
+    settings: Settings, base_path: str, infer_undeclared: bool = True,
+    emitter=None,
 ):
     """foreachBatch function implementing the reference's per-destination
     schema choice (src/sink/parquet.rs:171-230): declared topics decode
@@ -126,6 +127,12 @@ def typed_parquet_foreach_batch(
     the reference's behavior of dropping undecodable buffers — except
     nothing is dropped here.
 
+    Declared-topic payloads that FAIL from_json (malformed JSON) do not
+    become all-null typed rows: they divert to ``<base>/raw/topic=<t>``
+    with the raw payload and are counted — per batch in
+    ``write_batch.last_decode_failed`` and, when ``emitter`` (a
+    StatsdEmitter) is given, as the ``parquet.decode_failed`` counter.
+
     The per-topic loop is driver-side but touches only topic *names*
     (collected from the batch's distinct set — bounded by the config's
     routing fan-out, same cardinality the reference keeps one buffer per
@@ -135,14 +142,46 @@ def typed_parquet_foreach_batch(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch_df = batch_df.persist()
+        write_batch.last_decode_failed = 0
         try:
             for topic, schema in declared.items():
-                typed = (
-                    batch_df.filter(F.col("topic") == topic)
-                    .select(F.from_json("payload", schema).alias("r"))
-                    .select("r.*")
+                # PERMISSIVE from_json turns malformed JSON into structs
+                # of nulls — indistinguishable from legitimately-sparse
+                # records — so parse with a corrupt-record column: only
+                # rows where it stays null decoded for real.
+                from pyspark.sql.types import StringType, StructField, StructType
+
+                probe = StructType(
+                    list(schema.fields) + [StructField("_corrupt_record", StringType())]
                 )
-                typed.write.mode("append").parquet(f"{base_path}/topic={topic}")
+                parsed = (
+                    batch_df.filter(F.col("topic") == topic)
+                    .select(
+                        "payload",
+                        F.from_json(
+                            "payload",
+                            probe,
+                            {"columnNameOfCorruptRecord": "_corrupt_record"},
+                        ).alias("r"),
+                    )
+                    .persist()
+                )
+                decode_ok = F.col("r").isNotNull() & F.col(
+                    "r._corrupt_record"
+                ).isNull()
+                parsed.filter(decode_ok).select("r.*").drop(
+                    "_corrupt_record"
+                ).write.mode("append").parquet(f"{base_path}/topic={topic}")
+                bad = parsed.filter(
+                    ~decode_ok & F.col("payload").isNotNull()
+                ).select("payload")
+                n_bad = bad.count()
+                if n_bad:
+                    bad.write.mode("append").parquet(f"{base_path}/raw/topic={topic}")
+                    write_batch.last_decode_failed += n_bad
+                    if emitter is not None:
+                        emitter.counter("parquet.decode_failed", n_bad)
+                parsed.unpersist()
             rest = batch_df
             for topic in declared:
                 rest = rest.filter(F.col("topic") != topic)
@@ -186,6 +225,64 @@ def memory_sink(routed: DataFrame, name: str) -> StreamingQuery:
     )
 
 
+def upsert_batch_fn(path: str, keys: list[str], ts_col: str, tiebreak_col: str):
+    """The per-batch upsert function behind ``upsert_parquet_sink``
+    (factored out so the swap protocol is unit-testable without a
+    streaming query).
+
+    Swap protocol — crash-safe at every step (rename-aside, then delete;
+    never delete-then-rename):
+
+    1. recovery: live missing but ``.old`` present (a previous run died
+       between steps 3 and 4) → rename ``.old`` back to live;
+    2. write the merged table to ``.staging``;
+    3. rename live → ``.old`` (the previous state stays intact on disk);
+    4. rename ``.staging`` → live;
+    5. delete ``.old``.
+
+    A crash before 4 leaves live (or its ``.old`` aside, recovered in 1);
+    a crash after 4 leaves the new live plus a stale ``.old`` that the
+    next batch deletes.  No window exists where neither copy is on disk —
+    unlike the previous delete-then-rename, which lost the table if the
+    process died between the delete and the rename.
+    """
+    from hotdog_spark.operators.temporal import latest_snapshot
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        jvm = spark.sparkContext._jvm
+        jsc = spark.sparkContext._jsc
+        hadoop_conf = jsc.hadoopConfiguration()
+        fs_path = jvm.org.apache.hadoop.fs.Path(path)
+        fs = fs_path.getFileSystem(hadoop_conf)
+        staging = path.rstrip("/") + ".staging"
+        old = path.rstrip("/") + ".old"
+        staging_path = jvm.org.apache.hadoop.fs.Path(staging)
+        old_path = jvm.org.apache.hadoop.fs.Path(old)
+
+        # recovery from a crash between the two renames of a prior batch
+        if not fs.exists(fs_path) and fs.exists(old_path):
+            fs.rename(old_path, fs_path)
+
+        batch_latest = latest_snapshot(batch_df, keys, ts_col, tiebreak_col)
+        if fs.exists(fs_path):
+            existing = spark.read.parquet(path)
+            merged = latest_snapshot(
+                existing.unionByName(batch_latest), keys, ts_col, tiebreak_col
+            )
+        else:
+            merged = batch_latest
+        merged.write.mode("overwrite").parquet(staging)
+        if fs.exists(old_path):
+            fs.delete(old_path, True)  # stale aside from a post-swap crash
+        if fs.exists(fs_path):
+            fs.rename(fs_path, old_path)
+        fs.rename(staging_path, fs_path)
+        fs.delete(old_path, True)
+
+    return _apply
+
+
 def upsert_parquet_sink(
     routed: DataFrame,
     path: str,
@@ -197,41 +294,20 @@ def upsert_parquet_sink(
     """Materialize a change stream into a keyed current-state parquet
     table (streaming upsert / log compaction): per micro-batch, reduce
     the batch to its latest row per key, merge with the existing table,
-    and atomically swap the result in via a staging directory + Hadoop
-    FileSystem rename.
+    and swap the result in via the crash-safe rename-aside protocol of
+    ``upsert_batch_fn``.
 
     This is the streaming twin of ``operators.temporal.latest_snapshot``
     — the dimension-table materialization the reference's topic router
-    feeds but cannot build.  The staging swap is atomic on HDFS/local
+    feeds but cannot build.  Renames are atomic on HDFS/local
     filesystems; on object stores, rename is copy-based — production
     deployments there should use a table format with MERGE INTO
     (Delta/Iceberg) behind the same per-batch reduction.
     """
-    from hotdog_spark.operators.temporal import latest_snapshot
-
-    def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        batch_latest = latest_snapshot(batch_df, keys, ts_col, tiebreak_col)
-        jvm = spark.sparkContext._jvm
-        jsc = spark.sparkContext._jsc
-        hadoop_conf = jsc.hadoopConfiguration()
-        fs_path = jvm.org.apache.hadoop.fs.Path(path)
-        fs = fs_path.getFileSystem(hadoop_conf)
-        if fs.exists(fs_path):
-            existing = spark.read.parquet(path)
-            merged = latest_snapshot(
-                existing.unionByName(batch_latest), keys, ts_col, tiebreak_col
-            )
-        else:
-            merged = batch_latest
-        staging = path.rstrip("/") + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
-        staging_path = jvm.org.apache.hadoop.fs.Path(staging)
-        fs.delete(fs_path, True)
-        fs.rename(staging_path, fs_path)
-
     return (
-        routed.writeStream.foreachBatch(_apply)
+        routed.writeStream.foreachBatch(
+            upsert_batch_fn(path, keys, ts_col, tiebreak_col)
+        )
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )

@@ -163,6 +163,60 @@ def test_foreach_batch_infers_undeclared_and_keeps_raw(spark, tmp_path):
     assert [r.payload for r in raw.collect()] == ["not json at all"]
 
 
+def test_foreach_batch_diverts_undecodable_declared_payloads(spark, tmp_path):
+    """A declared-topic payload that fails from_json must NOT become an
+    all-null typed row: it diverts to the raw path and is counted."""
+    out_dir = str(tmp_path / "typed_divert")
+    settings = load_dict(
+        {
+            "global": {"listen": {"port": 1}},
+            "rules": [],
+            "schemas": [{"topic": "t1", "fields": {"i": {"type": "long"}}}],
+        },
+        environ={},
+    )
+    batch = spark.createDataFrame(
+        [
+            ("t1", '{"i": 1}'),
+            ("t1", "{broken json"),
+            ("t1", "plainly not json"),
+        ],
+        "topic string, payload string",
+    )
+    emitter = StatsdEmitter(None)
+    fn = sinks.typed_parquet_foreach_batch(settings, out_dir, emitter=emitter)
+    fn(batch, 0)
+    typed = spark.read.parquet(f"{out_dir}/topic=t1")
+    assert [r.i for r in typed.collect()] == [1]   # no all-null rows
+    raw = spark.read.parquet(f"{out_dir}/raw/topic=t1")
+    assert {r.payload for r in raw.collect()} == {"{broken json", "plainly not json"}
+    assert fn.last_decode_failed == 2
+    assert emitter.last.get("parquet.decode_failed") == 2
+
+
+def test_upsert_swap_is_crash_safe(spark, tmp_path):
+    """The rename-aside swap: simulate dying between the two renames
+    (live gone, .old present) and assert the next batch recovers the
+    previous state instead of silently starting from empty."""
+    from hotdog_spark.streaming.sinks import upsert_batch_fn
+
+    path = str(tmp_path / "state")
+    fn = upsert_batch_fn(path, ["k"], "ts", "tb")
+    b1 = spark.createDataFrame([(1, 10, 1, "a"), (2, 10, 1, "b")],
+                               "k long, ts long, tb long, v string")
+    fn(b1, 0)
+    assert {(r.k, r.v) for r in spark.read.parquet(path).collect()} == {(1, "a"), (2, "b")}
+    # simulate the crash window: live renamed aside, new never landed
+    os.rename(path, path + ".old")
+    b2 = spark.createDataFrame([(2, 20, 1, "b2"), (3, 10, 1, "c")],
+                               "k long, ts long, tb long, v string")
+    fn(b2, 1)
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a"), (2, "b2"), (3, "c")}   # k=1 survived the crash
+    assert not os.path.exists(path + ".old")
+    assert not os.path.exists(path + ".staging")
+
+
 def test_kafka_writer_options(spark, canonical, tmp_path):
     """Kafka sink config: conf passthrough and per-row topic routing are
     wired (not started — no broker in this environment)."""
@@ -237,8 +291,78 @@ def test_metrics_listener_observes_counts(spark, tmp_path, canonical):
         assert emitter.last.get("lines_received") == 4.0
         assert emitter.last.get("parse_errors") == 1.0
         assert emitter.last.get("routed") == 3.0
+        assert emitter.last.get("merge_aborted") == 0.0
+        # timer parity (M1): micro-batch durations emit as statsd timers
+        assert "kafka.producer.sent" in emitter.last
+        assert "batch.addBatch" in emitter.last
+        assert emitter.last["batch.addBatch"] >= 0
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_statsd_line_formats():
+    """The emitter speaks real statsd line protocol over UDP: counter |c,
+    gauge |g, timer |ms (the dipstick shapes the reference emits)."""
+    import socket as socket_mod
+
+    recv = socket_mod.socket(socket_mod.AF_INET, socket_mod.SOCK_DGRAM)
+    recv.bind(("127.0.0.1", 0))
+    recv.settimeout(5)
+    port = recv.getsockname()[1]
+    emitter = StatsdEmitter(f"127.0.0.1:{port}")
+    emitter.counter("lines", 42)
+    emitter.gauge("connections", 1)
+    emitter.timer("kafka.producer.sent", 12.7)
+    got = {recv.recv(1024).decode() for _ in range(3)}
+    recv.close()
+    assert got == {
+        "hotdog.lines:42|c",
+        "hotdog.connections:1|g",
+        "hotdog.kafka.producer.sent:12|ms",
+    }
+
+
+def test_merge_aborted_counts_non_json_targets(spark):
+    """A matched merge rule over a non-JSON message aborts the merge
+    (reference: hotdog.error.merge_target_not_json) but — faithful quirk —
+    a later forward in the same rule still emits the raw msg."""
+    from hotdog_spark.plans.compiler import apply_cascade
+
+    settings = load_dict(
+        {
+            "global": {"listen": {"port": 1}},
+            "rules": [
+                {
+                    "regex": ".*",
+                    "field": "msg",
+                    "actions": [
+                        {"type": "merge", "json": {"tag": "x"}},
+                        {"type": "forward", "topic": "out"},
+                    ],
+                }
+            ],
+        },
+        environ={},
+    )
+    df = spark.createDataFrame(
+        [("not json",), ('{"a": 1}',)], "msg string"
+    ).withColumns(
+        {
+            "severity": F.lit(None).cast("string"),
+            "facility": F.lit(None).cast("string"),
+            "hostname": F.lit(None).cast("string"),
+            "appname": F.lit(None).cast("string"),
+        }
+    )
+    rows = {
+        r.msg: r
+        for r in apply_cascade(df, settings, keep_dropped=True).collect()
+    }
+    assert rows["not json"].merge_aborted is True
+    assert rows["not json"].topic == "out"          # forward still ran
+    assert rows["not json"].payload == "not json"   # raw msg passthrough
+    assert rows['{"a": 1}'].merge_aborted is False
+    assert rows['{"a": 1}'].topic == "out"
 
 
 # ---------------------------------------------------------------------------
