@@ -224,6 +224,42 @@ def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Like the HLL query above: sketch outputs are engine-specific, so the
+# deterministic contract is the ERROR BOUND.  approx_percentile(acc=10000)
+# guarantees rank error <= 1e-4; any returned element therefore lies
+# between the exact 0.49 and 0.51 quantiles (a 100x-wider envelope).  The
+# oracle recomputes the exact median and a literal TRUE for the bound.
+@register(
+    "agg_approx_percentile_value",
+    oracle="""
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS exact_p50,
+           TRUE AS approx_within_bound
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based percentiles per event type.  At 100 TB the
+    approx_percentile sketch replaces exact rank computation: fixed-size
+    state, map-side combinable, shuffles one sketch per group instead of
+    sorting values-per-group.  The exact median exists to make the
+    sketch oracle-checkable; a production rollup emits the sketch alone."""
+    e = table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.expr("approx_percentile(value, 0.5D, 10000)").alias("ap50"),
+        F.expr("percentile(value, 0.5D)").alias("exact_p50"),
+        F.expr("percentile(value, 0.49D)").alias("_lo"),
+        F.expr("percentile(value, 0.51D)").alias("_hi"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_p50",
+        (
+            (F.col("ap50") >= F.col("_lo")) & (F.col("ap50") <= F.col("_hi"))
+        ).alias("approx_within_bound"),
+    )
+
+
 @register(
     "window_value_functions",
     oracle="""
