@@ -50,6 +50,38 @@ def with_split(
     )
 
 
+def shard_by_hash(
+    df: DataFrame, key_col: str, n_shards: int = 16
+) -> DataFrame:
+    """Deterministic shard assignment + within-shard order for training
+    export — the last mile of a data pipeline: every run, engine, and
+    backfill produces the SAME shard layout and the same within-shard
+    sequence, and that sequence is a content-hash order (a reproducible
+    global shuffle, uncorrelated with source order — exactly what
+    sequential training consumption wants).
+
+    shard = first md5 hex digit mod ``n_shards`` (power-of-two shard
+    counts ≤ 16 stay uniform); ``pos`` = rank of (md5, key) inside the
+    shard.  One hash shuffle on the shard key; at 100 TB follow with
+    ``.repartition("shard").sortWithinPartitions("pos")`` and a
+    ``partitionBy("shard")`` write so each shard lands as one ordered
+    file set.
+    """
+    if not 1 <= n_shards <= 16 or 16 % n_shards != 0:
+        raise ValueError("n_shards must divide 16 (md5 digit uniformity)")
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col(key_col).cast("string"))
+    shard = (
+        F.expr(f"instr('0123456789abcdef', substring(md5(cast({key_col} as string)), 1, 1))")
+        - 1
+    ) % n_shards
+    w = Window.partitionBy("shard").orderBy(h, F.col(key_col))
+    return df.withColumn("shard", shard.cast("int")).withColumn(
+        "pos", F.row_number().over(w)
+    )
+
+
 def stratified_sample(
     df: DataFrame, key_col: str, group_col: str, n_per_group: int
 ) -> DataFrame:

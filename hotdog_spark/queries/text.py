@@ -311,6 +311,37 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "export_shard_manifest",
+    oracle="""
+    SELECT doc_id,
+           CAST((strpos('0123456789abcdef',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8
+                AS INTEGER) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY (strpos('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           ) AS INTEGER) AS pos,
+           n_chars
+    FROM documents
+    """,
+)
+def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-export shard manifest: every document's deterministic
+    shard and within-shard position (content-hash order — a reproducible
+    global shuffle).  Rerun-, engine- and growth-stable: a doc's shard
+    never changes, and within-shard order is independent of source file
+    layout.  One hash shuffle on the shard key; at 100 TB the same plan
+    feeds partitionBy('shard') ordered writes."""
+    from hotdog_spark.operators.sampling import shard_by_hash
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return shard_by_hash(docs, "doc_id", n_shards=8).select(
+        "doc_id", "shard", "pos", "n_chars"
+    )
+
+
 TAXONOMY = {
     "agg": "compute", "hash": "compute", "join": "compute",
     "merge": "compute", "scan": "compute", "sort": "compute",

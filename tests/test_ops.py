@@ -118,6 +118,27 @@ def test_multimodal_feature_stub_deterministic(spark, docs):
     assert again[0].features == feats[0].features
 
 
+def test_shard_by_hash_deterministic_and_validated(spark):
+    from hotdog_spark.operators import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(40)], "k long")
+    a = {(r.k, r.shard, r.pos) for r in sampling.shard_by_hash(df, "k", 4).collect()}
+    # rerun with different partitioning → identical layout
+    b = {
+        (r.k, r.shard, r.pos)
+        for r in sampling.shard_by_hash(df.repartition(7), "k", 4).collect()
+    }
+    assert a == b
+    shards = {s for _, s, _ in a}
+    assert shards <= {0, 1, 2, 3}
+    # positions are 1..n contiguous within each shard
+    for s in shards:
+        poss = sorted(p for _, sh, p in a if sh == s)
+        assert poss == list(range(1, len(poss) + 1))
+    with pytest.raises(ValueError):
+        sampling.shard_by_hash(df, "k", 5)  # 5 does not divide 16
+
+
 def test_multimodal_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"\x89PNG")
