@@ -40,9 +40,21 @@ def fan_out(df: DataFrame) -> DataFrame:
     on a 5k-doc input.  At 100 TB inputs are naturally multi-partition and
     this is a no-op; on compact inputs one cheap round-robin shuffle buys
     full parallelism for the expensive downstream work.
+
+    Compactness comes from the optimizer's size estimate
+    (``stats().sizeInBytes`` — catalog/file statistics, no job): the old
+    ``df.rdd.getNumPartitions()`` probe forced full physical planning +
+    RDD conversion, measured at 0.8 s of driver time per query build.
     """
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < max(2, target // 2):
+    # nominal maxPartitionBytes; only the order of magnitude matters here
+    bytes_per_partition = 128 * 1024 * 1024
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return df.repartition(target)
+    est_partitions = max(1, size // bytes_per_partition)
+    if est_partitions < max(2, target // 2):
         return df.repartition(target)
     return df
