@@ -233,6 +233,75 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 10,
+    max_docs: int = 1,
+) -> DataFrame:
+    """Sub-document (chunk/paragraph-level) boilerplate removal — the
+    CCNet/Gopher move of deduplicating REPEATED SPANS across documents,
+    not whole documents: split each doc into consecutive fixed-width
+    token chunks, drop every chunk whose exact content appears in more
+    than ``max_docs`` distinct docs, and reassemble the survivors in
+    order.  Catches shared headers/footers/license blocks that whole-doc
+    dedup misses entirely.
+
+    Scale shape: chunking is a JVM array projection (transform+slice, no
+    explode until the count); the hot-chunk list is found with one
+    map-side-combinable aggregate and is SMALL by construction (only
+    cross-doc repeated content), so it rides a broadcast anti-join — the
+    corpus shuffles once, on the chunk hash, and reassembly is one
+    doc-keyed aggregate.  Returns (id, clean_text, n_chunks, n_removed).
+    """
+    base = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.split(F.col(text_col), " ").alias("tk"),
+    )
+    n_chunks = F.ceil(F.size("tk") / F.lit(chunk_tokens)).cast("int")
+    chunks = base.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(F.col("tk"), i * chunk_tokens + 1, chunk_tokens)
+                ),
+            )
+        ).alias("idx", "chunk"),
+    )
+    hot = (
+        chunks.groupBy("chunk")
+        .agg(F.count_distinct("id").alias("_nd"))
+        .filter(F.col("_nd") > max_docs)
+        .select("chunk")
+    )
+    kept = chunks.join(F.broadcast(hot), "chunk", "left_anti")
+    total = chunks.groupBy("id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    rebuilt = kept.groupBy("id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                lambda s: s.getField("chunk"),
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        total.join(rebuilt, "id", "left")
+        .select(
+            "id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            "n_chunks",
+            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )
+
+
 def connected_components(
     pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 50
 ) -> DataFrame:

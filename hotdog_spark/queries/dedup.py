@@ -142,6 +142,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_chunk_boilerplate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+    ), chunks AS (
+      SELECT doc_id, g.i AS idx,
+             array_to_string(tk[g.i*10+1 : (g.i+1)*10], ' ') AS chunk
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(0, CAST(ceil(len(tk)/10.0) AS INT) - 1)) AS i
+      ) g
+    ), hot AS (
+      SELECT chunk FROM chunks GROUP BY chunk HAVING COUNT(DISTINCT doc_id) > 1
+    ), kept AS (
+      SELECT c.doc_id, c.idx, c.chunk FROM chunks c
+      WHERE c.chunk NOT IN (SELECT chunk FROM hot)
+    ), total AS (
+      SELECT doc_id, COUNT(*) AS n_chunks FROM chunks GROUP BY doc_id
+    ), rebuilt AS (
+      SELECT doc_id, string_agg(chunk, ' ' ORDER BY idx) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id AS id, COALESCE(r.clean_text, '') AS clean_text,
+           t.n_chunks,
+           CAST(t.n_chunks - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed
+    FROM total t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+    """,
+)
+def dedup_chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document boilerplate removal (CCNet/Gopher paragraph dedup
+    adapted to this corpus's separator-free text): 10-token chunks
+    repeated across >1 docs are dropped and each doc reassembled in
+    order.  Whole-doc dedup can't catch shared spans; this is the op
+    that does.  Chunking is a JVM array projection; the hot-chunk list
+    broadcasts; the corpus shuffles once on the chunk key."""
+    return ops.dedup_chunks(
+        table(spark, sf_dir, "documents"), "text", "doc_id",
+        chunk_tokens=10, max_docs=1,
+    ).withColumn("n_chunks", F.col("n_chunks").cast("bigint"))
+
+
 _BUCKET8 = " || ".join(
     f"(CASE WHEN qv[{i}] >= 0 THEN '1' ELSE '0' END)" for i in range(1, 9)
 )

@@ -118,6 +118,24 @@ def test_multimodal_feature_stub_deterministic(spark, docs):
     assert again[0].features == feats[0].features
 
 
+def test_dedup_chunks_removes_cross_doc_boilerplate(spark):
+    """A 10-token span shared by two docs must vanish from both, while
+    each doc's unique chunks survive in their original order."""
+    boiler = "b0 b1 b2 b3 b4 b5 b6 b7 b8 b9"
+    rows = [
+        (0, f"u0 u1 u2 u3 u4 u5 u6 u7 u8 u9 {boiler} t0 t1"),
+        (1, f"{boiler} v0 v1 v2 v3 v4 v5 v6 v7 v8 v9"),
+        (2, "w0 w1 w2 w3"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in dedup.dedup_chunks(df, "text", "doc_id").collect()}
+    assert got[0].clean_text == "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9 t0 t1"
+    assert got[0].n_removed == 1 and got[0].n_chunks == 3
+    assert got[1].clean_text == "v0 v1 v2 v3 v4 v5 v6 v7 v8 v9"
+    assert got[1].n_removed == 1
+    assert got[2].clean_text == "w0 w1 w2 w3" and got[2].n_removed == 0
+
+
 def test_shard_by_hash_deterministic_and_validated(spark):
     from hotdog_spark.operators import sampling
 
