@@ -81,6 +81,8 @@ HEADLINE = [
     "text_repetition_stats",       # islands run-detection repetition filters
     "decontaminate_ngram_overlap", # broadcast benchmark-gram decontamination
     "pipeline_corpus_build",       # composed scrub→gate→dedup→pack pipeline
+    "dedup_chunk_boilerplate",     # sub-document repeated-span removal
+    "export_shard_manifest",       # deterministic shard + order manifest
 ]
 
 
