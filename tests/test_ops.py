@@ -118,6 +118,20 @@ def test_multimodal_feature_stub_deterministic(spark, docs):
     assert again[0].features == feats[0].features
 
 
+def test_fan_out_uses_size_estimate(spark):
+    """fan_out must spread compact inputs across cores but leave
+    already-large inputs untouched — decided from optimizer size stats
+    (no job, no RDD conversion)."""
+    from hotdog_spark.operators import fan_out
+
+    small = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = fan_out(small)
+    assert out is not small  # compact → repartitioned
+    assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    big = spark.range(0, 2_000_000_000)  # ~16 GB estimated
+    assert fan_out(big) is big  # large → untouched, no shuffle added
+
+
 def test_dedup_chunks_removes_cross_doc_boilerplate(spark):
     """A 10-token span shared by two docs must vanish from both, while
     each doc's unique chunks survive in their original order."""
