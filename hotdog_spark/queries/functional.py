@@ -315,6 +315,70 @@ def posexplode_embedding_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH dims AS (
+      SELECT g.i - 1 AS dim,
+             CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000) AS BIGINT) AS q
+      FROM embeddings, LATERAL (
+        SELECT unnest(generate_series(1, len(embedding))) AS i
+      ) g
+    ), agg AS (
+      SELECT dim, COUNT(*) AS n,
+             CAST(SUM(q) AS BIGINT) AS sum_q,
+             CAST(SUM(q*q) AS BIGINT) AS sum_q2,
+             MIN(q) AS min_q, MAX(q) AS max_q
+      FROM dims GROUP BY dim
+    )
+    SELECT dim, n, sum_q, min_q, max_q,
+           CAST(sum_q AS DOUBLE) / n AS mean_q,
+           sqrt(greatest(
+             CAST(sum_q2 AS DOUBLE) / n
+             - (CAST(sum_q AS DOUBLE) / n) * (CAST(sum_q AS DOUBLE) / n),
+             0.0)) AS std_q
+    FROM agg
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding distribution report (n/mean/std/min/max
+    over millis-quantized components) — the drift/collapse monitor run
+    before training: a dimension whose std goes to ~0 or whose mean
+    shifts between snapshots signals encoder drift or feature collapse.
+
+    One generator projection + ONE map-side-combinable aggregate keyed by
+    dimension (64 groups — never data-sized); the float stats derive from
+    exact integer sums with the identical double expressions on both
+    engines, so the hash match is bit-exact."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = F.round(F.col("x").cast("double") * 1000).cast("long")
+    dims = emb.select(F.posexplode("embedding").alias("dim", "x")).select(
+        "dim", q.alias("q")
+    )
+    agg = dims.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("q").alias("sum_q"),
+        F.sum(F.col("q") * F.col("q")).alias("sum_q2"),
+        F.min("q").alias("min_q"),
+        F.max("q").alias("max_q"),
+    )
+    mean = F.col("sum_q").cast("double") / F.col("n")
+    return agg.select(
+        "dim",
+        "n",
+        "sum_q",
+        "min_q",
+        "max_q",
+        mean.alias("mean_q"),
+        F.sqrt(
+            F.greatest(
+                F.col("sum_q2").cast("double") / F.col("n") - mean * mean,
+                F.lit(0.0),
+            )
+        ).alias("std_q"),
+    )
+
+
+@register(
     "union_by_name_evolution",
     oracle="""
     SELECT src, id, COALESCE(price, -1.0) AS price, COALESCE(qty, -1.0) AS qty
