@@ -207,6 +207,61 @@ def top_terms(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFram
     ).filter(F.col("rnk") <= k)
 
 
+def rare_term_salience(
+    df: DataFrame, text_col: str, id_col: str, k: int = 3
+) -> DataFrame:
+    """Per-document top-k salient terms by tf × (N/df) — the LOG-FREE
+    inverse-document-frequency weighting.
+
+    Why not ln: the classic tf·ln(N/df) needs a transcendental whose
+    rounding IEEE-754 does NOT pin down — Java's Math.log (Spark) and
+    libm's log (DuckDB/C engines) may differ in the last ulp, which is
+    enough to flip ranks at near-ties and break cross-engine
+    reproducibility.  tf·N/df uses only correctly-rounded ops (* /) over
+    exact integers, so every engine produces bit-identical scores and the
+    SAME ranking; it preserves the property that matters (rarer ⇒ higher
+    weight, monotone in 1/df).
+
+    Shape: one (doc, term) aggregate, a token-keyed join against the
+    df table, and a doc-partitioned ranking window that reuses the
+    aggregation's doc-prefix partitioning.  Returns
+    (id, tok, cnt, df, salience, rnk).
+    """
+    from pyspark.sql.window import Window
+
+    from hotdog_spark.operators import fan_out
+    from hotdog_spark.operators.dedup import normalized_tokens
+
+    toks = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(normalized_tokens(F.col(text_col))).alias("tok"),
+    )
+    cnt = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    dfreq = (
+        toks.select("id", "tok").distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        cnt.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "salience",
+            F.col("cnt").cast("double")
+            * F.col("n_docs").cast("double")
+            / F.col("df").cast("double"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(
+        F.col("salience").desc(), F.col("tok")
+    )
+    return scored.select(
+        "id", "tok", "cnt", "df", "salience",
+        F.row_number().over(w).alias("rnk"),
+    ).filter(F.col("rnk") <= k)
+
+
 def repetition_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Gopher-style repetition quality signals per document.
 

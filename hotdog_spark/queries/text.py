@@ -195,6 +195,39 @@ def text_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_salient_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ), cnt AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok
+    ), dfreq AS (
+      SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY tok
+    ), scored AS (
+      SELECT c.doc_id, c.tok, c.cnt, d.df,
+             CAST(c.cnt AS DOUBLE) * CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+               / CAST(d.df AS DOUBLE) AS salience
+      FROM cnt c JOIN dfreq d ON c.tok = d.tok
+    )
+    SELECT doc_id, tok, cnt, df, salience, rnk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY salience DESC, tok) AS rnk
+      FROM scored
+    ) t WHERE rnk <= 3
+    """,
+)
+def text_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 salient terms by tf × (N/df) — the log-free
+    IDF weighting (ln's last-ulp divergence between Java Math.log and
+    libm breaks cross-engine bit-exactness; * and / are correctly
+    rounded, so this score hashes identically everywhere).  Combines the
+    TF and DF sides into the keyword-extraction op."""
+    return ops.rare_term_salience(
+        table(spark, sf_dir, "documents"), "text", "doc_id", k=3
+    ).withColumnRenamed("id", "doc_id")
+
+
+@register(
     "text_doc_frequency",
     oracle=f"""
     WITH per AS (
