@@ -379,6 +379,66 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_drift_report",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id % 2 AS snap, g.i - 1 AS dim,
+             CAST(round(CAST(embedding[g.i] AS DOUBLE) * 1000) AS BIGINT) AS q
+      FROM embeddings, LATERAL (
+        SELECT unnest(generate_series(1, len(embedding))) AS i
+      ) g
+    ), agg AS (
+      SELECT dim,
+             CAST(SUM(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN snap = 0 THEN q ELSE 0 END) AS BIGINT) AS sum_a,
+             CAST(SUM(CASE WHEN snap = 1 THEN q ELSE 0 END) AS BIGINT) AS sum_b
+      FROM dims GROUP BY dim
+    )
+    SELECT dim, n_a, n_b,
+           CAST(sum_a AS DOUBLE) / n_a AS mean_a,
+           CAST(sum_b AS DOUBLE) / n_b AS mean_b,
+           CAST(sum_a AS DOUBLE) / n_a - CAST(sum_b AS DOUBLE) / n_b AS shift_milli,
+           abs(CAST(sum_a AS DOUBLE) / n_a - CAST(sum_b AS DOUBLE) / n_b) > 20.0
+             AS drifted
+    FROM agg
+    """,
+)
+def embedding_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot embedding drift: per dimension, the mean shift
+    between two cohorts (vec_id parity stands in for before/after
+    snapshots), flagged where |shift| exceeds 20 millis — the check that
+    catches silent encoder version changes before they poison a training
+    mix.  ONE aggregate computes both cohorts via conditional sums (no
+    self-join, no second scan); float means derive from exact integer
+    sums with identical double expressions on both engines."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = F.round(F.col("x").cast("double") * 1000).cast("long")
+    dims = emb.select(
+        (F.col("vec_id") % 2).alias("snap"),
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select("snap", "dim", q.alias("q"))
+    a = F.col("snap") == 0
+    agg = dims.groupBy("dim").agg(
+        F.sum(F.when(a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~a, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(a, F.col("q")).otherwise(0)).alias("sum_a"),
+        F.sum(F.when(~a, F.col("q")).otherwise(0)).alias("sum_b"),
+    )
+    mean_a = F.col("sum_a").cast("double") / F.col("n_a")
+    mean_b = F.col("sum_b").cast("double") / F.col("n_b")
+    return agg.select(
+        "dim",
+        "n_a",
+        "n_b",
+        mean_a.alias("mean_a"),
+        mean_b.alias("mean_b"),
+        (mean_a - mean_b).alias("shift_milli"),
+        (F.abs(mean_a - mean_b) > 20.0).alias("drifted"),
+    )
+
+
+@register(
     "union_by_name_evolution",
     oracle="""
     SELECT src, id, COALESCE(price, -1.0) AS price, COALESCE(qty, -1.0) AS qty
