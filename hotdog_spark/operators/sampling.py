@@ -143,6 +143,58 @@ def pack_token_budget(
     )
 
 
+def pack_split_spans(
+    df: DataFrame,
+    key_col: str,
+    tokens_col: str,
+    budget: int,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Sequence packing WITH document splitting — the layout LLM
+    pretraining actually trains on: the group's docs concatenate into one
+    token stream cut into exact ``budget``-token sequences, and a doc
+    straddling a cut contributes a piece to each side.  Every bin is
+    exactly full (except the stream's last), zero padding waste —
+    ``pack_token_budget``'s no-split variant trades that for intact docs.
+
+    Pure arithmetic on the same one-shuffle window cumsum: a doc
+    occupying stream offsets [start, start+len) overlaps bins
+    floor(start/B)..floor((start+len-1)/B); one generator row per
+    overlapped bin with the exact overlap size.  Fan-out per doc is
+    len/B + 1 rows — bounded, engine-exact, order-deterministic.
+    Emits (…, bin, piece_idx, piece_tokens): piece_idx numbers a doc's
+    pieces 0..n, so consumers can reassemble or mask across cuts.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(group_col).orderBy(key_col)
+        if group_col is not None
+        else Window.partitionBy().orderBy(key_col)
+    )
+    cum = F.sum(tokens_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    b = F.lit(budget)
+    with_start = df.withColumn("_start", cum - F.col(tokens_col)).filter(
+        F.col(tokens_col) > 0
+    )
+    first_bin = F.floor(F.col("_start") / b)
+    last_bin = F.floor((F.col("_start") + F.col(tokens_col) - 1) / b)
+    exploded = with_start.withColumn(
+        "bin", F.explode(F.sequence(first_bin, last_bin))
+    )
+    piece_start = F.greatest(F.col("bin") * b, F.col("_start"))
+    piece_end = F.least(
+        (F.col("bin") + 1) * b, F.col("_start") + F.col(tokens_col)
+    )
+    return (
+        exploded.withColumn("piece_idx", (F.col("bin") - first_bin).cast("int"))
+        .withColumn("piece_tokens", (piece_end - piece_start).cast("bigint"))
+        .drop("_start")
+    )
+
+
 def rebalance_to_min_group(
     df: DataFrame, key_col: str, group_col: str
 ) -> DataFrame:

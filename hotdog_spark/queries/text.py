@@ -303,6 +303,59 @@ def pack_token_budget_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_split_sequences",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens
+      FROM documents
+    ), st AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS BIGINT) AS start
+      FROM toks WHERE n_tokens > 0
+    ), pieces AS (
+      SELECT doc_id, lang, n_tokens, start, g.b AS bin,
+             CAST(g.b - (start // 2048) AS INT) AS piece_idx,
+             CAST(least((g.b + 1) * 2048, start + n_tokens)
+                  - greatest(g.b * 2048, start) AS BIGINT) AS piece_tokens
+      FROM st, LATERAL (
+        SELECT unnest(generate_series(start // 2048,
+                                      (start + n_tokens - 1) // 2048)) AS b
+      ) g
+    )
+    SELECT lang, bin, CAST(COUNT(*) AS BIGINT) AS n_pieces,
+           CAST(SUM(piece_tokens) AS BIGINT) AS bin_tokens,
+           CAST(SUM(CASE WHEN piece_idx > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_continuations
+    FROM pieces GROUP BY lang, bin
+    """,
+)
+def pack_split_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing WITH document splitting (2048-token cuts per
+    language): every bin is exactly full except each stream's last —
+    zero padding waste, the layout pretraining consumes.  Per-bin piece
+    counts, token totals and continuation counts verify the split
+    arithmetic end-to-end."""
+    from hotdog_spark.operators.sampling import pack_split_spans
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.lower("text")), r"\s+")).alias("n_tokens"),
+    )
+    pieces = pack_split_spans(docs, "doc_id", "n_tokens", 2048, group_col="lang")
+    return pieces.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_pieces"),
+        F.sum("piece_tokens").alias("bin_tokens"),
+        F.sum(F.when(F.col("piece_idx") > 0, 1).otherwise(0)).alias(
+            "n_continuations"
+        ),
+    )
+
+
+@register(
     "corpus_mix_report",
     oracle="""
     WITH feats AS (

@@ -118,6 +118,25 @@ def test_multimodal_feature_stub_deterministic(spark, docs):
     assert again[0].features == feats[0].features
 
 
+def test_pack_split_spans_fills_bins_exactly(spark):
+    """With splitting, every bin holds exactly `budget` tokens except the
+    stream's last, and a straddling doc's pieces sum to its length."""
+    from hotdog_spark.operators import sampling
+
+    rows = [(0, 6), (1, 10), (2, 3)]  # stream of 19 tokens, budget 8
+    df = spark.createDataFrame(rows, "doc_id long, n long")
+    out = sampling.pack_split_spans(df, "doc_id", "n", 8).collect()
+    by_bin = {}
+    by_doc = {}
+    for r in out:
+        by_bin[r.bin] = by_bin.get(r.bin, 0) + r.piece_tokens
+        by_doc.setdefault(r.doc_id, []).append((r.piece_idx, r.piece_tokens))
+    assert by_bin == {0: 8, 1: 8, 2: 3}           # full, full, remainder
+    assert sorted(by_doc[1]) == [(0, 2), (1, 8)]  # doc 1 split 2+8 across bins
+    assert by_doc[0] == [(0, 6)]
+    assert by_doc[2] == [(0, 3)]
+
+
 def test_fan_out_uses_size_estimate(spark):
     """fan_out must spread compact inputs across cores but leave
     already-large inputs untouched — decided from optimizer size stats
