@@ -3,6 +3,8 @@
 
     python -m hotdog_spark -c config.yml                # daemon mode
     python -m hotdog_spark -c config.yml -t file.log    # test (dry-run) mode
+    python -m hotdog_spark --explain <query> [--sf DIR] # physical plan dump
+    python -m hotdog_spark --list-queries               # registered queries
 
 Daemon mode starts the configured source → parse → cascade → sink stream
 and blocks until Ctrl-C, which drains the in-flight micro-batch before
@@ -46,8 +48,23 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(
         prog="hotdog_spark", description="PySpark-native hotdog engine"
     )
-    parser.add_argument("-c", "--config", required=True, help="YAML rules file")
+    parser.add_argument("-c", "--config", help="YAML rules file")
     parser.add_argument("-t", "--test", help="log file to dry-run the rules against")
+    parser.add_argument(
+        "--explain",
+        metavar="QUERY",
+        help="print a registered query's formatted physical plan and exit",
+    )
+    parser.add_argument(
+        "--list-queries",
+        action="store_true",
+        help="list the registered driver-contract queries and exit",
+    )
+    parser.add_argument(
+        "--sf",
+        default="/root/testdata/sf0.001",
+        help="scale-factor directory for --explain (default: sf0.001)",
+    )
     parser.add_argument(
         "--source",
         default="syslog",
@@ -63,6 +80,27 @@ def main(argv: list[str] | None = None) -> int:
         help="source option, repeatable (e.g. --source-opt path=/logs)",
     )
     args = parser.parse_args(argv)
+
+    if args.list_queries or args.explain:
+        from hotdog_spark.queries import all_queries
+
+        queries = all_queries()
+        if args.list_queries:
+            for name in sorted(queries):
+                print(name)
+            return 0
+        if args.explain not in queries:
+            print(f"unknown query {args.explain!r}; try --list-queries", file=sys.stderr)
+            return 2
+        spark = _build_session("hotdog-spark-explain")
+        try:
+            queries[args.explain](spark, args.sf).explain("formatted")
+        finally:
+            spark.stop()
+        return 0
+
+    if not args.config:
+        parser.error("-c/--config is required for daemon and test modes")
 
     from hotdog_spark.config import load
 

@@ -326,6 +326,20 @@ def test_dry_run(spark, canonical):
     assert rows["zzz"].matches == [2]
 
 
+def test_cli_explain_and_list(capsys):
+    """--list-queries prints every registered query; --explain dumps a
+    formatted physical plan without needing a config."""
+    from hotdog_spark.__main__ import main
+    from hotdog_spark.queries import all_queries
+
+    assert main(["--list-queries"]) == 0
+    listed = capsys.readouterr().out.splitlines()
+    assert sorted(listed) == sorted(all_queries())
+
+    assert main(["--explain", "no_such_query"]) == 2
+    assert "unknown query" in capsys.readouterr().err
+
+
 def test_cli_test_mode_report(spark, canonical, tmp_path):
     """Byte-format parity with `hotdog -t example.log` (src/rules.rs:45-51,
     README.adoc:85-98): same lines, same matcher Display strings."""
