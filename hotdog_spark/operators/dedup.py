@@ -233,6 +233,75 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: list[str],
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup detection by token-set CONTAINMENT:
+    ``|A∩B| / min(|A|, |B|)`` — the score that catches a short document
+    quoted or excerpted inside a long one, which symmetric Jaccard
+    dilutes below any usable threshold (a 50-token doc fully inside a
+    5000-token doc has Jaccard ≈ 0.01 but containment = 1.0).
+
+    Same distributive shape as ``ngram_jaccard_pairs`` (explode distinct
+    tokens, equi-join on token within blocks, per-pair count) minus the
+    length blocking — length asymmetry is exactly the point here — and
+    with the same optional ``max_df`` skew cap.  Returns
+    (id_a, id_b, inter, n_a, n_b, containment)."""
+    toks = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in block_cols],
+        F.explode(F.array_distinct(normalized_tokens(F.col(text_col)))).alias("tok"),
+    )
+    if max_df is not None:
+        hot = (
+            toks.groupBy(*block_cols, "tok")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select(*block_cols, "tok")
+        )
+        toks = toks.join(F.broadcast(hot), [*block_cols, "tok"], "left_anti")
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
+    a = toks.select(
+        F.col("id").alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in block_cols],
+        "tok",
+    )
+    b = toks.select(
+        F.col("id").alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in block_cols],
+        F.col("tok").alias("tok_b"),
+    )
+    cond = (a.tok == b.tok_b) & (a.id_a < b.id_b)
+    for c in block_cols:
+        cond = cond & (F.col(f"{c}_a") == F.col(f"{c}_b"))
+    inter = a.join(b, cond).groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("inter")
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_tok").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            "n_a",
+            "n_b",
+            (
+                F.col("inter").cast("double")
+                / F.least("n_a", "n_b").cast("double")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def dedup_chunks(
     df: DataFrame,
     text_col: str,

@@ -143,6 +143,48 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_containment",
+    oracle=f"""
+    WITH rawtoks AS (
+      SELECT doc_id, lang, unnest(list_distinct({_TOKS})) AS tok
+      FROM documents
+    ), toks AS (
+      SELECT t.* FROM rawtoks t
+      JOIN (SELECT lang, tok FROM rawtoks GROUP BY lang, tok
+            HAVING COUNT(*) <= 100) keep
+        ON t.lang = keep.lang AND t.tok = keep.tok
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM toks a JOIN toks b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id AND a.lang = b.lang
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, inter, sa.n_tok AS n_a, sb.n_tok AS n_b,
+           CAST(inter AS DOUBLE) / least(sa.n_tok, sb.n_tok) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / least(sa.n_tok, sb.n_tok) >= 0.8
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup pairs by token-set containment (|A∩B| over
+    the SMALLER set): catches excerpts/quotations that symmetric Jaccard
+    dilutes to ~0 when lengths differ 100x.  Same blocked distributive
+    join as the Jaccard query, same max_df=100 skew cap on both sides."""
+    return ops.ngram_containment_pairs(
+        table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        block_cols=["lang"],
+        threshold=0.8,
+        max_df=100,
+    )
+
+
+@register(
     "dedup_chunk_boilerplate",
     oracle="""
     WITH toks AS (

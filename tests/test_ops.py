@@ -151,6 +151,27 @@ def test_fan_out_uses_size_estimate(spark):
     assert fan_out(big) is big  # large → untouched, no shuffle added
 
 
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A short doc fully contained in a long one: containment = 1.0 even
+    though Jaccard is far below any usable threshold."""
+    short = "alpha beta gamma delta"
+    long_ = short + " " + " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(0, short, "en", 22), (1, long_, "en", 300)],
+        "doc_id long, text string, lang string, n_chars long",
+    )
+    got = dedup.ngram_containment_pairs(
+        df, "text", "doc_id", ["lang"], threshold=0.8
+    ).collect()
+    assert len(got) == 1
+    assert got[0].containment == 1.0 and got[0].inter == 4
+    # symmetric jaccard on the same pair stays tiny (4 / 64)
+    jac = dedup.ngram_jaccard_pairs(
+        df, "text", "doc_id", ["lang"], "n_chars", length_tol=1000, threshold=0.0
+    ).collect()
+    assert jac[0].jaccard < 0.1
+
+
 def test_dedup_chunks_removes_cross_doc_boilerplate(spark):
     """A 10-token span shared by two docs must vanish from both, while
     each doc's unique chunks survive in their original order."""
