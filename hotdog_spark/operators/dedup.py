@@ -23,8 +23,6 @@ from pyspark.sql import functions as F
 
 from hotdog_spark.operators import fan_out
 
-HEX_DIGITS = "0123456789abcdef"
-
 
 def normalized_tokens(text: Column) -> Column:
     """lower → trim → split on whitespace runs (identical to DuckDB's
@@ -111,11 +109,6 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-
-
-def _hex_val(h: Column, pos: int) -> Column:
-    """Value 0-15 of the hex digit at 1-based ``pos``."""
-    return F.instr(F.lit(HEX_DIGITS), F.substring(h, pos, 1)) - 1
 
 
 def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
