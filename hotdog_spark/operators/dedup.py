@@ -337,30 +337,31 @@ def dedup_chunks(
         chunks.groupBy("chunk")
         .agg(F.count_distinct("id").alias("_nd"))
         .filter(F.col("_nd") > max_docs)
-        .select("chunk")
+        .select("chunk", F.lit(True).alias("_hot"))
     )
-    kept = chunks.join(F.broadcast(hot), "chunk", "left_anti")
-    total = chunks.groupBy("id").agg(F.count(F.lit(1)).alias("n_chunks"))
-    rebuilt = kept.groupBy("id").agg(
+    # Flag instead of anti-join so totals and survivors come out of ONE
+    # doc-keyed aggregate (collect_list skips the nulls the unmatched
+    # `when` leaves for hot chunks) — one corpus shuffle, no join-back.
+    flagged = chunks.join(F.broadcast(hot), "chunk", "left")
+    keep = F.col("_hot").isNull()
+    agg = flagged.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.count(F.when(keep, 1)).alias("n_kept"),
         F.concat_ws(
             " ",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("idx", "chunk"))),
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("idx", "chunk")))
+                ),
                 lambda s: s.getField("chunk"),
             ),
         ).alias("clean_text"),
-        F.count(F.lit(1)).alias("n_kept"),
     )
-    return (
-        total.join(rebuilt, "id", "left")
-        .select(
-            "id",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            "n_chunks",
-            (F.col("n_chunks") - F.coalesce("n_kept", F.lit(0)))
-            .cast("bigint")
-            .alias("n_removed"),
-        )
+    return agg.select(
+        "id",
+        "clean_text",
+        "n_chunks",
+        (F.col("n_chunks") - F.col("n_kept")).cast("bigint").alias("n_removed"),
     )
 
 
