@@ -114,6 +114,92 @@ def fingerprint_expr(text: Column) -> Column:
     return F.substring(F.md5(norm), 1, 16)
 
 
+WINNOW_K = 8          # k-gram width (chars)
+WINNOW_W = 4          # winnowing window (grams)
+WINNOW_B = 257        # polynomial base
+WINNOW_M = (1 << 31) - 1
+
+
+def winnowing_fingerprints(
+    df: DataFrame, text_col: str, id_col: str,
+    k: int = WINNOW_K, w: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS local-fingerprinting
+    algorithm; Schleimer/Wilkerson/Aiken, SIGMOD'03): polynomial k-gram
+    hashes over the normalized text, then the minimum hash of every
+    w-gram window, deduplicated — a position-robust fingerprint set that
+    survives insertions/reorderings whole-document hashing cannot.
+
+    The per-gram hash is the classic Rabin-Karp polynomial
+    (Σ c_j·B^(k-1-j) mod M) — a single-threaded scanner computes it
+    ROLLING in O(1)/position; here each position's hash is an
+    independent JVM array expression (same values, embarrassingly
+    parallel, engine-exact integers).  Everything stays in array-land:
+    one projection, NO explode, NO shuffle — per-doc cost is O(n·k)
+    codegen arithmetic.  Returns (id, n_grams, n_fp, fp_sum): the
+    distinct-minima count and their exact integer sum, the compact
+    comparable form of the fingerprint set.
+    """
+    from hotdog_spark.operators import fan_out
+    from hotdog_spark.operators.dedup import normalized_tokens  # noqa: F401  (same norm family)
+
+    pw = [pow(WINNOW_B, k - 1 - j, WINNOW_M) for j in range(k)]
+
+    # Materialize the normalized text and the per-character code array
+    # ONCE per row: embedding the regexp_replace inside every character
+    # term would re-run the regexp O(n·k) times per doc (measured
+    # minutes-per-500-docs); element_at over a codes array makes each
+    # term a plain array lookup.
+    staged = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")).alias("_norm"),
+    ).select(
+        "id",
+        F.transform(
+            F.split(F.col("_norm"), ""),
+            lambda c: F.ascii(c).cast("bigint"),
+        ).alias("_codes"),
+    )
+
+    codes = F.col("_codes")
+
+    def gram_hash(i: Column) -> Column:
+        acc = None
+        for j, p in enumerate(pw):
+            term = F.element_at(codes, i + j) * F.lit(p).cast("bigint")
+            acc = term if acc is None else acc + term
+        return acc % F.lit(WINNOW_M).cast("bigint")
+
+    n = F.size(codes)
+    hashes_expr = F.when(
+        n >= k, F.transform(F.sequence(F.lit(1), n - k + 1), gram_hash)
+    ).otherwise(F.array().cast("array<bigint>"))
+    # stage each big array through a column so it evaluates once per row
+    with_hashes = staged.select("id", hashes_expr.alias("_hashes"))
+    h = F.col("_hashes")
+    mins_expr = F.when(
+        F.size(h) >= w,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(h) - w + 1),
+                lambda x: F.array_min(F.slice(h, x, w)),
+            )
+        ),
+    ).otherwise(F.array_distinct(h))
+    with_mins = with_hashes.select(
+        "id", F.size(h).cast("bigint").alias("n_grams"), mins_expr.alias("_mins")
+    )
+    return with_mins.select(
+        "id",
+        "n_grams",
+        F.size("_mins").cast("bigint").alias("n_fp"),
+        F.coalesce(
+            F.aggregate("_mins", F.lit(0).cast("bigint"), lambda a, x: a + x),
+            F.lit(0).cast("bigint"),
+        ).alias("fp_sum"),
+    )
+
+
 def quality_expr(text: Column) -> Column:
     """The combined quality score as a single reusable expression."""
     toks = normalized_tokens(text)

@@ -227,6 +227,58 @@ def text_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "doc_id")
 
 
+def _winnow_oracle() -> str:
+    from hotdog_spark.operators.textops import (
+        WINNOW_B, WINNOW_K, WINNOW_M, WINNOW_W,
+    )
+
+    k, w, m = WINNOW_K, WINNOW_W, WINNOW_M
+    pw = [pow(WINNOW_B, k - 1 - j, m) for j in range(k)]
+    terms = " + ".join(
+        f"CAST(ord(substr(s, CAST(i + {j} AS INT), 1)) AS BIGINT) * {pw[j]}"
+        for j in range(k)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CASE WHEN length(s) >= {k}
+                  THEN list_transform(generate_series(1, length(s) - {k} + 1),
+                                      i -> ({terms}) % {m})
+                  ELSE [] END AS hashes
+      FROM t
+    ), f AS (
+      SELECT doc_id, hashes,
+             CASE WHEN len(hashes) >= {w}
+                  THEN list_distinct(list_transform(
+                         generate_series(1, len(hashes) - {w} + 1),
+                         x -> list_min(hashes[x : x + {w} - 1])))
+                  ELSE list_distinct(hashes) END AS fps
+      FROM h
+    )
+    SELECT doc_id, CAST(len(hashes) AS BIGINT) AS n_grams,
+           CAST(len(fps) AS BIGINT) AS n_fp,
+           CAST(COALESCE(list_sum(fps), 0) AS BIGINT) AS fp_sum
+    FROM f
+    """
+
+
+@register("text_winnowing_fingerprints", oracle=_winnow_oracle())
+def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS, SIGMOD'03) per document: Rabin-Karp
+    polynomial k-gram hashes + per-window minima, deduplicated — the
+    position-robust fingerprint set (reported as count + exact integer
+    sum) that whole-doc hashing can't provide.  Pure array-land JVM
+    arithmetic: no explode, no shuffle."""
+    from hotdog_spark.operators.textops import winnowing_fingerprints
+
+    return winnowing_fingerprints(
+        table(spark, sf_dir, "documents"), "text", "doc_id"
+    ).withColumnRenamed("id", "doc_id")
+
+
 @register(
     "text_doc_frequency",
     oracle=f"""
