@@ -22,17 +22,35 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 
+def _current_round() -> int | None:
+    """The in-progress round number: VERDICT.md is written at the END of
+    round N, so its header 'round N' means we are now in round N+1."""
+    try:
+        with open(os.path.join(REPO, "VERDICT.md")) as f:
+            m = re.search(r"VERDICT\s*[—-]+\s*round\s*(\d+)", f.read(2000))
+        return int(m.group(1)) + 1 if m else None
+    except Exception:
+        return None
+
+
 def _prev_bench() -> tuple[str, dict] | None:
-    """Latest BENCH_r{N}.json in the repo root, for round-over-round
-    per-query deltas (requested by the r1 verdict)."""
+    """Latest BENCH_r{N}.json from a round STRICTLY BELOW the current one
+    (the driver writes BENCH_r{current} mid-round; comparing against it
+    would report all-1.0 deltas and mask regressions).  Override with
+    $SPARK_GRAFT_BENCH_BASELINE=<path>."""
+    override = os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
+    cur = _current_round()
     benches = []
     for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m:
+        if m and (cur is None or int(m.group(1)) < cur):
             benches.append((int(m.group(1)), p))
-    if not benches:
+    if override:
+        path = override
+    elif benches:
+        _, path = max(benches)
+    else:
         return None
-    _, path = max(benches)
     try:
         with open(path) as f:
             data = json.load(f)

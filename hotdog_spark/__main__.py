@@ -25,6 +25,9 @@ def _build_session(app: str):
     return (
         SparkSession.builder.appName(app)
         .config("spark.sql.adaptive.enabled", "true")
+        # epoch_us/epoch_s NTZ->LTZ casts rely on a UTC session zone
+        # (operators/__init__.py); every entrypoint must pin it.
+        .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
 

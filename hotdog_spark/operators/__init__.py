@@ -31,6 +31,19 @@ def epoch_s(col: Column | str) -> Column:
     return F.unix_timestamp(c.cast("timestamp_ltz"))
 
 
+def _parse_byte_conf(value: str) -> int:
+    """Parse a Spark byte-size conf string (``134217728b``, ``128m``,
+    ``1g`` — suffix case-insensitive, optional) to bytes; fall back to
+    128 MiB on anything unrecognised."""
+    import re
+
+    units = {"": 1, "b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    m = re.fullmatch(r"(\d+)\s*([a-z]?)b?", str(value).strip().lower())
+    if not m or m.group(2) not in units:
+        return 128 * 1024 * 1024
+    return int(m.group(1)) * units[m.group(2)]
+
+
 def fan_out(df: DataFrame) -> DataFrame:
     """Ensure a compute-heavy input is spread across the cluster's cores.
 
@@ -45,14 +58,27 @@ def fan_out(df: DataFrame) -> DataFrame:
     (``stats().sizeInBytes`` — catalog/file statistics, no job): the old
     ``df.rdd.getNumPartitions()`` probe forced full physical planning +
     RDD conversion, measured at 0.8 s of driver time per query build.
+
+    Contract / degradation mode: the probe reads Spark's private
+    ``_jdf.queryExecution()`` API.  If a Spark upgrade changes it, or the
+    plan has no statistics (Spark then reports
+    ``spark.sql.defaultSizeInBytes`` = Long.MaxValue), we treat the size
+    as UNKNOWN and fall back to repartitioning — the safe direction: one
+    cheap extra shuffle on an already-large input, versus silently running
+    a hash-heavy pipeline single-task.
     """
-    sc = df.sparkSession.sparkContext
+    spark = df.sparkSession
+    sc = spark.sparkContext
     target = sc.defaultParallelism
-    # nominal maxPartitionBytes; only the order of magnitude matters here
-    bytes_per_partition = 128 * 1024 * 1024
+    bytes_per_partition = _parse_byte_conf(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
+    )
+    _LONG_MAX = (1 << 63) - 1
     try:
         size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
+        return df.repartition(target)
+    if size >= _LONG_MAX:  # stat-less plan: defaultSizeInBytes sentinel
         return df.repartition(target)
     est_partitions = max(1, size // bytes_per_partition)
     if est_partitions < max(2, target // 2):

@@ -67,18 +67,22 @@ def media_from_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def decode_image(content: bytes) -> bytes:
-    """Pixel decoder stub: the container has no image libraries.
+def decode_image(content: bytes) -> dict:
+    """REAL image pixel decode (stdlib-only; no codec library needed).
 
-    Raises so nobody mistakes the fake features for real ones; swap in
-    PIL/libvips here in a real deployment.  Container/HEADER parsing, by
-    contrast, is real — see parse_png_header / parse_wav_header below
-    (pure stdlib struct, no codec library needed).
+    PNG is fully decoded — IDAT zlib inflate + per-row unfilter per the
+    public PNG spec (see :func:`decode_png`) — returning raw row-major
+    interleaved samples.  Raises ``ValueError`` for formats that would
+    need an external codec (JPEG/WebP/...), which keeps the failure loud
+    instead of silently fake.
     """
-    raise NotImplementedError(
-        "image decoding requires an image library not present in this "
-        "environment; extract_features uses a deterministic fake instead"
-    )
+    out = decode_png(content)
+    if out is None:
+        raise ValueError(
+            "unsupported or malformed image payload: only PNG (8-bit, "
+            "non-interlaced, color types 0/2/4/6) decodes with stdlib"
+        )
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -89,19 +93,208 @@ def decode_image(content: bytes) -> bytes:
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
-def synth_png(width: int, height: int, bit_depth: int = 8, color_type: int = 6) -> bytes:
-    """Build a structurally valid PNG prelude: signature + IHDR chunk with
-    a correct CRC32 + IEND.  (No IDAT — enough for any header parser;
-    pixel payload would need a codec.)"""
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, rgb, gray+alpha, rgba
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The Paeth predictor (PNG spec §9.4): pick the neighbor (left,
+    above, upper-left) closest to a + b - c, ties broken in that order."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _filter_row(ftype: int, raw: bytes, prior: bytes, bpp: int) -> bytes:
+    """Apply PNG row filter ``ftype`` (encode side).  ``prior`` is the
+    previous row's RAW (unfiltered) bytes, zeros for the first row."""
+    n = len(raw)
+    out = bytearray(n)
+    for i in range(n):
+        left = raw[i - bpp] if i >= bpp else 0
+        up = prior[i]
+        ul = prior[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            v = raw[i]
+        elif ftype == 1:
+            v = raw[i] - left
+        elif ftype == 2:
+            v = raw[i] - up
+        elif ftype == 3:
+            v = raw[i] - (left + up) // 2
+        elif ftype == 4:
+            v = raw[i] - _paeth(left, up, ul)
+        else:
+            raise ValueError(f"bad filter type {ftype}")
+        out[i] = v & 0xFF
+    return bytes(out)
+
+
+def _unfilter_row(ftype: int, filt: bytes, prior: bytes, bpp: int) -> bytes:
+    """Reverse a PNG row filter (decode side) — the exact inverse of
+    :func:`_filter_row`; reconstruction must go left-to-right because
+    filters 1/3/4 reference already-reconstructed bytes of the same row."""
+    n = len(filt)
+    out = bytearray(n)
+    for i in range(n):
+        left = out[i - bpp] if i >= bpp else 0
+        up = prior[i]
+        ul = prior[i - bpp] if i >= bpp else 0
+        if ftype == 0:
+            v = filt[i]
+        elif ftype == 1:
+            v = filt[i] + left
+        elif ftype == 2:
+            v = filt[i] + up
+        elif ftype == 3:
+            v = filt[i] + (left + up) // 2
+        elif ftype == 4:
+            v = filt[i] + _paeth(left, up, ul)
+        else:
+            raise ValueError(f"bad filter type {ftype}")
+        out[i] = v & 0xFF
+    return bytes(out)
+
+
+def synth_png(
+    width: int,
+    height: int,
+    bit_depth: int = 8,
+    color_type: int = 6,
+    pixels: bytes | None = None,
+) -> bytes:
+    """Build a valid PNG: signature + IHDR (correct CRC32) + IEND; when
+    ``pixels`` (row-major interleaved 8-bit samples, len = w*h*channels)
+    is given, a real zlib-compressed IDAT is included with row filters
+    cycling 0→4 so every filter type appears in multi-row images.
+    Without pixels: header-only prelude (enough for any header parser)."""
     import struct
     import zlib
 
     ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, color_type, 0, 0, 0)
+    chunks: list[tuple[bytes, bytes]] = [(b"IHDR", ihdr)]
+    if pixels is not None:
+        ch = _PNG_CHANNELS[color_type]
+        if bit_depth != 8 or len(pixels) != width * height * ch:
+            raise ValueError("pixels must be 8-bit row-major w*h*channels bytes")
+        stride = width * ch
+        raw_rows = [pixels[y * stride:(y + 1) * stride] for y in range(height)]
+        scan = bytearray()
+        prior = bytes(stride)
+        for y, row in enumerate(raw_rows):
+            ftype = y % 5
+            scan.append(ftype)
+            scan += _filter_row(ftype, row, prior, ch)
+            prior = row
+        chunks.append((b"IDAT", zlib.compress(bytes(scan))))
+    chunks.append((b"IEND", b""))
     out = bytearray(_PNG_MAGIC)
-    for tag, body in ((b"IHDR", ihdr), (b"IEND", b"")):
+    for tag, body in chunks:
         out += struct.pack(">I", len(body)) + tag + body
         out += struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
     return bytes(out)
+
+
+def decode_png(content: bytes) -> dict | None:
+    """Full PNG pixel decode, stdlib-only (public PNG spec): chunk walk →
+    IDAT concat → zlib inflate → per-row unfilter (all 5 filter types).
+    Supports 8-bit non-interlaced color types 0/2/4/6.  Returns
+    ``{width, height, channels, pixels}`` with ``pixels`` = row-major
+    interleaved samples, or None for non-PNG / unsupported / corrupt
+    input (parity with the reference's parse-failure routing posture,
+    /root/reference/src/sink/parquet.rs:254-285 — bytes in, typed
+    columns out, bad records diverted not fatal)."""
+    import struct
+    import zlib
+
+    hdr = parse_png_header(content)
+    if hdr is None:
+        return None
+    if hdr["bit_depth"] != 8 or hdr["color_type"] not in _PNG_CHANNELS:
+        return None
+    w, h, ch = hdr["width"], hdr["height"], _PNG_CHANNELS[hdr["color_type"]]
+    # interlace byte is the 13th of IHDR (parse_png_header validated CRC)
+    if content[len(_PNG_MAGIC) + 8 + 12] != 0:
+        return None
+    idat = bytearray()
+    pos = len(_PNG_MAGIC)
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos:pos + 4])
+        tag = content[pos + 4:pos + 8]
+        body = content[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            return None  # truncated
+        if tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length  # len + tag + body + crc
+    if not idat:
+        return None
+    try:
+        scan = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = w * ch
+    if len(scan) != h * (1 + stride):
+        return None
+    pixels = bytearray()
+    prior = bytes(stride)
+    for y in range(h):
+        off = y * (1 + stride)
+        ftype = scan[off]
+        if ftype > 4:
+            return None
+        row = _unfilter_row(ftype, scan[off + 1:off + 1 + stride], prior, ch)
+        pixels += row
+        prior = row
+    return {"width": w, "height": h, "channels": ch, "pixels": bytes(pixels)}
+
+
+def decode_wav(content: bytes) -> dict | None:
+    """WAV PCM sample decode, stdlib-only: RIFF chunk walk + ``array``
+    sample extraction.  16-bit signed little-endian and 8-bit unsigned
+    PCM supported.  Returns ``{sample_rate, channels, bits_per_sample,
+    samples}`` — ``samples`` a flat interleaved list of ints — or None
+    for non-WAV / unsupported encodings."""
+    import struct
+    import sys
+    from array import array
+
+    meta = parse_wav_header(content)
+    if meta is None or "data_bytes" not in meta:
+        return None
+    bits = meta["bits_per_sample"]
+    if bits not in (8, 16):
+        return None
+    # re-walk to find the data chunk payload (parse_wav_header keeps size only)
+    pos, data = 12, None
+    while pos + 8 <= len(content):
+        tag = content[pos:pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4:pos + 8])
+        if tag == b"data":
+            data = content[pos + 8:pos + 8 + size]
+            break
+        pos += 8 + size + (size & 1)
+    if data is None or len(data) < meta["data_bytes"]:
+        return None
+    if bits == 16:
+        a = array("h")
+        a.frombytes(data[: len(data) - (len(data) % 2)])
+        if sys.byteorder == "big":
+            a.byteswap()
+        samples = a.tolist()
+    else:
+        samples = list(data)  # 8-bit WAV is unsigned
+    return {
+        "sample_rate": meta["sample_rate"],
+        "channels": meta["channels"],
+        "bits_per_sample": bits,
+        "samples": samples,
+    }
 
 
 def synth_wav(pcm: bytes, sample_rate: int = 16000, channels: int = 1, bits: int = 16) -> bytes:
@@ -214,8 +407,9 @@ def sniff_media_meta(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(kernel, schema)
 
 
-def _fake_features(content: bytes, dim: int) -> list[float]:
-    """Deterministic stand-in feature vector derived from raw bytes."""
+def _byte_features(content: bytes, dim: int) -> list[float]:
+    """Fallback feature vector from raw bytes, for payloads in no
+    decodable container format (deterministic, NOT a decode)."""
     if not content:
         return [0.0] * dim
     return [
@@ -224,12 +418,42 @@ def _fake_features(content: bytes, dim: int) -> list[float]:
     ]
 
 
-def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
-    """Arrow-batched feature extraction over media content.
+def _decoded_series(content: bytes) -> tuple[str, int, list[int]]:
+    """Route bytes through the REAL decoders: PNG → (kind, channels,
+    interleaved 0..255 samples); WAV → (kind, channels, PCM ints);
+    anything else → ('raw', 1, byte values)."""
+    png = decode_png(content)
+    if png is not None:
+        return "png", png["channels"], list(png["pixels"])
+    wav = decode_wav(content)
+    if wav is not None:
+        return "wav", wav["channels"], wav["samples"]
+    return "raw", 1, list(content)
 
-    The per-batch kernel is where a real decoder would run (decode →
-    resize → embed); here the embed step is the deterministic fake.
-    """
+
+def _media_features(content: bytes, dim: int) -> list[float]:
+    """Feature vector from DECODED values: per-channel means (cycled to
+    fill ``dim``), normalized to [0,1] for pixels and [-1,1] for PCM.
+    Raw (undecodable) payloads keep the byte-stat fallback."""
+    kind, ch, vals = _decoded_series(content)
+    if kind == "raw":
+        return _byte_features(content, dim)
+    if not vals:
+        return [0.0] * dim
+    scale = 255.0 if kind == "png" else 32768.0
+    means = []
+    for c in range(ch):
+        chan = vals[c::ch]
+        means.append((sum(chan) / len(chan)) / scale if chan else 0.0)
+    return [float(means[i % ch]) for i in range(dim)]
+
+
+def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
+    """Arrow-batched feature extraction over media content — REAL decode:
+    PNG pixels (zlib inflate + unfilter) and WAV PCM samples feed
+    per-channel means; undecodable payloads fall back to deterministic
+    byte stats (clearly not a decode — kept so opaque blobs still get a
+    stable fingerprintable vector)."""
     from hotdog_spark.dist import ensure_shipped
 
     ensure_shipped(df.sparkSession)
@@ -242,7 +466,7 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
                     "media_id": pdf["media_id"],
                     "n_bytes": content.map(lambda b: len(b) if b is not None else 0),
                     "feat_dim": dim,
-                    "features": content.map(lambda b: _fake_features(b or b"", dim)),
+                    "features": content.map(lambda b: _media_features(b or b"", dim)),
                     "checksum": content.map(
                         lambda b: sum(b or b"") % 997
                     ),
@@ -250,6 +474,98 @@ def extract_features(df: DataFrame, dim: int = 8) -> DataFrame:
             )
 
     return df.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+DECODE_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("channel", IntegerType()),
+        StructField("n_values", LongType()),
+        StructField("sum_val", LongType()),
+        StructField("min_val", LongType()),
+        StructField("max_val", LongType()),
+    ]
+)
+
+
+def decode_stats(df: DataFrame) -> DataFrame:
+    """Per-channel stats over DECODED media values — the end-to-end proof
+    that the codecs are real: PNG rows must survive zlib round-trip and
+    all five row filters; WAV samples must re-interpret byte pairs as
+    signed 16-bit PCM.  One output row per (media, channel); integer sums
+    keep the oracle comparison bit-exact.  Arrow-batched mapInPandas,
+    memory bounded by batch size; undecodable rows are diverted to kind
+    'raw' (never fatal — the reference's corrupt-record posture,
+    /root/reference/src/sink/parquet.rs:254-285)."""
+    from hotdog_spark.dist import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "kind", "channel", "n_values", "sum_val",
+                "min_val", "max_val",
+            )}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                kind, ch, vals = _decoded_series(bytes(blob) if blob is not None else b"")
+                for c in range(ch):
+                    chan = vals[c::ch]
+                    rows["media_id"].append(mid)
+                    rows["kind"].append(kind)
+                    rows["channel"].append(c)
+                    rows["n_values"].append(len(chan))
+                    rows["sum_val"].append(sum(chan))
+                    rows["min_val"].append(min(chan) if chan else 0)
+                    rows["max_val"].append(max(chan) if chan else 0)
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "content").mapInPandas(kernel, DECODE_STATS_SCHEMA)
+
+
+def synth_decodable_media(df: DataFrame, id_col: str, len_col: str) -> DataFrame:
+    """Deterministic REAL media with closed-form content, sized for full
+    decode: even ids → mono 16-bit WAV with samples
+    ``((id*13 + i*7) % 4096) - 2048``; odd ids → RGBA PNG (w = len%64+1,
+    h = len%48+1) with y-independent pixels ``(id*31 + c*7 + x) % 256``
+    so an oracle can predict per-channel sums without iterating rows
+    (row sum × h).  Row filters cycle 0→4, so decoding exercises every
+    unfilter path."""
+    from hotdog_spark.dist import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid, n in zip(pdf[id_col], pdf[len_col]):
+                mid, n = int(mid), int(n)
+                if mid % 2 == 0:
+                    cnt = n % 512 + 16
+                    pcm = b"".join(
+                        struct.pack("<h", ((mid * 13 + i * 7) % 4096) - 2048)
+                        for i in range(cnt)
+                    )
+                    blob = synth_wav(pcm, sample_rate=16000, channels=1, bits=16)
+                else:
+                    w, h = n % 64 + 1, n % 48 + 1
+                    row = bytes(
+                        (mid * 31 + c * 7 + x) % 256
+                        for x in range(w)
+                        for c in range(4)
+                    )
+                    blob = synth_png(w, h, 8, 6, pixels=row * h)
+                ids.append(mid)
+                blobs.append(blob)
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("content", BinaryType())]
+    )
+    return df.select(id_col, len_col).mapInPandas(kernel, schema)
 
 
 def synthesize_media(df: DataFrame, id_col: str, text_col: str, len_col: str) -> DataFrame:

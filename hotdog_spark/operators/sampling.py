@@ -72,10 +72,9 @@ def shard_by_hash(
     from pyspark.sql.window import Window
 
     h = F.md5(F.col(key_col).cast("string"))
-    shard = (
-        F.expr(f"instr('0123456789abcdef', substring(md5(cast({key_col} as string)), 1, 1))")
-        - 1
-    ) % n_shards
+    # Column-API arithmetic on the already-built hash column — no SQL
+    # string interpolation, so quoted/dotted column names work too.
+    shard = (F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1) % n_shards
     w = Window.partitionBy("shard").orderBy(h, F.col(key_col))
     return df.withColumn("shard", shard.cast("int")).withColumn(
         "pos", F.row_number().over(w)

@@ -91,14 +91,79 @@ def multimodal_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched mapInPandas feature extraction (deterministic fake
-    decoder).  The oracle checks the plumbing outputs (id, byte count,
-    dim); the feature values themselves are covered by pytest."""
+    """Arrow-batched mapInPandas feature extraction over OPAQUE payloads
+    (the text-bytes blobs are no container format, so the byte-stat
+    fallback path runs).  The oracle checks the plumbing outputs (id,
+    byte count, dim); real-decode feature values are covered by
+    multimodal_decode_stats below and pytest goldens."""
     docs = table(spark, sf_dir, "documents")
     media = ops.media_from_text(docs, "text", "doc_id")
     feats = ops.extract_features(media, dim=8)
     return feats.select(
         "media_id", "n_bytes", F.col("feat_dim").cast("int").alias("feat_dim")
+    )
+
+
+@register(
+    "multimodal_decode_stats",
+    oracle="""
+    WITH wav AS (
+      SELECT doc_id, n_chars % 512 + 16 AS n FROM documents WHERE doc_id % 2 = 0
+    ),
+    wav_vals AS (
+      SELECT doc_id, n, ((doc_id * 13 + i.i * 7) % 4096) - 2048 AS v
+      FROM wav, LATERAL (SELECT unnest(generate_series(0, n - 1)) AS i) i
+    ),
+    wav_stats AS (
+      SELECT doc_id AS media_id, 'wav' AS kind, CAST(0 AS BIGINT) AS channel,
+             CAST(n AS BIGINT) AS n_values,
+             CAST(SUM(v) AS BIGINT) AS sum_val,
+             CAST(MIN(v) AS BIGINT) AS min_val,
+             CAST(MAX(v) AS BIGINT) AS max_val
+      FROM wav_vals GROUP BY doc_id, n
+    ),
+    png AS (
+      SELECT doc_id, n_chars % 64 + 1 AS w, n_chars % 48 + 1 AS h
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    png_vals AS (
+      SELECT doc_id, w, h, c.c AS c, (doc_id * 31 + c.c * 7 + x.x) % 256 AS v
+      FROM png,
+        LATERAL (SELECT unnest(generate_series(0, 3)) AS c) c,
+        LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) x
+    ),
+    png_stats AS (
+      SELECT doc_id AS media_id, 'png' AS kind, CAST(c AS BIGINT) AS channel,
+             CAST(w * h AS BIGINT) AS n_values,
+             CAST(SUM(v) * h AS BIGINT) AS sum_val,
+             CAST(MIN(v) AS BIGINT) AS min_val,
+             CAST(MAX(v) AS BIGINT) AS max_val
+      FROM png_vals GROUP BY doc_id, w, h, c
+    )
+    SELECT * FROM wav_stats UNION ALL SELECT * FROM png_stats
+    """,
+)
+def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode end-to-end: per row, synthesize an actual WAV
+    (even ids — 16-bit PCM, closed-form samples) or PNG (odd ids — RGBA,
+    zlib-compressed IDAT, row filters cycling through all 5 types), then
+    DECODE the bytes back (inflate + unfilter / PCM reinterpret,
+    operators/multimodal.py decode_png/decode_wav — stdlib only, no codec
+    library) and aggregate per-channel integer stats.  The oracle
+    predicts every stat arithmetically from the closed-form content: the
+    Spark side only matches if compression, filtering, unfiltering and
+    sample extraction are all byte-exact.  Replaces round 1-3's
+    NotImplementedError decode stub."""
+    docs = table(spark, sf_dir, "documents")
+    media = ops.synth_decodable_media(docs, "doc_id", "n_chars")
+    return ops.decode_stats(media).select(
+        "media_id",
+        "kind",
+        F.col("channel").cast("bigint").alias("channel"),
+        "n_values",
+        "sum_val",
+        "min_val",
+        "max_val",
     )
 
 

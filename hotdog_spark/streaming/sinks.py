@@ -260,9 +260,16 @@ def upsert_batch_fn(path: str, keys: list[str], ts_col: str, tiebreak_col: str):
         staging_path = jvm.org.apache.hadoop.fs.Path(staging)
         old_path = jvm.org.apache.hadoop.fs.Path(old)
 
+        def _rename(src, dst):
+            # FileSystem.rename signals failure via a false return, not an
+            # exception; an unchecked false would mark the batch committed
+            # while the live table is stale or missing.
+            if not fs.rename(src, dst):
+                raise IOError(f"rename {src} -> {dst} failed")
+
         # recovery from a crash between the two renames of a prior batch
         if not fs.exists(fs_path) and fs.exists(old_path):
-            fs.rename(old_path, fs_path)
+            _rename(old_path, fs_path)
 
         batch_latest = latest_snapshot(batch_df, keys, ts_col, tiebreak_col)
         if fs.exists(fs_path):
@@ -276,8 +283,8 @@ def upsert_batch_fn(path: str, keys: list[str], ts_col: str, tiebreak_col: str):
         if fs.exists(old_path):
             fs.delete(old_path, True)  # stale aside from a post-swap crash
         if fs.exists(fs_path):
-            fs.rename(fs_path, old_path)
-        fs.rename(staging_path, fs_path)
+            _rename(fs_path, old_path)
+        _rename(staging_path, fs_path)
         fs.delete(old_path, True)
 
     return _apply

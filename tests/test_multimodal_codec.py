@@ -1,0 +1,151 @@
+"""Real media codec tests: PNG pixel decode (zlib inflate + all 5 row
+filters) and WAV PCM decode, stdlib-only.  These pin the byte-exact
+contract behind multimodal_decode_stats — the query's DuckDB oracle is
+the third independent route to the same numbers.
+
+No Spark needed for the codec laws; one Spark case covers the
+mapInPandas stats kernel.
+"""
+
+import hashlib
+import struct
+
+import pytest
+
+from hotdog_spark.operators.multimodal import (
+    _PNG_CHANNELS,
+    decode_image,
+    decode_png,
+    decode_wav,
+    parse_png_header,
+    parse_wav_header,
+    synth_png,
+    synth_wav,
+)
+
+
+def _pseudo_pixels(seed: str, n: int) -> bytes:
+    out = hashlib.sha256(seed.encode()).digest()
+    while len(out) < n:
+        out += hashlib.sha256(out).digest()
+    return out[:n]
+
+
+@pytest.mark.parametrize("color_type", [0, 2, 4, 6])
+@pytest.mark.parametrize("size", [(1, 1), (3, 2), (7, 11), (64, 48)])
+def test_png_round_trip(color_type, size):
+    """Encode (filter cycle 0-4 + deflate) → decode (inflate + unfilter)
+    must reproduce the pixels bit-exactly for every supported color type;
+    ≥5-row images exercise all five filter types."""
+    w, h = size
+    ch = _PNG_CHANNELS[color_type]
+    px = _pseudo_pixels(f"{color_type}/{w}x{h}", w * h * ch)
+    out = decode_png(synth_png(w, h, 8, color_type, pixels=px))
+    assert out is not None
+    assert (out["width"], out["height"], out["channels"]) == (w, h, ch)
+    assert out["pixels"] == px
+
+
+def test_png_golden_bytes():
+    """Pinned bytes of a 2x2 RGBA PNG: layout must never drift (the
+    oracle arithmetic depends on it)."""
+    px = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120, 130, 140, 150, 160])
+    blob = synth_png(2, 2, 8, 6, pixels=px)
+    assert blob.hex() == (
+        "89504e470d0a1a0a0000000d4948445200000002000000020806000000"
+        "72b60d240000001849444154789c63e01291d330b2710b608c4ac9abd0"
+        "0002001d7b03ae1d7a1d630000000049454e44ae426082"
+    )
+    assert decode_png(blob)["pixels"] == px
+
+
+def test_png_rejects_malformed():
+    px = bytes(64)
+    good = synth_png(4, 4, 8, 6, pixels=px)
+    assert decode_png(b"") is None
+    assert decode_png(b"not a png at all") is None
+    assert decode_png(good[:20]) is None          # truncated mid-IHDR
+    corrupted = bytearray(good)
+    corrupted[-20] ^= 0xFF                         # damage IDAT payload
+    assert decode_png(bytes(corrupted)) is None    # inflate/shape check
+    assert decode_png(synth_png(10, 20)) is None   # header-only: no IDAT
+    assert parse_png_header(synth_png(10, 20))["width"] == 10
+
+
+def test_decode_image_raises_on_non_png():
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0JFIF")  # jpeg needs a real codec
+
+
+def test_wav_round_trip_signed_and_stereo():
+    samples = [0, 1, -1, 32767, -32768, 1234, -4321, 100]
+    pcm = b"".join(struct.pack("<h", s) for s in samples)
+    out = decode_wav(synth_wav(pcm, 22050, channels=2, bits=16))
+    assert out == {
+        "sample_rate": 22050,
+        "channels": 2,
+        "bits_per_sample": 16,
+        "samples": samples,
+    }
+
+
+def test_wav_golden_matches_stdlib_wave(tmp_path):
+    """Cross-check against Python's independent `wave` reader: same
+    channel count, rate, width and frame bytes."""
+    import wave
+
+    samples = [0, -1, 32767, -32768]
+    pcm = b"".join(struct.pack("<h", s) for s in samples)
+    blob = synth_wav(pcm, 8000, 1, 16)
+    p = tmp_path / "g.wav"
+    p.write_bytes(blob)
+    with wave.open(str(p)) as w:
+        assert (w.getnchannels(), w.getframerate(), w.getsampwidth()) == (1, 8000, 2)
+        assert w.readframes(4) == pcm
+    assert decode_wav(blob)["samples"] == samples
+
+
+def test_wav_8bit_and_rejects():
+    out = decode_wav(synth_wav(bytes([0, 128, 255]), 8000, 1, bits=8))
+    assert out["samples"] == [0, 128, 255]  # 8-bit WAV is unsigned
+    assert decode_wav(b"RIFFxxxx") is None
+    assert decode_wav(b"") is None
+    assert parse_wav_header(synth_wav(b"\0\0", 44100, 1, 16))["sample_rate"] == 44100
+
+
+def test_decode_stats_kernel(spark):
+    """The Spark-side per-channel stats over real decoded media: a 2-row
+    frame (one WAV, one PNG) through the mapInPandas kernel."""
+    from hotdog_spark.operators.multimodal import decode_stats, synth_decodable_media
+
+    df = spark.createDataFrame([(2, 30), (3, 10)], "doc_id long, n_chars long")
+    media = synth_decodable_media(df, "doc_id", "n_chars")
+    rows = {(r.media_id, r.channel): r for r in decode_stats(media).collect()}
+    # even id 2 → WAV: n = 30 % 512 + 16 = 46 samples, s_i = ((26+7i)%4096)-2048
+    wav = rows[(2, 0)]
+    expected = [((2 * 13 + 7 * i) % 4096) - 2048 for i in range(46)]
+    assert wav.kind == "wav"
+    assert wav.n_values == 46
+    assert wav.sum_val == sum(expected)
+    assert wav.min_val == min(expected) and wav.max_val == max(expected)
+    # odd id 3 → PNG 11x11 RGBA, pixel(x,y,c) = (93 + 7c + x) % 256
+    for c in range(4):
+        png = rows[(3, c)]
+        vals = [(3 * 31 + 7 * c + x) % 256 for x in range(11)] * 11
+        assert png.kind == "png"
+        assert png.n_values == 121
+        assert png.sum_val == sum(vals)
+        assert png.min_val == min(vals) and png.max_val == max(vals)
+
+
+def test_extract_features_real_decode(spark):
+    """extract_features must now emit DECODED per-channel means for real
+    media (not byte stats): a constant-valued PNG's features are exactly
+    value/255 in every slot."""
+    from hotdog_spark.operators.multimodal import extract_features
+
+    blob = synth_png(4, 3, 8, 6, pixels=bytes([100]) * 48)
+    df = spark.createDataFrame([(1, bytearray(blob))], "media_id long, content binary")
+    feats = extract_features(df, dim=8).collect()[0]
+    assert feats.feat_dim == 8
+    assert all(abs(f - 100.0 / 255.0) < 1e-6 for f in feats.features)

@@ -151,6 +151,89 @@ def test_fan_out_uses_size_estimate(spark):
     assert fan_out(big) is big  # large → untouched, no shuffle added
 
 
+def test_fan_out_falls_back_when_private_api_breaks(spark, monkeypatch):
+    """The size probe reads Spark's private _jdf.queryExecution(); a Spark
+    upgrade that changes it must degrade to always-repartition (safe
+    direction), never to a crash or a silent single-task plan."""
+    from hotdog_spark.operators import fan_out
+
+    # small input: the broken probe must trigger the fallback regardless
+    # of size (and .rdd below executes the shuffle under AQE, so keep it
+    # tiny — a 2B-row range here OOMs the test JVM)
+    big = spark.range(0, 1000)
+
+    class _BrokenQE:
+        """Delegates everything to the real _jdf except queryExecution —
+        so fan_out's probe fails but its repartition fallback still
+        works, mimicking a probe-only API change."""
+
+        def __init__(self, real):
+            self._real = real
+
+        def queryExecution(self):
+            raise AttributeError("queryExecution gone in this Spark")
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    monkeypatch.setattr(big, "_jdf", _BrokenQE(big._jdf), raising=False)
+    out = fan_out(big)
+    assert out is not big  # fell back to repartition
+    assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
+def test_fan_out_treats_statless_plans_as_unknown(spark, monkeypatch):
+    """Stat-less plans report spark.sql.defaultSizeInBytes (Long.MaxValue);
+    that must read as 'unknown → repartition', not 'huge → leave alone',
+    or a single-partition non-file source runs the hash pipeline on one
+    core."""
+    from hotdog_spark.operators import fan_out
+
+    class _Stats:
+        def sizeInBytes(self):
+            return (1 << 63) - 1  # Long.MaxValue sentinel
+
+    class _Plan:
+        def stats(self):
+            return _Stats()
+
+    class _QE:
+        def optimizedPlan(self):
+            return _Plan()
+
+    class _JDF:
+        def queryExecution(self):
+            return _QE()
+
+    df = spark.range(0, 10).coalesce(1)
+
+    class _StatlessJdf:
+        def __init__(self, real):
+            self._real = real
+
+        def queryExecution(self):
+            return _QE()
+
+        def __getattr__(self, name):
+            return getattr(self._real, name)
+
+    monkeypatch.setattr(df, "_jdf", _StatlessJdf(df._jdf), raising=False)
+    out = fan_out(df)
+    assert out is not df
+    assert out.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
+def test_parse_byte_conf():
+    from hotdog_spark.operators import _parse_byte_conf
+
+    assert _parse_byte_conf("134217728b") == 128 * 1024 * 1024
+    assert _parse_byte_conf("128m") == 128 * 1024 * 1024
+    assert _parse_byte_conf("128MB") == 128 * 1024 * 1024
+    assert _parse_byte_conf("1g") == 1 << 30
+    assert _parse_byte_conf("134217728") == 128 * 1024 * 1024
+    assert _parse_byte_conf("garbage") == 128 * 1024 * 1024
+
+
 def test_containment_catches_excerpt_jaccard_misses(spark):
     """A short doc fully contained in a long one: containment = 1.0 even
     though Jaccard is far below any usable threshold."""
