@@ -101,13 +101,16 @@ HEADLINE = [
     "pipeline_corpus_build",       # composed scrub→gate→dedup→pack pipeline
     "dedup_chunk_boilerplate",     # sub-document repeated-span removal
     "export_shard_manifest",       # deterministic shard + order manifest
+    "dedup_winnowing_pairs",       # MOSS stage-2 fingerprint pair join
+    "agg_approx_distinct_users_sketch_only",  # HLL rollup, sketch cost only
 ]
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    m = re.search(r"sf([0-9.]+)$", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1)) if m else 0.1
 
     from pyspark.sql import SparkSession
 

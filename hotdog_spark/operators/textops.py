@@ -120,15 +120,12 @@ WINNOW_B = 257        # polynomial base
 WINNOW_M = (1 << 31) - 1
 
 
-def winnowing_fingerprints(
-    df: DataFrame, text_col: str, id_col: str,
-    k: int = WINNOW_K, w: int = WINNOW_W,
+def _winnow_mins(
+    df: DataFrame, text_col: str, id_col: str, k: int, w: int
 ) -> DataFrame:
-    """Winnowing document fingerprints (the MOSS local-fingerprinting
-    algorithm; Schleimer/Wilkerson/Aiken, SIGMOD'03): polynomial k-gram
-    hashes over the normalized text, then the minimum hash of every
-    w-gram window, deduplicated — a position-robust fingerprint set that
-    survives insertions/reorderings whole-document hashing cannot.
+    """Shared winnowing core: (id, n_grams, _mins) where ``_mins`` is the
+    deduplicated array of per-window minimum Rabin-Karp k-gram hashes —
+    the MOSS fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD'03).
 
     The per-gram hash is the classic Rabin-Karp polynomial
     (Σ c_j·B^(k-1-j) mod M) — a single-threaded scanner computes it
@@ -136,9 +133,7 @@ def winnowing_fingerprints(
     independent JVM array expression (same values, embarrassingly
     parallel, engine-exact integers).  Everything stays in array-land:
     one projection, NO explode, NO shuffle — per-doc cost is O(n·k)
-    codegen arithmetic.  Returns (id, n_grams, n_fp, fp_sum): the
-    distinct-minima count and their exact integer sum, the compact
-    comparable form of the fingerprint set.
+    codegen arithmetic.
     """
     from hotdog_spark.operators import fan_out
     from hotdog_spark.operators.dedup import normalized_tokens  # noqa: F401  (same norm family)
@@ -186,9 +181,20 @@ def winnowing_fingerprints(
             )
         ),
     ).otherwise(F.array_distinct(h))
-    with_mins = with_hashes.select(
+    return with_hashes.select(
         "id", F.size(h).cast("bigint").alias("n_grams"), mins_expr.alias("_mins")
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame, text_col: str, id_col: str,
+    k: int = WINNOW_K, w: int = WINNOW_W,
+) -> DataFrame:
+    """Winnowing document fingerprints (MOSS local fingerprinting): the
+    compact comparable form of the fingerprint set — distinct-minima
+    count plus their exact integer sum.  See :func:`_winnow_mins` for
+    the algorithm and plan shape (no explode, no shuffle)."""
+    with_mins = _winnow_mins(df, text_col, id_col, k, w)
     return with_mins.select(
         "id",
         "n_grams",
@@ -197,6 +203,72 @@ def winnowing_fingerprints(
             F.aggregate("_mins", F.lit(0).cast("bigint"), lambda a, x: a + x),
             F.lit(0).cast("bigint"),
         ).alias("fp_sum"),
+    )
+
+
+def winnowing_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    k: int = 20, w: int = WINNOW_W,
+    max_df: int = 50, min_shared: int = 3,
+) -> DataFrame:
+    """Winnowing overlap detection (MOSS stage 2): find document pairs
+    sharing >= ``min_shared`` winnowing fingerprints — the join MOSS runs
+    over its fingerprint index to flag likely plagiarism/boilerplate.
+
+    Scale discipline mirrors ``dedup_ngram_jaccard``'s capped token join:
+    a fingerprint appearing in more than ``max_df`` documents (boilerplate
+    everyone shares) would contribute O(df²) candidate pairs, so hot
+    fingerprints are counted once and removed via a BROADCAST anti-join
+    before the self-join — the pair blow-up is bounded by max_df² per
+    fingerprint.  ``n_fp`` (the pre-cap per-doc fingerprint count) rides
+    the exploded rows so the pair aggregate needs no join-back.  The
+    default k=20 chars (vs 8 for the per-doc digest) makes grams span
+    several tokens, the regime where shared fingerprints indicate real
+    overlap rather than vocabulary coincidence.
+
+    Returns (id_a, id_b, shared_fp, n_fp_a, n_fp_b, overlap) with
+    overlap = shared / min(n_fp) — the containment form, robust to
+    length mismatch.  Reference anchor: the reference has no analog
+    (it is a syslog router); this extends SURVEY §7.3 M5.
+    """
+    mins = _winnow_mins(df, text_col, id_col, k, w)
+    # explode_OUTER, not explode: for an inner explode Catalyst's
+    # InferFiltersFromGenerate synthesizes `size(_mins) > 0` and pushes it
+    # below the staging projections, INLINING the whole winnowing chain —
+    # the _codes transform then re-evaluates inside every element_at of
+    # the hash lambda (k × positions regexp evaluations per row; measured
+    # minutes-per-500-docs).  The outer variant infers no filter; the
+    # post-filter on the GENERATED attribute is unpushable and free.
+    fps = mins.select(
+        F.col("id"),
+        F.size("_mins").cast("bigint").alias("n_fp"),
+        F.explode_outer("_mins").alias("fp"),
+    ).filter(F.col("fp").isNotNull())
+    hot = (
+        fps.groupBy("fp").agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("fp")
+    )
+    capped = fps.join(F.broadcast(hot), "fp", "left_anti")
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_fp").alias("n_fp_a"),
+            F.col("b.n_fp").alias("n_fp_b"),
+        )
+        .agg(F.count("*").cast("bigint").alias("shared_fp"))
+        .filter(F.col("shared_fp") >= min_shared)
+    )
+    return pairs.select(
+        "id_a", "id_b", "shared_fp", "n_fp_a", "n_fp_b",
+        (
+            F.col("shared_fp").cast("double")
+            / F.least("n_fp_a", "n_fp_b").cast("double")
+        ).alias("overlap"),
     )
 
 

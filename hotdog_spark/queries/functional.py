@@ -224,6 +224,27 @@ def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The bench twin of agg_approx_distinct_users: the sketch ALONE, timed as
+# a production rollup would run it.  The exact count_distinct in the
+# checkable query above dominates its runtime (it shuffles rows-per-user;
+# the sketch shuffles bytes-per-group), so benching that query measures
+# the thing the sketch replaces — this twin makes the bench honest
+# (VERDICT r3 item 5).  No oracle: sketch estimates are engine-specific,
+# so this takes the driver's weaker rows-only check; the hash-checked
+# error-bound contract lives in agg_approx_distinct_users above.
+@register("agg_approx_distinct_users_sketch_only")
+def agg_approx_distinct_users_sketch_only(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """HLL++ sketch-only distinct users per event type — the plan a 100 TB
+    dashboard rollup actually runs: one map-side-combinable aggregate,
+    fixed sketch bytes per group on the wire, no per-user shuffle."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.005).alias("approx_users")
+    )
+
+
 # Like the HLL query above: sketch outputs are engine-specific, so the
 # deterministic contract is the ERROR BOUND.  approx_percentile(acc=10000)
 # guarantees rank error <= 1e-4; any returned element therefore lies

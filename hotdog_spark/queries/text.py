@@ -227,12 +227,13 @@ def text_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "doc_id")
 
 
-def _winnow_oracle() -> str:
-    from hotdog_spark.operators.textops import (
-        WINNOW_B, WINNOW_K, WINNOW_M, WINNOW_W,
-    )
+def _winnow_ctes(k: int, w: int) -> str:
+    """The shared winnowing CTE chain (t → h → f): normalized text,
+    Rabin-Karp k-gram hash list, deduplicated window-minima fingerprint
+    list — byte-for-byte the same integers the Spark operator computes."""
+    from hotdog_spark.operators.textops import WINNOW_B, WINNOW_M
 
-    k, w, m = WINNOW_K, WINNOW_W, WINNOW_M
+    m = WINNOW_M
     pw = [pow(WINNOW_B, k - 1 - j, m) for j in range(k)]
     terms = " + ".join(
         f"CAST(ord(substr(s, CAST(i + {j} AS INT), 1)) AS BIGINT) * {pw[j]}"
@@ -257,7 +258,14 @@ def _winnow_oracle() -> str:
                          x -> list_min(hashes[x : x + {w} - 1])))
                   ELSE list_distinct(hashes) END AS fps
       FROM h
-    )
+    )"""
+
+
+def _winnow_oracle() -> str:
+    from hotdog_spark.operators.textops import WINNOW_K, WINNOW_W
+
+    return f"""
+    {_winnow_ctes(WINNOW_K, WINNOW_W)}
     SELECT doc_id, CAST(len(hashes) AS BIGINT) AS n_grams,
            CAST(len(fps) AS BIGINT) AS n_fp,
            CAST(COALESCE(list_sum(fps), 0) AS BIGINT) AS fp_sum
@@ -277,6 +285,48 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(
         table(spark, sf_dir, "documents"), "text", "doc_id"
     ).withColumnRenamed("id", "doc_id")
+
+
+_WP_K, _WP_W, _WP_MAXDF, _WP_MINSHARED = 20, 4, 50, 3
+
+
+def _winnow_pairs_oracle() -> str:
+    return f"""
+    {_winnow_ctes(_WP_K, _WP_W)}
+    , e AS (
+      SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp, unnest(fps) AS fp
+      FROM f
+    ), hot AS (
+      SELECT fp FROM e GROUP BY fp HAVING COUNT(*) > {_WP_MAXDF}
+    ), c AS (
+      SELECT * FROM e WHERE fp NOT IN (SELECT fp FROM hot)
+    ), p AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_fp AS n_fp_a, b.n_fp AS n_fp_b,
+             COUNT(*) AS shared_fp
+      FROM c a JOIN c b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+      HAVING COUNT(*) >= {_WP_MINSHARED}
+    )
+    SELECT id_a, id_b, shared_fp, n_fp_a, n_fp_b,
+           CAST(shared_fp AS DOUBLE) / least(n_fp_a, n_fp_b) AS overlap
+    FROM p
+    """
+
+
+@register("dedup_winnowing_pairs", oracle=_winnow_pairs_oracle())
+def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing overlap detection (MOSS stage 2): document pairs sharing
+    >= 3 winnowing fingerprints at k=20 chars.  Hot fingerprints (df > 50
+    boilerplate) are removed via a broadcast anti-join BEFORE the
+    fingerprint self-join, bounding the candidate blow-up at max_df² per
+    fingerprint — the same skew discipline as dedup_ngram_jaccard."""
+    from hotdog_spark.operators.textops import winnowing_pairs
+
+    return winnowing_pairs(
+        table(spark, sf_dir, "documents"), "text", "doc_id",
+        k=_WP_K, w=_WP_W, max_df=_WP_MAXDF, min_shared=_WP_MINSHARED,
+    )
 
 
 @register(

@@ -1,0 +1,144 @@
+"""Scale-proof bench: the headline query set at sf1 (10x the driver's
+bench sf) with per-query SHUFFLE and SPILL bytes, not just wall time.
+
+VERDICT r3 item 1: "run the headline set at sf1 on local[32], record
+per-query times + peak shuffle sizes ... Done = sf1 run completes with no
+OOM/spill cliff, per-query time growth ~ linear."  This script is that
+run.  It reuses bench.py's HEADLINE list and warmup, enables the local
+status REST API, and attributes completed stages to the query that ran
+them — summing shuffle write/read and memory/disk spill per query.
+
+    python scripts/gen_sf1.py                 # once: writes testdata_sf1/
+    python scripts/bench_sf1.py               # writes SCALE_sf1.json
+
+Output: BENCH-style JSON with per-query {sec, shuffle_write_mb,
+shuffle_read_mb, spill_disk_mb, ratio_vs_sf01} plus a linearity verdict
+per query (ratio <= 10x rows => sublinear-or-linear).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import bench  # noqa: E402  (HEADLINE + _prev_bench live there)
+
+UI_PORT = int(os.environ.get("SPARK_GRAFT_UI_PORT", "4050"))
+
+
+def _api(app_id: str, path: str):
+    url = f"http://127.0.0.1:{UI_PORT}/api/v1/applications/{app_id}/{path}"
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return json.loads(r.read())
+
+
+def _stage_metrics(app_id: str) -> dict[int, dict]:
+    out = {}
+    for st in _api(app_id, "stages?status=complete"):
+        sid = (st["stageId"], st["attemptId"])
+        out[sid] = {
+            "sw": st.get("shuffleWriteBytes", 0),
+            "sr": st.get("shuffleReadBytes", 0),
+            "spill_mem": st.get("memoryBytesSpilled", 0),
+            "spill_disk": st.get("diskBytesSpilled", 0),
+        }
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", os.path.join(REPO, "testdata_sf1"))
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("hotdog-spark-bench-sf1")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", str(UI_PORT))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    app_id = spark.sparkContext.applicationId
+
+    import __spark_entry__ as entry_mod
+
+    queries = entry_mod.queries()
+
+    # same warmup discipline as bench.py
+    spark.range(100_000).selectExpr("sum(id)").write.mode("overwrite").format("noop").save()
+    queries["hotdog_route_cascade"](spark, sf_dir).write.mode("overwrite").format("noop").save()
+    from pyspark.sql.functions import pandas_udf
+
+    _warm = pandas_udf(lambda s: s, "long")
+    spark.range(10_000).repartition(int(cpus)).select(_warm("id")).write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    # sf0.1 reference times for the linearity check
+    prev = bench._prev_bench()
+    sf01 = (prev[1].get("queries", {}) if prev else {})
+
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    results: dict[str, dict] = {}
+    seen = set(_stage_metrics(app_id))
+    for name in bench.HEADLINE:
+        fn = queries[name]
+        best = None
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        stages = _stage_metrics(app_id)
+        new = [m for sid, m in stages.items() if sid not in seen]
+        seen = set(stages)
+        mb = 1024 * 1024
+        entry = {
+            "sec": round(best, 3),
+            # metrics cover all `runs` executions of this query
+            "shuffle_write_mb": round(sum(m["sw"] for m in new) / mb / runs, 1),
+            "shuffle_read_mb": round(sum(m["sr"] for m in new) / mb / runs, 1),
+            "spill_disk_mb": round(sum(m["spill_disk"] for m in new) / mb / runs, 1),
+        }
+        if name in sf01 and sf01[name]:
+            entry["ratio_vs_sf01"] = round(best / sf01[name], 2)
+        results[name] = entry
+        print(f"  {name}: {entry}", file=sys.stderr)
+
+    total = round(sum(r["sec"] for r in results.values()), 3)
+    superlinear = sorted(
+        n for n, r in results.items() if r.get("ratio_vs_sf01", 0) > 10
+    )
+    payload = {
+        "metric": "headline_query_set_total_sf1",
+        "value": total,
+        "unit": "sec",
+        "sf": 1.0,
+        "rows_scale_vs_sf01": 10,
+        "runs_per_query": runs,
+        "queries": results,
+        "superlinear_queries": superlinear,
+        "total_spill_disk_mb": round(
+            sum(r["spill_disk_mb"] for r in results.values()), 1
+        ),
+    }
+    out = os.path.join(REPO, "SCALE_sf1.json")
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps({k: v for k, v in payload.items() if k != "queries"}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""End-to-end TCP load validation against the reference envelope.
+
+The reference's implied operating envelope is >= 100,000 syslog messages
+per run (scripts/generate-stdout.rb:5-15 generates 100k JSON lines;
+tsung.xml:13-16 drives up to 100k sessions).  This script proves the
+Spark engine sustains that volume END TO END with ZERO dropped rows —
+stronger than the reference, which sheds load on a full internal queue
+(src/sink/kafka.rs:45, README.adoc:198-202):
+
+    4 sender connections (mirroring generate-stdout.rb's 4-way parallel
+    send) push N RFC 5424 JSON-payload lines over plain TCP into the
+    custom syslog DataSource → parse → rule cascade → routed stream →
+    counting sink.  We wait until the sink has seen EXACTLY N rows and
+    report the end-to-end rate plus the per-batch processedRowsPerSecond
+    samples.
+
+    python scripts/loadtest.py [n_messages] [port]
+
+Prints ONE JSON line: {"metric": "tcp_e2e_messages", "value": <rows/s>,
+"sent": N, "received": N, "dropped": 0, ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import socket
+import sys
+import threading
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def _send(host: str, port: int, lines: list[str]) -> None:
+    with socket.create_connection((host, port), timeout=30) as s:
+        payload = ("\n".join(lines) + "\n").encode()
+        s.sendall(payload)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    port = int(sys.argv[2]) if len(sys.argv) > 2 else random.randint(20000, 40000)
+    host = "127.0.0.1"
+
+    from pyspark.sql import SparkSession
+
+    from hotdog_spark.config import load
+    from hotdog_spark.sources.syslog_tcp import syslog_stream
+    from hotdog_spark.streaming.runner import build_routed_stream
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+        )
+        .appName("hotdog-loadtest")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    settings = load(os.path.join(REPO, "tests", "configs", "canonical.yml"))
+    src = syslog_stream(spark, host=host, port=port, buffer=str(max(n * 2, 200_000)))
+    routed = build_routed_stream(src, settings)
+
+    q = (
+        routed.writeStream.format("memory")
+        .queryName("loadtest_sink")
+        .outputMode("append")
+        .start()
+    )
+
+    # Give the listener a beat to bind, then blast N lines over 4
+    # parallel connections (generate-stdout.rb parity).
+    time.sleep(3)
+    lines = [
+        (
+            f"<13>1 2024-01-01T00:00:{i % 60:02d}.000Z loadgen hotdog - - - "
+            + json.dumps({"meta": {"topic": "test"}, "i": i})
+        )
+        for i in range(n)
+    ]
+    senders = []
+    t0 = time.time()
+    for part in range(4):
+        chunk = lines[part::4]
+        th = threading.Thread(target=_send, args=(host, port, chunk))
+        th.start()
+        senders.append(th)
+    for th in senders:
+        th.join()
+    sent_s = time.time() - t0
+
+    # Drain: wait until the sink has exactly n rows (the canonical config
+    # routes every parsed line; nothing is dropped on the happy path).
+    rates: list[float] = []
+    received = 0
+    deadline = time.time() + 600
+    while time.time() < deadline:
+        received = spark.sql("SELECT COUNT(*) AS c FROM loadtest_sink").collect()[0].c
+        lp = q.lastProgress
+        if lp and lp.get("processedRowsPerSecond"):
+            rates.append(lp["processedRowsPerSecond"])
+        if received >= n:
+            break
+        time.sleep(2)
+    total_s = time.time() - t0
+    q.stop()
+
+    print(
+        json.dumps(
+            {
+                "metric": "tcp_e2e_messages_per_second",
+                "value": round(n / total_s, 1),
+                "unit": "rows/sec",
+                "sent": n,
+                "received": received,
+                "dropped": n - received,
+                "send_seconds": round(sent_s, 2),
+                "e2e_seconds": round(total_s, 2),
+                "batch_rates_sample": [round(r, 1) for r in rates[-5:]],
+            }
+        )
+    )
+    spark.stop()
+    sys.exit(0 if received == n else 1)
+
+
+if __name__ == "__main__":
+    main()

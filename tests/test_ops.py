@@ -294,9 +294,13 @@ def test_shard_by_hash_deterministic_and_validated(spark):
         sampling.shard_by_hash(df, "k", 5)  # 5 does not divide 16
 
 
-def test_multimodal_decode_is_stubbed():
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"\x89PNG")
+def test_multimodal_decode_rejects_truncated_and_foreign():
+    """decode_image is real now: unsupported/truncated payloads must fail
+    loudly with ValueError (not NotImplementedError, not a fake result)."""
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\x89PNG")  # truncated: signature only
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0JFIF")  # JPEG needs a codec
 
 
 def test_png_header_golden_bytes():

@@ -265,6 +265,34 @@ def test_minhash_index_join_has_no_signature_shuffle(spark, tmp_path):
         spark.sql(f"DROP DATABASE {db} CASCADE")
 
 
+def test_winnowing_pairs_plan_shape(spark):
+    """dedup_winnowing_pairs' scale discipline, asserted on the physical
+    plan: (1) the hot-fingerprint cap rides a BROADCAST anti-join (no
+    all-to-all shuffle of the fingerprint stream against the hot list);
+    (2) no Generate-inferred filter re-evaluates the winnowing expression
+    below the explode (the InferFiltersFromGenerate pathology — a
+    regexp_replace appearing inside a Filter means the staged chain got
+    inlined and per-row cost explodes k×positions-fold)."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.textops import winnowing_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon zeta eta theta {i % 7}")
+         for i in range(40)],
+        ["doc_id", "text"],
+    )
+    pairs = winnowing_pairs(docs, "text", "doc_id", k=12, w=4,
+                            max_df=10, min_shared=2)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
+    for line in plan.splitlines():
+        if line.strip().startswith(("Filter", "+- Filter", ": +- Filter")):
+            assert "regexp_replace" not in line, (
+                "winnowing chain inlined into a Filter:\n" + line[:500]
+            )
+
+
 def test_ivf_index_probe_prunes_partitions(spark, tmp_path):
     """A materialized IVF index (partitionBy cell) turns probing into a
     partition-pruned scan: PartitionFilters on `cell`, and the candidate

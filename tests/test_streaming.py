@@ -616,6 +616,52 @@ def test_kafka_env_overrides():
     assert sinks.kafka_options(kc, "/ck", environ={})["kafka.bootstrap.servers"] == "yaml:9092"
 
 
+def test_kafka_option_map_golden():
+    """Golden snapshot of the ENTIRE resolved option map for a SASL/SCRAM
+    config with all three runtime env overrides (VERDICT r3 item 8) —
+    exact-equality, so any key added/renamed/dropped or any change to the
+    reference's override order (conf first, then KAFKA_BROKER,
+    SASL_SCRAM_USERNAME, SASL_SCRAM_PASSWORD — src/sink/kafka.rs:64-84)
+    fails loudly.  This is the no-broker blind spot's recorded contract:
+    what we would hand the Kafka client, byte for byte."""
+    from hotdog_spark.config import KafkaConfig
+
+    kc = KafkaConfig(
+        conf={
+            "bootstrap.servers": "yaml-broker:9092",
+            "security.protocol": "SASL_SSL",
+            "sasl.mechanism": "SCRAM-SHA-256",
+            "sasl.username": "yaml-user",
+            "sasl.password": "yaml-pass",
+            "acks": "all",
+            "compression.type": "lz4",
+            "message.timeout.ms": "60000",
+        },
+        topic="logs",
+    )
+    got = sinks.kafka_options(
+        kc,
+        "/ckpt/kafka",
+        environ={
+            "KAFKA_BROKER": "env-broker:9092",
+            "SASL_SCRAM_USERNAME": "env-user",
+            "SASL_SCRAM_PASSWORD": "env-pass",
+            "UNRELATED": "ignored",
+        },
+    )
+    assert got == {
+        "checkpointLocation": "/ckpt/kafka",
+        "kafka.bootstrap.servers": "env-broker:9092",   # env beats yaml
+        "kafka.security.protocol": "SASL_SSL",
+        "kafka.sasl.mechanism": "SCRAM-SHA-256",
+        "kafka.sasl.username": "env-user",              # env beats yaml
+        "kafka.sasl.password": "env-pass",              # env beats yaml
+        "kafka.acks": "all",
+        "kafka.compression.type": "lz4",
+        "kafka.message.timeout.ms": "60000",
+    }
+
+
 def test_parquet_url_env_fallback():
     """S3_OUTPUT_URL fallback parity (src/sink/parquet.rs:304-311)."""
     import pytest as _pytest
@@ -673,6 +719,54 @@ def test_watermark_drops_late_rows(spark, tmp_path):
         # the 10:00 window emitted with 2 rows — the late third row was dropped
         assert got.get(("2024-01-01 10:00:00", "a")) == 2
         assert got.get(("2024-01-01 13:00:00", "a")) == 1
+    finally:
+        q.stop()
+
+
+def test_watermark_keeps_late_rows_within_bound(spark, tmp_path):
+    """The inclusion side of the watermark contract (VERDICT r3 item 6):
+    a row arriving LATE but still within the watermark bound must be
+    folded into its (still-open) window before that window emits."""
+    from hotdog_spark.streaming.runner import windowed_counts_stream
+
+    src = tmp_path / "in_keep"
+    src.mkdir()
+    ckpt = str(tmp_path / "ck_keep")
+    raw = spark.readStream.format("text").load(str(src))
+    events = raw.select(
+        F.to_timestamp(F.split("value", ",")[0]).alias("ts"),
+        F.split("value", ",")[1].alias("k"),
+    )
+    counts = windowed_counts_stream(events, "ts", "k", width="1 hour", watermark="1 hour")
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("wm_keep_sink")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        # batch 1: two rows in hour-10
+        (src / "b0.txt").write_text("2024-01-01 10:05:00,a\n2024-01-01 10:55:00,a\n")
+        q.processAllAvailable()
+        # batch 2: advance max event time to 11:30 → watermark 10:30;
+        # hour-10's window (ends 11:00) is still OPEN
+        (src / "b1.txt").write_text("2024-01-01 11:30:00,a\n")
+        q.processAllAvailable()
+        # batch 3: a late hour-10 row at 10:45 — behind current max event
+        # time but AHEAD of the 10:30 watermark → must be included
+        (src / "b2.txt").write_text("2024-01-01 10:45:00,a\n")
+        q.processAllAvailable()
+        # batch 4: advance to 13:00 → watermark 12:00 closes everything
+        (src / "b3.txt").write_text("2024-01-01 13:00:00,a\n")
+        q.processAllAvailable()
+        got = {
+            (r.window_start, r.k): r.n
+            for r in spark.sql("SELECT * FROM wm_keep_sink").collect()
+        }
+        # hour-10 emitted with ALL THREE rows — the in-bound late row counted
+        assert got.get(("2024-01-01 10:00:00", "a")) == 3
+        assert got.get(("2024-01-01 11:00:00", "a")) == 1
     finally:
         q.stop()
 
