@@ -103,6 +103,8 @@ HEADLINE = [
     "export_shard_manifest",       # deterministic shard + order manifest
     "dedup_winnowing_pairs",       # MOSS stage-2 fingerprint pair join
     "agg_approx_distinct_users_sketch_only",  # HLL rollup, sketch cost only
+    "knn_graph_ivf",               # all-nodes kNN graph, cell-keyed join
+    "pack_sharded_bins",           # (lang, shard)-parallel packing
 ]
 
 

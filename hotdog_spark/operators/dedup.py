@@ -111,6 +111,55 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_jaccard_estimates(
+    df: DataFrame, text_col: str, id_col: str, bands: int = 8, k: int = 3
+) -> DataFrame:
+    """Estimated Jaccard similarity for LSH candidate pairs from MinHash
+    signature agreement: Pr[min-hash collision] = J(A,B), so the fraction
+    of agreeing band signatures is an unbiased Jaccard estimate — the
+    standard second stage between LSH candidate generation and (n× more
+    expensive) exact verification.  Candidates needing exact token
+    comparison shrink to pairs whose ESTIMATE clears threshold.
+
+    Plan: the signature table is built once (persisted), candidates come
+    from the band-bucket join (never all pairs), and the per-pair
+    agreement count is two id-keyed joins + one aggregate — each pair
+    costs exactly ``bands`` comparison rows.  Returns
+    (id_a, id_b, matching_bands, est_jaccard).
+    """
+    sigs = minhash_signatures(df, text_col, id_col, bands, k).persist()
+    cands = (
+        sigs.alias("x")
+        .join(
+            sigs.alias("y"),
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.sig") == F.col("y.sig"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("id").alias("id_a"), "band", F.col("sig").alias("sig_a")
+    )
+    sb = sigs.select(
+        F.col("id").alias("_idb"), F.col("band").alias("band_b"),
+        F.col("sig").alias("sig_b"),
+    )
+    joined = (
+        cands.join(sa, "id_a")
+        .join(sb, (F.col("id_b") == F.col("_idb")) & (F.col("band") == F.col("band_b")))
+        .drop("_idb", "band_b")
+    )
+    est = joined.groupBy("id_a", "id_b").agg(
+        F.sum((F.col("sig_a") == F.col("sig_b")).cast("bigint")).alias("matching_bands")
+    )
+    return est.select(
+        "id_a", "id_b", "matching_bands",
+        (F.col("matching_bands").cast("double") / F.lit(float(bands))).alias("est_jaccard"),
+    )
+
+
 def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """16-bit SimHash over whitespace tokens: per token take the first 16
     bits of md5, sum ±1 per bit position over the doc, set bit where the

@@ -224,3 +224,23 @@ def rebalance_to_min_group(
         .drop("_th")
         .withColumnRenamed("_cnt", "n_before")
     )
+
+
+def zorder_key(x: Column, y: Column, bits: int = 10) -> Column:
+    """Morton (Z-order) interleaving of the low ``bits`` bits of two
+    integer keys — the multi-dimensional clustering key behind
+    data-skipping layouts (Delta/Iceberg OPTIMIZE ZORDER): rows sorted or
+    tiled by this key are simultaneously clustered on BOTH dimensions, so
+    per-file min/max stats prune scans on either predicate.
+
+    Pure bit arithmetic (shift/and/or — identical semantics in Spark and
+    DuckDB BIGINT), a projection with no shuffle; callers mask inputs to
+    ``bits`` width themselves if keys may exceed it.
+    """
+    acc = None
+    for b in range(bits):
+        xb = F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b)
+        yb = F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        term = xb + yb
+        acc = term if acc is None else acc + term
+    return acc

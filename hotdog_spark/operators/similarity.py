@@ -244,6 +244,69 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def knn_graph(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroid_filter: Column | None = None,
+    k: int = 3,
+    nprobe: int = 2,
+    centroids: list[tuple[int, list[int]]] | None = None,
+) -> DataFrame:
+    """Approximate k-NN GRAPH: every vector's top-k neighbors, via
+    IVF-cell blocking — the all-nodes counterpart of :func:`ivf_topk`.
+
+    ``ivf_topk`` broadcasts its probe set; that is right for a handful of
+    queries but wrong when EVERY vector is a probe (the broadcast would
+    be the corpus).  Here both sides stay distributed: vectors are
+    assigned to their nearest centroid cell (pure projection — centroid
+    literals, no shuffle), the probe side explodes to its ``nprobe``
+    nearest cells, and the candidate join is a hash-partitioned
+    EQUI-JOIN ON THE CELL KEY — one shuffle per side keyed by cell,
+    pair blow-up bounded by Σ cell²/nprobe, AQE skew-split handling hot
+    cells.  That is the 100 TB knn-graph shape (the same join layout
+    FAISS-on-Spark pipelines use for bulk graph construction); exact
+    brute force would be n² and is deliberately not offered for all
+    nodes.
+
+    Returns (query_id, neighbor_id, score, rank) — the adjacency list of
+    the cosine graph, rank 1..k per node.
+    """
+    base = with_quantized(df, vec_col, id_col)
+    cents = _centroid_rows(base, centroid_filter, centroids)
+    cells = _sorted_cells_expr(cents)
+    assigned = base.withColumn("cell", F.element_at(cells, 1).getField("cid"))
+    probes = (
+        assigned.withColumn("pcell", F.explode(
+            F.transform(F.slice(cells, 1, nprobe), lambda s: s.getField("cid"))
+        ))
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("q").alias("q_probe"),
+            F.col("n2").alias("n2_probe"),
+            F.col("pcell"),
+        )
+    )
+    # deliberately NOT broadcast: both sides shuffle once, keyed by cell
+    pairs = assigned.join(probes, F.col("cell") == F.col("pcell")).filter(
+        (F.col("vid") != F.col("query_id"))
+        & (F.col("n2") > 0)
+        & (F.col("n2_probe") > 0)
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vid").alias("neighbor_id"),
+        (
+            _dot(F.col("q"), F.col("q_probe")).cast("double")
+            / F.sqrt((F.col("n2") * F.col("n2_probe")).cast("double"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def near_dup_pairs(
     df: DataFrame,
     vec_col: str,

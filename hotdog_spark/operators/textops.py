@@ -524,3 +524,68 @@ def classify_by_taxonomy(
         .filter(F.col("_rk") == 1)
         .drop("_rk")
     )
+
+
+def bm25_rational_topk(
+    df: DataFrame, text_col: str, id_col: str,
+    terms: list[str], topk: int = 20,
+) -> DataFrame:
+    """BM25 relevance scoring with the RATIONAL idf variant
+    (idf = (N - df + 0.5)/(df + 0.5), i.e. BM25's idf without the log —
+    log's last-ulp divergence between libm implementations breaks
+    cross-engine bit-exactness, the same reason rare_term_salience is
+    log-free; */÷ are correctly rounded so scores hash identically).
+    k1 = 1.2, b = 0.75 (the standard Robertson constants, kept as
+    literals on both engines so no computed-constant drift).
+
+    Plan shape: ONE tiny corpus-stats aggregate (N, Σdl, df per query
+    term — a single row) broadcast back over the scan, score as a pure
+    projection, then global top-k via sort+limit (TakeOrderedAndProject,
+    no single-reducer window).  Corpus-side cost is two scans and an
+    O(1)-row shuffle at any scale.
+    """
+    from hotdog_spark.operators import fan_out
+    from hotdog_spark.operators.dedup import normalized_tokens
+    from pyspark.sql.window import Window
+
+    base = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        normalized_tokens(F.col(text_col)).alias("_toks"),
+    ).select(
+        "id", "_toks", F.size("_toks").cast("bigint").alias("dl")
+    )
+    stat_aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+    ]
+    for i, t in enumerate(terms):
+        stat_aggs.append(
+            F.sum(
+                F.when(F.array_contains("_toks", t), F.lit(1)).otherwise(F.lit(0))
+            ).cast("bigint").alias(f"df_{i}")
+        )
+    stats = base.agg(*stat_aggs)
+
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    contrib = None
+    for i, t in enumerate(terms):
+        # NB: the HOF lambda must be strictly unary — PySpark infers arity
+        # from the signature, and any second param (even defaulted) turns
+        # it into the (element, index) form, binding the index column.
+        # A factory closure captures the term without widening the arity.
+        def _eq(term):
+            return lambda x: x == F.lit(term)
+
+        tf = F.size(F.filter("_toks", _eq(t))).cast("double")
+        idf = (
+            (F.col("n_docs") - F.col(f"df_{i}")).cast("double") + F.lit(0.5)
+        ) / (F.col(f"df_{i}").cast("double") + F.lit(0.5))
+        term_score = idf * (tf * F.lit(2.2)) / (
+            tf + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("dl").cast("double") / avgdl)
+        )
+        contrib = term_score if contrib is None else contrib + term_score
+    scored = scored.select("id", "dl", contrib.alias("score"))
+    top = scored.orderBy(F.col("score").desc(), F.col("id")).limit(topk)
+    w = Window.orderBy(F.col("score").desc(), F.col("id"))
+    return top.withColumn("rank", F.row_number().over(w))

@@ -328,3 +328,69 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("status").agg(
         F.count(F.lit(1)).alias("n"), F.min("o_orderkey").alias("min_key")
     )
+
+
+def _zorder_terms_sql(x: str, y: str, bits: int = 10) -> str:
+    xt = " + ".join(f"((({x} >> {b}) & 1) << {2 * b})" for b in range(bits))
+    yt = " + ".join(f"((({y} >> {b}) & 1) << {2 * b + 1})" for b in range(bits))
+    return f"({xt} + {yt})"
+
+
+@register(
+    "export_zorder_tiles",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT user_id,
+             CAST((EXTRACT(day FROM CAST(ts AS TIMESTAMP)) - 1) * 24
+                  + EXTRACT(hour FROM CAST(ts AS TIMESTAMP)) AS BIGINT) AS hour_idx
+      FROM events
+    ), z AS (
+      SELECT user_id, hour_idx,
+             {_zorder_terms_sql("(user_id & 1023)", "(hour_idx & 1023)")} >> 12 AS tile_id
+      FROM keyed
+    )
+    SELECT tile_id, COUNT(*) AS n_events,
+           MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+           MIN(hour_idx) AS min_hour, MAX(hour_idx) AS max_hour
+    FROM z GROUP BY tile_id
+    """,
+)
+def export_zorder_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering manifest — the data-skipping layout
+    step (Delta/Iceberg OPTIMIZE ZORDER BY): events keyed by the bit
+    interleave of (user_id, hour-of-month), tiled by the morton prefix.
+    Each tile's min/max on BOTH dimensions is tight, so a predicate on
+    either column prunes most tiles — the per-file stats a 100 TB lake
+    layout lives on.  Plan: pure bit-arithmetic projection + ONE hash
+    aggregate on tile_id; the full layout job would range-sort by the
+    same key before writing, identical plan shape at any scale."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.sampling import zorder_key
+
+    e = table(spark, sf_dir, "events")
+    keyed = e.select(
+        "user_id",
+        (
+            (F.dayofmonth("ts").cast("bigint") - 1) * 24
+            + F.hour("ts").cast("bigint")
+        ).alias("hour_idx"),
+    )
+    z = keyed.select(
+        "user_id",
+        "hour_idx",
+        F.shiftright(
+            zorder_key(
+                F.col("user_id").bitwiseAND(F.lit(1023)),
+                F.col("hour_idx").bitwiseAND(F.lit(1023)),
+            ),
+            12,
+        ).alias("tile_id"),
+    )
+    return z.groupBy("tile_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("user_id").alias("min_user"),
+        F.max("user_id").alias("max_user"),
+        F.min("hour_idx").alias("min_hour"),
+        F.max("hour_idx").alias("max_hour"),
+    )

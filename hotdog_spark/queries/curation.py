@@ -152,6 +152,49 @@ def quality_decile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(F.col("decile") > 1).select("doc_id", "lang", "decile")
 
 
+_CALIBRATE_ORACLE = f"""
+WITH feats AS (
+  SELECT doc_id, source, {_QUALITY_SQL} AS quality FROM documents
+), ranked AS (
+  SELECT doc_id, source, quality,
+         PERCENT_RANK() OVER (PARTITION BY source
+                              ORDER BY quality, doc_id) AS pct_rank
+  FROM feats
+)
+SELECT doc_id, source, quality, pct_rank,
+       CAST(LEAST(FLOOR(pct_rank * 10), 9) AS BIGINT) AS calib_bucket
+FROM ranked
+"""
+
+
+@register("quality_calibrate_by_source", oracle=_CALIBRATE_ORACLE)
+def quality_calibrate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source quality calibration: raw quality scores are not
+    comparable between sources (a mid-tier web crawl doc and a mid-tier
+    curated doc score differently), so mixing on the raw score skews the
+    blend.  percent_rank WITHIN source maps every score onto [0,1]
+    uniformly per source; the calibrated bucket is then a pure projection
+    floor(pct*10) — NOT a global ntile, which would be a single-reducer
+    sort at 100 TB.  Plan: one window shuffle keyed by source, then
+    projections.  percent_rank = (rank-1)/(n-1) is an exact integer
+    division in both engines, so the result hash-matches."""
+    from pyspark.sql.window import Window
+
+    from hotdog_spark.operators.textops import quality_expr
+
+    docs = table(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id", "source", quality_expr(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    ranked = feats.withColumn("pct_rank", F.percent_rank().over(w))
+    return ranked.select(
+        "doc_id", "source", "quality", "pct_rank",
+        F.least(F.floor(F.col("pct_rank") * 10), F.lit(9))
+        .cast("bigint").alias("calib_bucket"),
+    )
+
+
 @register(
     "rebalance_source_mix",
     oracle="""
@@ -243,4 +286,62 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = pack_token_budget(kept, "doc_id", "n_tokens", 2048, group_col="lang")
     return packed.groupBy("lang", "bin").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("bin_tokens")
+    )
+
+
+@register(
+    "pack_sharded_bins",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS n_tokens,
+             CAST((strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8
+                  AS BIGINT) AS shard
+      FROM documents
+    ), packed AS (
+      SELECT lang, shard, n_tokens,
+             CAST(FLOOR(CAST(SUM(n_tokens) OVER (
+                    PARTITION BY lang, shard ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                  ) - n_tokens AS DOUBLE) / 2048.0) AS BIGINT) AS bin
+      FROM toks
+    )
+    SELECT lang, shard, bin, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY lang, shard, bin
+    """,
+)
+def pack_sharded_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHARDED sequence packing — the parallelism fix the sf1 profile
+    demanded: packing windows keyed by language alone run 5-wide forever
+    (one sequential cumsum per language, no matter the cluster).  Keying
+    the same offset-division packer by (lang, md5-shard) multiplies the
+    parallel units to langs × shards with zero semantic loss — documents
+    are still packed deterministically, bins are per-shard — which is how
+    a 100 TB packer actually runs (n_shards ≈ cluster cores).  Plan: one
+    window shuffle on the composite key + one aggregate."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.dedup import normalized_tokens
+    from hotdog_spark.operators.sampling import pack_token_budget
+
+    docs = table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        F.size(normalized_tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+        (
+            (
+                F.instr(
+                    F.lit("0123456789abcdef"),
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+                ) - 1
+            ) % 8
+        ).cast("bigint").alias("shard"),
+    ).withColumn("pack_group", F.concat_ws("|", "lang", "shard"))
+    packed = pack_token_budget(keyed, "doc_id", "n_tokens", 2048, group_col="pack_group")
+    return packed.groupBy("lang", "shard", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
     )

@@ -458,3 +458,47 @@ def dedup_components_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("quality").alias("best_quality"),
         )
     )
+
+
+@register(
+    "dedup_minhash_jaccard_estimate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+2], ' ')
+                        for i in generate_series(1, len(t)-2)] END AS shingles
+      FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS shingle FROM sh
+    ), sigs AS (
+      SELECT doc_id, band, MIN(md5(band || '|' || shingle)) AS sig
+      FROM ex, (SELECT unnest(generate_series(0, 7)) AS band) b
+      GROUP BY doc_id, band
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS BIGINT)
+             AS matching_bands,
+           CAST(CAST(SUM(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS BIGINT)
+                AS DOUBLE) / 8.0 AS est_jaccard
+    FROM cand c
+    JOIN sigs sa ON sa.doc_id = c.id_a
+    JOIN sigs sb ON sb.doc_id = c.id_b AND sb.band = sa.band
+    GROUP BY c.id_a, c.id_b
+    """,
+)
+def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash similarity ESTIMATION (LSH stage 2): for every band-bucket
+    candidate pair, the fraction of agreeing band signatures — an
+    unbiased Jaccard estimate that gates which pairs earn an exact
+    comparison.  Signatures built once and persisted; per-pair cost is
+    exactly 8 comparison rows via two id-keyed joins."""
+    return ops.minhash_jaccard_estimates(
+        table(spark, sf_dir, "documents"), "text", "doc_id", bands=8, k=3
+    )

@@ -107,6 +107,57 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_graph_ivf",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, {_QUANT} AS qv,
+             list_sum(list_transform({_QUANT}, x -> x * x)) AS n2
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cid, qv AS qc, n2 AS n2c FROM n WHERE vec_id < 8
+    ), d AS (
+      SELECT v.vec_id, v.qv, v.n2, c.cid,
+             v.n2 + c.n2c
+             - 2 * list_sum(list_transform(list_zip(v.qv, c.qc), s -> s[1] * s[2])) AS d2
+      FROM n v, c
+    ), cellr AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d
+    ), assigned AS (
+      SELECT vec_id, qv, n2, cid AS cell FROM cellr WHERE rn = 1
+    ), pcells AS (
+      SELECT vec_id AS query_id, cid AS pcell FROM cellr WHERE rn <= 2
+    ), pv AS (
+      SELECT vec_id AS query_id, qv AS qp, n2 AS n2p FROM n
+    ), scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(list_zip(a.qv, pv.qp), s -> s[1] * s[2])) AS DOUBLE)
+               / sqrt(CAST(a.n2 * pv.n2p AS DOUBLE)) AS score
+      FROM assigned a
+      JOIN pcells p ON a.cell = p.pcell
+      JOIN pv ON pv.query_id = p.query_id
+      WHERE a.vec_id != p.query_id AND a.n2 > 0 AND pv.n2p > 0
+    )
+    SELECT query_id, neighbor_id, score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) t WHERE rank <= 3
+    """,
+)
+def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN GRAPH over the whole embedding table (every vector is a
+    probe): IVF-cell blocking with a hash-partitioned equi-join on the
+    cell key — NOT the broadcast-probe plan, which would broadcast the
+    corpus.  One shuffle per side keyed by cell; Σcell² candidate bound;
+    the bulk-graph-construction shape that survives 100 TB."""
+    emb = table(spark, sf_dir, "embeddings")
+    return ops.knn_graph(
+        emb, "embedding", "vec_id",
+        centroid_filter=F.col("vid") < 8, k=3, nprobe=2,
+    ).select("query_id", "neighbor_id", "score", "rank")
+
+
+@register(
     "ann_lsh_bucketed",
     oracle=f"""
     WITH n AS (

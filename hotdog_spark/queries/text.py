@@ -564,3 +564,120 @@ def classify_docs_by_taxonomy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classify_by_taxonomy(
         table(spark, sf_dir, "documents"), "text", "doc_id", TAXONOMY
     ).withColumnRenamed("id", "doc_id")
+
+
+_BM25_TERMS = ["spark", "window", "merge"]
+
+
+def _bm25_oracle() -> str:
+    dfs = ",\n             ".join(
+        f"CAST(SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    avgdl = "(CAST(s.sum_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))"
+    contribs = []
+    for i, t in enumerate(_BM25_TERMS):
+        tf = f"CAST(len(list_filter(b.toks, x -> x = '{t}')) AS DOUBLE)"
+        idf = f"(CAST(s.n_docs - s.df_{i} AS DOUBLE) + 0.5) / (CAST(s.df_{i} AS DOUBLE) + 0.5)"
+        contribs.append(
+            f"{idf} * ({tf} * 2.2) / ({tf} + 1.2 * (0.25 + 0.75 * CAST(b.dl AS DOUBLE) / {avgdl}))"
+        )
+    score = " + ".join(contribs)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks, CAST(len({_TOKS}) AS BIGINT) AS dl
+      FROM documents
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS BIGINT) AS sum_dl,
+             {dfs}
+      FROM base
+    ), scored AS (
+      SELECT b.doc_id, b.dl, {score} AS score
+      FROM base b, s
+    )
+    SELECT doc_id, dl, score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    ) t WHERE rank <= 20
+    """
+
+
+@register("text_bm25_topk", oracle=_bm25_oracle())
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance top-20 for a fixed 3-term query with the RATIONAL
+    (log-free) idf — search-style corpus ranking as one tiny stats
+    aggregate broadcast over the scan + sort/limit top-k.  See
+    operators/textops.py:bm25_rational_topk for the exactness contract
+    (no log; fixed-order float arithmetic)."""
+    from hotdog_spark.operators.textops import bm25_rational_topk
+
+    return bm25_rational_topk(
+        table(spark, sf_dir, "documents"), "text", "doc_id",
+        terms=_BM25_TERMS, topk=20,
+    ).withColumnRenamed("id", "doc_id")
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, {_TOKS} AS w FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS g
+      FROM words, UNNEST(range(1, len(w) - 3)) AS t(i)
+    ), firsts AS (
+      SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+    )
+    SELECT grams.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN f.first_doc = grams.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(CAST(SUM(CASE WHEN f.first_doc = grams.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty_ratio
+    FROM grams JOIN firsts f ON grams.g = f.g
+    GROUP BY grams.doc_id
+    """,
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-order n-gram novelty: per document, the fraction of its
+    distinct word-5-grams whose FIRST corpus occurrence (min doc_id —
+    ingestion order) is this document.  The marginal-value curve of
+    incremental data: dropping novelty means new batches repeat the
+    corpus.  Plan: distinct 5-grams per doc → one gram-keyed aggregate
+    for first-occurrence → join back on the gram key (one row per gram,
+    no pair blow-up) → one doc-keyed aggregate.  Docs shorter than 5
+    words contribute no grams and drop out (same rule as the
+    decontamination gram family)."""
+    from hotdog_spark.operators.dedup import normalized_tokens, word_shingles
+
+    docs = table(spark, sf_dir, "documents")
+    toks = normalized_tokens(F.col("text"))
+    n = F.size(toks)
+    grams = (
+        docs.select(
+            "doc_id",
+            F.when(
+                n >= 5,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), n - 5),
+                        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 5)),
+                    )
+                ),
+            ).alias("_g"),
+        )
+        .filter(F.col("_g").isNotNull())
+        .select("doc_id", F.explode_outer("_g").alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    firsts = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    joined = grams.join(firsts, "g")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum((F.col("first_doc") == F.col("doc_id")).cast("bigint")).alias("n_novel"),
+        (
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("bigint")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("novelty_ratio"),
+    )

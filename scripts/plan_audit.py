@@ -45,6 +45,11 @@ AUDIT = [
     ("embedding_drift_report", "drift: both cohorts in ONE conditional-sum aggregate"),
     ("dedup_winnowing_pairs", "MOSS pairs: hot-fp broadcast anti-join caps the self-join"),
     ("agg_approx_distinct_users_sketch_only", "HLL rollup: one mergeable agg, no per-user shuffle"),
+    ("knn_graph_ivf", "kNN graph: cell-keyed equi-join, corpus never broadcast"),
+    ("pack_sharded_bins", "sharded packing: langs x shards parallel windows"),
+    ("export_zorder_tiles", "zorder tiles: bit-interleave projection + one agg"),
+    ("text_bm25_topk", "bm25: 1-row stats broadcast + TakeOrdered top-k"),
+    ("quality_calibrate_by_source", "calibration: one source-keyed window, no global sort"),
 ]
 
 
