@@ -82,7 +82,7 @@ def multimodal_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "multimodal_feature_stub",
+    "multimodal_feature_extract",
     oracle="""
     SELECT doc_id AS media_id,
            octet_length(encode(text)) AS n_bytes,
@@ -90,7 +90,7 @@ def multimodal_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM documents
     """,
 )
-def multimodal_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas feature extraction over OPAQUE payloads
     (the text-bytes blobs are no container format, so the byte-stat
     fallback path runs).  The oracle checks the plumbing outputs (id,

@@ -104,7 +104,7 @@ def test_cosine_topk_self_similarity(spark):
     assert got[-1][0] == 3  # the anti-parallel vector ranks last
 
 
-def test_multimodal_feature_stub_deterministic(spark, docs):
+def test_multimodal_feature_extract_deterministic(spark, docs):
     media = multimodal.media_from_text(docs, "text", "doc_id")
     feats = {r.media_id: r for r in multimodal.extract_features(media, dim=4).collect()}
     assert feats[0].n_bytes == 43
@@ -494,9 +494,11 @@ def test_salted_join_equals_plain_join(spark):
 
 
 def test_resize_stub_dimensions(spark, docs):
+    """Opaque (non-PNG) payloads take the plumbing path: metadata-derived
+    dims, content passed through untouched."""
     out = {
         r.media_id: r
-        for r in multimodal.resize_stub(
+        for r in multimodal.resize_image(
             multimodal.media_from_text(docs, "text", "doc_id"), max_side=20
         ).collect()
     }
@@ -507,6 +509,31 @@ def test_resize_stub_dimensions(spark, docs):
         # aspect preserved within rounding; upscale never happens
         assert r.out_width <= max(w, 1) and r.out_height <= max(h, 1)
         assert r.content == media[mid].content
+
+
+def test_resize_png_real_resample():
+    """PNG payloads actually resample: 4x2 RGB downscaled to max_side=2
+    gives 2x1 output whose pixels are the nearest-neighbor sources at
+    src = (dst * src_dim) // out_dim, and the output is itself a valid
+    PNG that round-trips through decode_png."""
+    # 4x2 RGB: pixel (x, y) = (10x, 100+y, 200)
+    px = bytearray()
+    for y in range(2):
+        for x in range(4):
+            px += bytes([10 * x, 100 + y, 200])
+    src = multimodal.synth_png(4, 2, 8, 2, pixels=bytes(px))
+    got = multimodal._resize_png(src, 2)
+    assert got is not None
+    ow, oh, out = got
+    assert (ow, oh) == (2, 1)
+    dec = multimodal.decode_png(out)
+    assert dec is not None and (dec["width"], dec["height"], dec["channels"]) == (2, 1, 3)
+    # sx = (0*4)//2 = 0 and (1*4)//2 = 2; sy = 0
+    assert dec["pixels"] == bytes([0, 100, 200, 20, 100, 200])
+    # no-op when already within budget: content returned byte-identical
+    assert multimodal._resize_png(src, 8)[2] == src
+    # non-PNG → None (caller passes through)
+    assert multimodal._resize_png(b"not a png", 2) is None
 
 
 def test_connected_components_toy_graph(spark):
