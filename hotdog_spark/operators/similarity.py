@@ -531,3 +531,110 @@ def label_cohesion(df: DataFrame, vec_col: str, id_col: str, label_col: str) -> 
         F.sum("qd2").alias("sum_qd2"),
         F.max("qd2").alias("max_qd2"),
     )
+
+
+def lsh_multiprobe_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    probe_filter: Column,
+    k: int = 3,
+    bits: int = 4,
+) -> DataFrame:
+    """Multi-probe LSH ANN: each probe searches its own sign bucket PLUS
+    every one-bit-flip neighbor bucket (bits+1 buckets/probe) — the
+    standard recall recovery for bucketed LSH (Lv et al., VLDB'07):
+    near-misses whose vector sits just across one hyperplane come back
+    without shrinking the buckets.
+
+    Cost model vs single-probe: candidate volume ×(bits+1) while the
+    pair space stays Σ bucket² — still nothing close to n².  The probe
+    expansion is an explode over (bits+1) literals on the (tiny,
+    broadcast) probe side only; the corpus side is untouched.  Each
+    candidate lives in exactly one bucket, so no dedup step is needed.
+    Returns (query_id, neighbor_id, bucket, score, rank).
+    """
+    base = with_quantized(df, vec_col, id_col).withColumn(
+        "bucket", sign_bucket(F.col("q"), bits)
+    )
+    bp = F.col("bucket")
+
+    def _flip(i: int) -> Column:
+        flipped = (
+            F.lit(1) - F.substring(bp, i, 1).cast("int")
+        ).cast("string")
+        return F.concat(
+            F.substring(bp, 1, i - 1), flipped, F.substring(bp, i + 1, bits - i)
+        )
+
+    probes = (
+        base.filter(probe_filter)
+        .withColumn(
+            "pbucket",
+            F.explode(F.array(bp, *[_flip(i) for i in range(1, bits + 1)])),
+        )
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("q").alias("q_probe"),
+            F.col("n2").alias("n2_probe"),
+            F.col("pbucket"),
+        )
+    )
+    pairs = base.join(
+        broadcast(probes), F.col("bucket") == F.col("pbucket")
+    ).filter(
+        (F.col("vid") != F.col("query_id"))
+        & (F.col("n2") > 0)
+        & (F.col("n2_probe") > 0)
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vid").alias("neighbor_id"),
+        "bucket",
+        (
+            _dot(F.col("q"), F.col("q_probe")).cast("double")
+            / F.sqrt((F.col("n2") * F.col("n2_probe")).cast("double"))
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def int8_quantization_report(df: DataFrame, vec_col: str) -> DataFrame:
+    """Scalar int8 quantization audit — the compression step vector
+    stores apply before ANN at scale (4× smaller than float32, the
+    IVF+SQ8 layout): per dimension, min/max calibration, the uint8 step
+    size, and the worst reconstruction error after round-trip.
+
+    Plan: posexplode to (dim, value) → ONE 64-group stats aggregate →
+    broadcast the 64-row calibration back over the exploded values →
+    ONE aggregate for the error max.  Determinism: everything flows
+    through doubles promoted exactly from float32; MAX is
+    order-independent (unlike SUM over doubles, deliberately not
+    emitted); round() on non-negative inputs is half-up in both engines.
+    Returns (dim, mn, mx, scale, max_abs_err, n_values).
+    """
+    e = fan_out(df).select(
+        F.posexplode(F.col(vec_col)).alias("pos", "xf")
+    ).select((F.col("pos") + 1).alias("dim"), F.col("xf").cast("double").alias("x"))
+    st = e.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    st = st.withColumn("scale", (F.col("mx") - F.col("mn")) / F.lit(255.0))
+    joined = e.join(broadcast(st), "dim")
+    q = F.least(
+        F.lit(255.0),
+        F.greatest(F.lit(0.0), F.round((F.col("x") - F.col("mn")) / F.col("scale"), 0)),
+    )
+    err = F.when(
+        F.col("scale") > 0,
+        F.abs(F.col("x") - (F.col("mn") + q * F.col("scale"))),
+    ).otherwise(F.lit(0.0))
+    return (
+        joined.select("dim", "mn", "mx", "scale", err.alias("err"))
+        .groupBy("dim", "mn", "mx", "scale")
+        .agg(
+            F.max("err").alias("max_abs_err"),
+            F.count(F.lit(1)).alias("n_values"),
+        )
+    )

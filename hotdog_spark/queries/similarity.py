@@ -313,3 +313,86 @@ def embedding_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_cohesion(
         table(spark, sf_dir, "embeddings"), "embedding", "vec_id", "label"
     )
+
+
+def _multiprobe_oracle(bits: int = 4) -> str:
+    sign = " || ".join(
+        f"(CASE WHEN qv[{i+1}] >= 0 THEN '1' ELSE '0' END)" for i in range(bits)
+    )
+    flips = ", ".join(
+        f"substr(bp, 1, {i - 1}) || CAST(1 - CAST(substr(bp, {i}, 1) AS INT) AS VARCHAR)"
+        f" || substr(bp, {i + 1})"
+        for i in range(1, bits + 1)
+    )
+    return f"""
+    WITH n AS (
+      SELECT vec_id, {_QUANT} AS qv,
+             list_sum(list_transform({_QUANT}, x -> x * x)) AS n2
+      FROM embeddings
+    ), bucketed AS (
+      SELECT vec_id, qv, n2, {sign} AS bucket FROM n
+    ), probes AS (
+      SELECT vec_id AS query_id, qv AS qp, n2 AS n2p,
+             unnest([bp, {flips}]) AS pbucket
+      FROM (SELECT vec_id, qv, n2, bucket AS bp FROM bucketed WHERE vec_id < 10)
+    ), scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id, c.bucket,
+             CAST(list_sum(list_transform(list_zip(c.qv, p.qp), s -> s[1] * s[2])) AS DOUBLE)
+               / sqrt(CAST(c.n2 * p.n2p AS DOUBLE)) AS score
+      FROM bucketed c JOIN probes p ON c.bucket = p.pbucket
+      WHERE c.vec_id != p.query_id AND c.n2 > 0 AND p.n2p > 0
+    )
+    SELECT query_id, neighbor_id, bucket, score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) t WHERE rank <= 3
+    """
+
+
+@register("ann_lsh_multiprobe", oracle=_multiprobe_oracle())
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN (Lv et al., VLDB'07): each probe searches its
+    sign bucket plus all one-bit-flip neighbors — recall recovery without
+    shrinking buckets.  Probe expansion explodes only the broadcast probe
+    side; candidates stay Σ bucket², nowhere near n²."""
+    emb = table(spark, sf_dir, "embeddings")
+    return ops.lsh_multiprobe_topk(
+        emb, "embedding", "vec_id", probe_filter=F.col("vid") < 10, k=3, bits=4
+    ).select("query_id", "neighbor_id", "bucket", "score", "rank")
+
+
+@register(
+    "embedding_quantize_int8_report",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+             generate_subscripts(embedding, 1) AS dim
+      FROM embeddings
+    ), st AS (
+      SELECT dim, MIN(x) AS mn, MAX(x) AS mx,
+             (MAX(x) - MIN(x)) / 255.0 AS scale
+      FROM e GROUP BY dim
+    ), r AS (
+      SELECT e.dim, st.mn, st.mx, st.scale,
+             CASE WHEN st.scale > 0
+                  THEN abs(e.x - (st.mn
+                       + LEAST(255.0, GREATEST(0.0, round((e.x - st.mn) / st.scale)))
+                         * st.scale))
+                  ELSE 0.0 END AS err
+      FROM e JOIN st USING (dim)
+    )
+    SELECT dim, mn, mx, scale, MAX(err) AS max_abs_err,
+           COUNT(*) AS n_values
+    FROM r GROUP BY dim, mn, mx, scale
+    """,
+)
+def embedding_quantize_int8_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization audit for the embedding store (the SQ8
+    compression step before ANN at 100 TB): per-dim min/max calibration,
+    step size, and worst-case reconstruction error.  Two aggregates +
+    one broadcast of the 64-row calibration; only order-independent
+    reductions (MIN/MAX/COUNT) so the report hash-matches cross-engine."""
+    return ops.int8_quantization_report(
+        table(spark, sf_dir, "embeddings"), "embedding"
+    )
