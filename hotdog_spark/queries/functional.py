@@ -649,3 +649,100 @@ def window_range_frame_rolling_revenue(spark: SparkSession, sf_dir: str) -> Data
         F.col("revenue").cast("double").alias("daily_revenue"),
         F.sum("revenue").over(w).cast("double").alias("rolling7"),
     )
+
+
+_CMS_D, _CMS_W = 4, 64
+
+
+def _cms_oracle() -> str:
+    def h(j: str, expr: str) -> str:
+        md5 = f"md5('{j}|' || CAST({expr} AS VARCHAR))"
+        dig = "strpos('0123456789abcdef', substr({m}, {i}, 1)) - 1"
+        return (
+            f"((16 * ({dig.format(m=md5, i=1)}) + ({dig.format(m=md5, i=2)}))"
+            f" % {_CMS_W})"
+        )
+
+    sketch_rows = " UNION ALL ".join(
+        f"SELECT {j} AS row_id, {h(str(j), 'user_id')} AS bucket, COUNT(*) AS cnt"
+        f" FROM events GROUP BY 2"
+        for j in range(_CMS_D)
+    )
+    est = ", ".join(
+        f"(SELECT cnt FROM sketch s WHERE s.row_id = {j}"
+        f" AND s.bucket = {h(str(j), 't.user_id')}) AS e{j}"
+        for j in range(_CMS_D)
+    )
+    least = "LEAST(" + ", ".join(f"e{j}" for j in range(_CMS_D)) + ")"
+    return f"""
+    WITH sketch AS ({sketch_rows}),
+    exact AS (
+      SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id
+    ), top AS (
+      SELECT user_id, exact_n FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY exact_n DESC, user_id) AS rn
+        FROM exact
+      ) WHERE rn <= 10
+    ), est AS (
+      SELECT t.user_id, t.exact_n, {est} FROM top t
+    )
+    SELECT user_id, exact_n, {least} AS est_n,
+           {least} - exact_n AS overcount
+    FROM est
+    """
+
+
+@register("heavy_hitters_cms", oracle=_cms_oracle())
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters: a d=4 × w=64 CMS over event
+    user_ids (md5-salted bucket hashes — deterministic, engine-portable,
+    unlike murmur-based library sketches), with the top-10 exact users'
+    estimates read back as min-over-rows.  CMS is THE 100 TB heavy-hitter
+    structure: fixed 256-counter state, map-side combinable, mergeable
+    across partitions/windows — where exact per-key counts would shuffle
+    every key.  Plan: one 256-group aggregate (sketch) + one exact top-10
+    + a broadcast of the 256-row sketch back over the probes.  The
+    oracle rebuilds the identical sketch in SQL, so estimates (including
+    collision overcounts) hash-match exactly; CMS guarantees
+    overcount >= 0, never under."""
+    e = table(spark, sf_dir, "events")
+
+    def bucket(j: int, col):
+        h = F.md5(F.concat(F.lit(f"{j}|"), col.cast("string")))
+        return (F.conv(F.substring(h, 1, 2), 16, 10).cast("bigint") % _CMS_W)
+
+    rows = None
+    for j in range(_CMS_D):
+        r = e.select(
+            F.lit(j).alias("row_id"), bucket(j, F.col("user_id")).alias("bucket")
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    sketch = rows.groupBy("row_id", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+    from pyspark.sql.window import Window
+
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = (
+        exact.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("exact_n").desc(), F.col("user_id"))
+            ),
+        )
+        .filter(F.col("rn") <= 10)
+        .drop("rn")
+    )
+    probes = top
+    for j in range(_CMS_D):
+        probes = probes.withColumn(f"b{j}", bucket(j, F.col("user_id")))
+    joined = probes
+    for j in range(_CMS_D):
+        s = sketch.filter(F.col("row_id") == j).select(
+            F.col("bucket").alias(f"b{j}"), F.col("cnt").alias(f"e{j}")
+        )
+        joined = joined.join(F.broadcast(s), f"b{j}")
+    est = F.least(*[F.col(f"e{j}") for j in range(_CMS_D)])
+    return joined.select(
+        "user_id", "exact_n", est.alias("est_n"),
+        (est - F.col("exact_n")).alias("overcount"),
+    )

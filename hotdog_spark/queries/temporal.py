@@ -293,3 +293,49 @@ def interval_overlap_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame
             - epoch_us(F.greatest("a_s", "b_s"))
         ).alias("overlap_us"),
     )
+
+
+@register(
+    "asof_forward_next_purchase",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events
+    ), purch AS (
+      SELECT user_id, ts, MIN(event_id) AS purchase_id
+      FROM ev WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ), clicks AS (
+      SELECT event_id, user_id, ts FROM ev WHERE event_type = 'click'
+    )
+    SELECT c.event_id, c.user_id, c.ts,
+           p.purchase_id AS asof_purchase_id, p.ts AS asof_ts
+    FROM clicks c ASOF JOIN purch p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """,
+)
+def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, ``direction='forward'``: each click attached to the
+    user's EARLIEST purchase at or after it — time-to-conversion's join
+    step.  Completes the oracle-backed coverage of all three as-of
+    directions (backward = click_attribution, nearest = nearest_click);
+    same union-and-carry single-shuffle plan, carry running backward.
+    Oracle: DuckDB's native forward ASOF JOIN (ts <=) — an independent
+    implementation."""
+    ev = table(spark, sf_dir, "events")
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("purchase_id"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    return ops.asof_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["purchase_id"],
+        how="inner",
+        direction="forward",
+    ).select("event_id", "user_id", "ts", "asof_purchase_id", "asof_ts")
