@@ -84,25 +84,77 @@ class _Listener:
                 return
             threading.Thread(target=self._read_conn, args=(conn,), daemon=True).start()
 
+    def _append(self, line: str) -> None:
+        if not line:
+            return
+        with self._lock:
+            self._lines.append((self._next_seq, line))
+            self._next_seq += 1
+            # bounded-queue load shedding, oldest first
+            # (reference drops newest; either way it's counted)
+            while len(self._lines) > self._buffer:
+                self._lines.popleft()
+                self._dropped += 1
+
     def _read_conn(self, conn: socket.socket) -> None:
+        """Per-connection frame loop supporting BOTH RFC 6587 framings:
+
+        * non-transparent (newline) framing — the reference's only mode
+          (src/connection.rs:85);
+        * octet counting (``LEN SP MSG``) — what rsyslog/syslog-ng emit
+          over TCP by default, and the only framing that can carry
+          embedded newlines.  EXTENSION beyond the reference.
+
+        Mode is auto-detected from the connection's first byte (a digit
+        ⇒ octet-counted), fixed per connection as the RFC prescribes; a
+        malformed length prefix degrades to newline framing rather than
+        stalling the connection."""
         try:
             if self._ssl_ctx is not None:
                 # TLS handshake before any reads (src/serve/tls.rs:41-52);
                 # handshake failure closes the connection, pipeline unharmed.
                 conn = self._ssl_ctx.wrap_socket(conn, server_side=True)
-            with conn, conn.makefile("rb") as f:
-                for raw in f:  # newline framing (src/connection.rs:85)
-                    line = raw.decode("utf-8", errors="replace").rstrip("\r\n")
-                    if not line:
-                        continue
-                    with self._lock:
-                        self._lines.append((self._next_seq, line))
-                        self._next_seq += 1
-                        # bounded-queue load shedding, oldest first
-                        # (reference drops newest; either way it's counted)
-                        while len(self._lines) > self._buffer:
-                            self._lines.popleft()
-                            self._dropped += 1
+            with conn:
+                buf = b""
+                mode: str | None = None
+                while True:
+                    chunk = conn.recv(65536)
+                    if not chunk:
+                        break
+                    buf += chunk
+                    while buf:
+                        if mode is None:
+                            mode = "octet" if buf[0:1].isdigit() else "newline"
+                        if mode == "newline":
+                            nl = buf.find(b"\n")
+                            if nl < 0:
+                                break
+                            raw, buf = buf[:nl], buf[nl + 1:]
+                            self._append(
+                                raw.decode("utf-8", errors="replace").rstrip("\r")
+                            )
+                        else:
+                            sp = buf.find(b" ")
+                            if sp < 0:
+                                if len(buf) > 9:  # no sane length prefix
+                                    mode = "newline"
+                                    continue
+                                break
+                            head = buf[:sp]
+                            if not head.isdigit() or len(head) > 9:
+                                mode = "newline"
+                                continue
+                            n = int(head)
+                            if len(buf) < sp + 1 + n:
+                                break  # frame incomplete; wait for more
+                            raw = buf[sp + 1:sp + 1 + n]
+                            buf = buf[sp + 1 + n:]
+                            self._append(
+                                raw.decode("utf-8", errors="replace").rstrip("\r\n")
+                            )
+                # trailing unterminated newline-framed record
+                if mode == "newline" and buf:
+                    self._append(buf.decode("utf-8", errors="replace").rstrip("\r"))
         except (OSError, ssl.SSLError):
             return  # connection reset / bad handshake: drop the connection
 

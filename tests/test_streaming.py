@@ -424,6 +424,43 @@ def test_syslog_tcp_source(spark):
     assert sorted(got) == sorted(LINES[:3])
 
 
+def test_syslog_tcp_octet_counted_framing(spark):
+    """RFC 6587 octet-counted frames (`LEN SP MSG`) auto-detected from the
+    connection's first byte — the framing rsyslog/syslog-ng emit over TCP,
+    and the only one that can carry embedded newlines (here the multi-line
+    payload must arrive as ONE record, which newline framing cannot do)."""
+    import random
+    import socket as socket_mod
+
+    from hotdog_spark.sources.syslog_tcp import syslog_stream
+
+    port = random.randint(20000, 40000)
+    msgs = [
+        LINES[0],
+        "<13>1 2024-01-01T00:00:00Z h app - - - line one\nline two",  # embedded \n
+        LINES[1],
+    ]
+
+    def send():
+        payload = b"".join(
+            f"{len(m.encode())} ".encode() + m.encode() for m in msgs
+        )
+        last = None
+        for _ in range(40):
+            try:
+                with socket_mod.create_connection(("127.0.0.1", port), timeout=5) as s:
+                    s.sendall(payload)
+                return
+            except OSError as e:
+                last = e
+                time.sleep(0.25)
+        raise last
+
+    df = syslog_stream(spark, host="127.0.0.1", port=port)
+    got = _drain_stream(spark, df, "syslog_octet_sink", send)
+    assert sorted(got) == sorted(msgs)
+
+
 def test_syslog_tls_source(spark, tmp_path):
     import random
     import subprocess
