@@ -983,3 +983,106 @@ def null_handling_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .isNotNull()
         .alias("open_flag"),
     )
+
+
+@register(
+    "dq_constraint_report",
+    oracle="""
+    SELECT 'orders_custkey_fk' AS check_name,
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_violations,
+           (SELECT COUNT(*) FROM orders) AS n_checked
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)),
+           (SELECT COUNT(*) FROM lineitem)
+    UNION ALL
+    SELECT 'lineitem_quantity_range',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_quantity < 1 OR l_quantity > 50),
+           (SELECT COUNT(*) FROM lineitem)
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0),
+           (SELECT COUNT(*) FROM orders)
+    UNION ALL
+    SELECT 'orders_orderkey_unique',
+           (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders),
+           (SELECT COUNT(*) FROM orders)
+    UNION ALL
+    SELECT 'customer_mktsegment_domain',
+           (SELECT COUNT(*) FROM customer
+            WHERE c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE',
+                                       'HOUSEHOLD','MACHINERY')),
+           (SELECT COUNT(*) FROM customer)
+    """,
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint validation (the dbt-test / Deequ shape):
+    FK orphans via LEFT ANTI joins (dims broadcast), range / domain /
+    uniqueness violations via single aggregates — six checks, each one
+    scan or one broadcast anti-join, unioned into a small report.  The
+    lake-health gate a 100 TB ingest runs before publishing a
+    partition."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    c = table(spark, sf_dir, "customer")
+
+    def _report(name, violations, checked):
+        return violations.crossJoin(checked).select(
+            F.lit(name).alias("check_name"),
+            F.col("v").alias("n_violations"),
+            F.col("n").alias("n_checked"),
+        )
+
+    fk_orders = _report(
+        "orders_custkey_fk",
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v")),
+        o.agg(F.count(F.lit(1)).alias("n")),
+    )
+    fk_lineitem = _report(
+        "lineitem_orderkey_fk",
+        l.join(o.select("o_orderkey"), l.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("v")),
+        l.agg(F.count(F.lit(1)).alias("n")),
+    )
+    qty_range = _report(
+        "lineitem_quantity_range",
+        l.agg(
+            F.sum(
+                ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("bigint")
+            ).alias("v")
+        ),
+        l.agg(F.count(F.lit(1)).alias("n")),
+    )
+    price_pos = _report(
+        "orders_totalprice_positive",
+        o.agg(F.sum((F.col("o_totalprice") <= 0).cast("bigint")).alias("v")),
+        o.agg(F.count(F.lit(1)).alias("n")),
+    )
+    pk_unique = _report(
+        "orders_orderkey_unique",
+        o.agg(
+            (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))).alias("v")
+        ),
+        o.agg(F.count(F.lit(1)).alias("n")),
+    )
+    seg_domain = _report(
+        "customer_mktsegment_domain",
+        c.agg(
+            F.sum(
+                (~F.col("c_mktsegment").isin(
+                    "AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"
+                )).cast("bigint")
+            ).alias("v")
+        ),
+        c.agg(F.count(F.lit(1)).alias("n")),
+    )
+    return (
+        fk_orders.unionAll(fk_lineitem).unionAll(qty_range)
+        .unionAll(price_pos).unionAll(pk_unique).unionAll(seg_domain)
+    )
