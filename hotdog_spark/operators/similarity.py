@@ -263,29 +263,51 @@ def knn_graph(
     literals, no shuffle), the probe side explodes to its ``nprobe``
     nearest cells, and the candidate join is a hash-partitioned
     EQUI-JOIN ON THE CELL KEY — one shuffle per side keyed by cell,
-    pair blow-up bounded by Σ cell²/nprobe, AQE skew-split handling hot
-    cells.  That is the 100 TB knn-graph shape (the same join layout
-    FAISS-on-Spark pipelines use for bulk graph construction); exact
-    brute force would be n² and is deliberately not offered for all
-    nodes.
+    AQE skew-split handling hot cells.  That is the 100 TB knn-graph
+    shape (the same join layout FAISS-on-Spark pipelines use for bulk
+    graph construction); exact brute force would be n² and is
+    deliberately not offered for all nodes.
+
+    CELL-COUNT SCALING IS THE LOAD-BEARING PARAMETER: pair volume is
+    Σ cell² ≈ n²·nprobe/C, so with a FIXED cell count C the graph build
+    is quadratic in corpus size — the sf1 stress run measured exactly
+    that (2.8 s → 47 s with 1.3 GB of spill for 10× rows at C=8).
+    Callers must grow C ∝ n to keep cell size (and per-probe candidate
+    count) constant, which makes total pairs LINEAR in n; the registered
+    query derives C = clamp(n/250, 8, 256) from a corpus count.
+
+    Unlike ``ivf_topk`` (a handful of cells → centroid LITERALS), cell
+    assignment here runs against a BROADCAST CENTROID TABLE: at C=80 the
+    literal-array expression was a codegen blow-up (the sf1 re-measure
+    got SLOWER, 86 s); the broadcast cross-join + per-vector rank window
+    does the same math as ordinary columnar rows — n×C skinny rows, one
+    window shuffle on vid.  Beyond C ≈ O(10³) a production build adds a
+    coarse quantizer so assignment never materializes n×C.
 
     Returns (query_id, neighbor_id, score, rank) — the adjacency list of
     the cosine graph, rank 1..k per node.
     """
     base = with_quantized(df, vec_col, id_col)
     cents = _centroid_rows(base, centroid_filter, centroids)
-    cells = _sorted_cells_expr(cents)
-    assigned = base.withColumn("cell", F.element_at(cells, 1).getField("cid"))
-    probes = (
-        assigned.withColumn("pcell", F.explode(
-            F.transform(F.slice(cells, 1, nprobe), lambda s: s.getField("cid"))
-        ))
-        .select(
-            F.col("vid").alias("query_id"),
-            F.col("q").alias("q_probe"),
-            F.col("n2").alias("n2_probe"),
-            F.col("pcell"),
-        )
+    cents_df = df.sparkSession.createDataFrame(
+        [(int(cid), [int(x) for x in qc], int(n2c)) for cid, qc, n2c in cents],
+        "cid long, qc array<bigint>, n2c long",
+    )
+    d = base.crossJoin(broadcast(cents_df)).withColumn(
+        "d2", F.col("n2") + F.col("n2c") - F.lit(2) * _dot(F.col("q"), F.col("qc"))
+    )
+    wv = Window.partitionBy("vid").orderBy("d2", "cid")
+    ranked = d.select("vid", "q", "n2", "cid", "d2").withColumn(
+        "rn", F.row_number().over(wv)
+    )
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        "vid", "q", "n2", F.col("cid").alias("cell")
+    )
+    probes = ranked.filter(F.col("rn") <= nprobe).select(
+        F.col("vid").alias("query_id"),
+        F.col("q").alias("q_probe"),
+        F.col("n2").alias("n2_probe"),
+        F.col("cid").alias("pcell"),
     )
     # deliberately NOT broadcast: both sides shuffle once, keyed by cell
     pairs = assigned.join(probes, F.col("cell") == F.col("pcell")).filter(

@@ -114,7 +114,9 @@ def ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_sum(list_transform({_QUANT}, x -> x * x)) AS n2
       FROM embeddings
     ), c AS (
-      SELECT vec_id AS cid, qv AS qc, n2 AS n2c FROM n WHERE vec_id < 8
+      SELECT vec_id AS cid, qv AS qc, n2 AS n2c FROM n
+      WHERE vec_id < (SELECT GREATEST(8, LEAST(256, COUNT(*) // 250))
+                      FROM embeddings)
     ), d AS (
       SELECT v.vec_id, v.qv, v.n2, c.cid,
              v.n2 + c.n2c
@@ -148,12 +150,18 @@ def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-NN GRAPH over the whole embedding table (every vector is a
     probe): IVF-cell blocking with a hash-partitioned equi-join on the
     cell key — NOT the broadcast-probe plan, which would broadcast the
-    corpus.  One shuffle per side keyed by cell; Σcell² candidate bound;
-    the bulk-graph-construction shape that survives 100 TB."""
+    corpus.  The cell count SCALES WITH THE CORPUS —
+    C = clamp(n/250, 8, 256) — keeping cell size (and so per-probe
+    candidate count) constant and total pair volume LINEAR in n; a fixed
+    C made this quadratic, which the sf1 stress run caught as a 16.7×
+    blow-up with 1.3 GB of spill (SCALE_sf1.json).  One count job for C,
+    one shuffle per side keyed by cell."""
     emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    n_cells = max(8, min(256, n // 250))
     return ops.knn_graph(
         emb, "embedding", "vec_id",
-        centroid_filter=F.col("vid") < 8, k=3, nprobe=2,
+        centroid_filter=F.col("vid") < n_cells, k=3, nprobe=2,
     ).select("query_id", "neighbor_id", "score", "rank")
 
 
