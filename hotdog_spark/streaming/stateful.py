@@ -111,3 +111,44 @@ def running_topic_counts(routed: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_topic_counts_tws(routed: DataFrame) -> DataFrame:
+    """`running_topic_counts` on Spark 4's transformWithStateInPandas —
+    the successor API to applyInPandasWithState: named state variables on
+    a handle (composable, individually TTL-able, queryable by the state
+    reader) instead of one opaque state tuple.  Same contract: one
+    updated (topic, total) row per topic per micro-batch.
+
+    Both implementations stay registered side by side deliberately — the
+    old API is what most deployed Spark supports; this one is where
+    Structured Streaming state is going."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _TopicCount(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._total = handle.getValueState("total", "total long")
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            batch_n = sum(len(pdf) for pdf in rows)
+            prev = self._total.get()
+            total = (prev[0] if prev is not None else 0) + batch_n
+            self._total.update((total,))
+            yield pd.DataFrame({"topic": [key[0]], "total": [total]})
+
+        def close(self) -> None:
+            pass
+
+    return (
+        routed.select("topic")
+        .groupBy("topic")
+        .transformWithStateInPandas(
+            statefulProcessor=_TopicCount(),
+            outputStructType="topic string, total long",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

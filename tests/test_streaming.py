@@ -559,6 +559,83 @@ def test_streaming_dedup_across_batches(spark, tmp_path):
         q.stop()
 
 
+def test_running_topic_counts_transform_with_state(spark, tmp_path, canonical):
+    """The transformWithStateInPandas twin must produce the same
+    cumulative per-topic totals across micro-batches as the
+    applyInPandasWithState implementation.
+
+    SKIPPED where `google.protobuf` is absent: Spark's transformWithState
+    driver worker speaks protobuf to the state server
+    (pyspark/sql/streaming/proto/StateMessage_pb2), so without the
+    package the query crashes at pre-init — an environment gap (like the
+    Kafka broker), not a code path we can stub."""
+    pytest.importorskip("google.protobuf")
+    from hotdog_spark.streaming.stateful import running_topic_counts_tws
+
+    src = tmp_path / "in_tws"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt_tws")
+    (src / "b0.txt").write_text("\n".join(LINES) + "\n")
+
+    # transformWithState requires the RocksDB state store provider
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    raw = spark.readStream.format("text").load(str(src))
+    routed = process_raw_lines(raw, canonical)
+    counts = running_topic_counts_tws(routed)
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("counts_tws_sink")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        (src / "b1.txt").write_text("\n".join(LINES) + "\n")
+        q.processAllAvailable()
+        totals = {
+            r.topic: r.total
+            for r in spark.sql(
+                "SELECT topic, max(total) AS total FROM counts_tws_sink GROUP BY topic"
+            ).collect()
+        }
+        assert totals["test"] == 2
+        assert totals["dyn-topic"] == 2
+        assert totals["logs-unknown"] == 2
+    finally:
+        q.stop()
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+
+
+def test_running_topic_counts_tws_constructs(spark, tmp_path, canonical):
+    """Plan-construction check for the transformWithState twin, runnable
+    WITHOUT protobuf: building the streaming DataFrame pins the grouping,
+    output schema, and mode wiring even where the state server's wire
+    protocol (google.protobuf) is absent from the environment."""
+    from hotdog_spark.streaming.stateful import running_topic_counts_tws
+
+    src = tmp_path / "in_tws_c"
+    src.mkdir()
+    raw = spark.readStream.format("text").load(str(src))
+    counts = running_topic_counts_tws(process_raw_lines(raw, canonical))
+    assert counts.isStreaming
+    assert [(f.name, f.dataType.simpleString()) for f in counts.schema.fields] == [
+        ("topic", "string"),
+        ("total", "bigint"),
+    ]
+
+
 def test_running_topic_counts(spark, tmp_path, canonical):
     from hotdog_spark.streaming.stateful import running_topic_counts
 
