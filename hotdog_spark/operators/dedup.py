@@ -600,3 +600,83 @@ def lsh_pairs_from_index(spark, table_name: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, threshold: float = 0.8
+) -> DataFrame:
+    """Set-similarity join via PREFIX FILTERING (the PPJoin family,
+    Xiao et al., WWW'08) over 3-WORD-SHINGLE sets: two sets with
+    Jaccard >= t must share an element among each set's first
+    ``|x| - ceil(t*|x|) + 1`` elements when both are ordered by GLOBAL
+    RARITY (ascending document frequency).  Only those short,
+    rare-element prefixes generate candidates — lossless by the prefix
+    principle, and sharper than a document-frequency cap because common
+    elements never enter the join at all.
+
+    The set domain is SHINGLES, not tokens, deliberately: prefix
+    filtering prunes only when element frequencies are Zipf-like.  On a
+    small-vocabulary corpus token SETS are nearly identical across
+    documents (measured: 32 k "near-dup" token-set pairs in 500 docs and
+    a quadratic candidate join); 3-word shingles restore a large,
+    skewed element space, so the same algorithm returns the true
+    near-dups with prefix-sized shuffle volume.
+
+    Plan: one element-frequency aggregate → rank join (AQE broadcasts
+    it when small) → per-doc rarity-sorted arrays → candidate join on
+    prefix elements only → exact Jaccard verification via
+    array_intersect on the carried sets.
+    Returns (id_a, id_b, inter_n, union_n, jaccard) for pairs >= t.
+    """
+    toks = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.array_sort(
+            F.array_distinct(word_shingles(normalized_tokens(F.col(text_col)), 3))
+        ).alias("ta"),
+    ).withColumn("sz", F.size("ta").cast("bigint"))
+    ex = toks.select("id", F.explode("ta").alias("tok"))
+    dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql.window import Window
+
+    ranked = dfreq.withColumn(
+        "rnk", F.row_number().over(Window.orderBy("df", "tok"))
+    ).select("tok", "rnk")
+    ordered = (
+        ex.join(ranked, "tok")
+        .groupBy("id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rnk", "tok"))),
+                lambda s: s.getField("tok"),
+            ).alias("by_rank")
+        )
+    )
+    plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    pref = (
+        toks.join(ordered, "id")
+        .select(
+            "id", "ta", "sz",
+            F.explode(F.slice("by_rank", F.lit(1), plen)).alias("ptok"),
+        )
+    )
+    a = pref.select(
+        F.col("id").alias("id_a"), F.col("ta").alias("ta_a"),
+        F.col("sz").alias("sz_a"), "ptok",
+    )
+    b = pref.select(
+        F.col("id").alias("id_b"), F.col("ta").alias("ta_b"),
+        F.col("sz").alias("sz_b"), F.col("ptok").alias("ptok_b"),
+    )
+    cand = (
+        a.join(b, (F.col("ptok") == F.col("ptok_b")) & (F.col("id_a") < F.col("id_b")))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("ta_a", "ta_b")).cast("bigint")
+    out = cand.select(
+        "id_a", "id_b",
+        inter.alias("inter_n"),
+        (F.col("sz_a") + F.col("sz_b") - inter).alias("union_n"),
+    ).withColumn(
+        "jaccard", F.col("inter_n").cast("double") / F.col("union_n").cast("double")
+    )
+    return out.filter(F.col("jaccard") >= threshold)
