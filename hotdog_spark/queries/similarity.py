@@ -404,3 +404,83 @@ def embedding_quantize_int8_report(spark: SparkSession, sf_dir: str) -> DataFram
     return ops.int8_quantization_report(
         table(spark, sf_dir, "embeddings"), "embedding"
     )
+
+
+@register(
+    "ann_recall_report",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, {_QUANT} AS qv,
+             list_sum(list_transform({_QUANT}, x -> x * x)) AS n2
+      FROM embeddings
+    ), probes AS (
+      SELECT vec_id AS query_id, qv AS qp, n2 AS n2p FROM n WHERE vec_id < 10
+    ), bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY CAST(list_sum(list_transform(list_zip(c.qv, p.qp),
+                                                       s -> s[1] * s[2])) AS DOUBLE)
+                          / sqrt(CAST(c.n2 * p.n2p AS DOUBLE)) DESC,
+                          c.vec_id) AS rank
+        FROM n c, probes p
+        WHERE c.vec_id != p.query_id AND c.n2 > 0 AND p.n2p > 0
+      ) t WHERE rank <= 3
+    ), bucketed AS (
+      SELECT vec_id, qv, n2,
+             (CASE WHEN qv[1] >= 0 THEN '1' ELSE '0' END)
+             || (CASE WHEN qv[2] >= 0 THEN '1' ELSE '0' END)
+             || (CASE WHEN qv[3] >= 0 THEN '1' ELSE '0' END)
+             || (CASE WHEN qv[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM n
+    ), lsh AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY p.query_id
+                 ORDER BY CAST(list_sum(list_transform(list_zip(c.qv, p.qp),
+                                                       s -> s[1] * s[2])) AS DOUBLE)
+                          / sqrt(CAST(c.n2 * p.n2p AS DOUBLE)) DESC,
+                          c.vec_id) AS rank
+        FROM bucketed c
+        JOIN (SELECT b.vec_id AS query_id, b.qv AS qp, b.n2 AS n2p, b.bucket AS bp
+              FROM bucketed b WHERE b.vec_id < 10) p
+          ON c.bucket = p.bp
+        WHERE c.vec_id != p.query_id AND c.n2 > 0 AND p.n2p > 0
+      ) t WHERE rank <= 3
+    )
+    SELECT bf.query_id,
+           CAST(COUNT(lsh.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(lsh.neighbor_id) AS DOUBLE) / 3.0 AS recall_at_3
+    FROM bf LEFT JOIN lsh
+      ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id
+    GROUP BY bf.query_id
+    """,
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@3 of the LSH-bucketed search
+    against the brute-force exact baseline, per probe — the measurement
+    loop every production ANN deployment runs before trading exactness
+    for speed (and what justifies nprobe/bits settings at 100 TB).
+    Composes the two existing operators and joins their top-k sets; the
+    brute-force side is the 'rerank' truth, so recall is exact."""
+    emb = table(spark, sf_dir, "embeddings")
+    bf = ops.cosine_topk(
+        emb, "embedding", "vec_id", probe_filter=F.col("vid") < 10, k=3
+    ).select("query_id", "neighbor_id")
+    lsh = ops.lsh_cosine_topk(
+        emb, "embedding", "vec_id", probe_filter=F.col("vid") < 10, k=3, bits=4
+    ).select(
+        F.col("query_id").alias("l_qid"), F.col("neighbor_id").alias("l_nid")
+    )
+    joined = bf.join(
+        lsh,
+        (F.col("query_id") == F.col("l_qid"))
+        & (F.col("neighbor_id") == F.col("l_nid")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("l_nid").alias("n_hits"),
+        (F.count("l_nid").cast("double") / F.lit(3.0)).alias("recall_at_3"),
+    )

@@ -45,11 +45,18 @@ AUDIT = [
     ("embedding_drift_report", "drift: both cohorts in ONE conditional-sum aggregate"),
     ("dedup_winnowing_pairs", "MOSS pairs: hot-fp broadcast anti-join caps the self-join"),
     ("agg_approx_distinct_users_sketch_only", "HLL rollup: one mergeable agg, no per-user shuffle"),
-    ("knn_graph_ivf", "kNN graph: cell-keyed equi-join, corpus never broadcast"),
+    ("knn_graph_ivf", "kNN graph: bcast centroid table assign, cell-keyed pair join"),
     ("pack_sharded_bins", "sharded packing: langs x shards parallel windows"),
     ("export_zorder_tiles", "zorder tiles: bit-interleave projection + one agg"),
     ("text_bm25_topk", "bm25: 1-row stats broadcast + TakeOrdered top-k"),
     ("quality_calibrate_by_source", "calibration: one source-keyed window, no global sort"),
+    ("dedup_prefix_filter_jaccard", "PPJoin: rare-prefix candidates only, lossless"),
+    ("dedup_minhash_jaccard_estimate", "LSH stage 2: bands-bounded per-pair agreement"),
+    ("heavy_hitters_cms", "CMS: 256-counter mergeable sketch + bcast probe join"),
+    ("text_ngram_novelty", "novelty: gram-keyed first-occurrence agg + join-back"),
+    ("embedding_quantize_int8_report", "SQ8 audit: 2 aggs + 64-row calib broadcast"),
+    ("asof_forward_next_purchase", "as-of forward: union-and-carry single keyed sort"),
+    ("dq_constraint_report", "DQ gate: bcast anti-join FKs + single-agg checks"),
 ]
 
 
