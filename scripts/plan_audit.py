@@ -148,6 +148,35 @@ def main() -> None:
         "exact by construction.",
         "",
     ]
+
+    # ---- complete inventory: EVERY registered query, compact columns ----
+    lines += [
+        "## Full-registry audit (every `queries()` entry)",
+        "",
+        "Same probes as above, no curated intent column — the complete plan",
+        "inventory so no query's physical shape goes unreviewed.  Queries",
+        "whose plan cannot be built statically (e.g. ones that materialize",
+        "an index first) report `n/a`.",
+        "",
+        "| query | WSCG | pushed | scans | reads≤12 | bcast | smj | exch | top-k | Py |",
+        "|---|---|---|---|---|---|---|---|---|---|",
+    ]
+    curated = {n for n, _ in AUDIT}
+    for name in sorted(queries):
+        try:
+            a = audit_one(spark, name, queries[name], sf_dir)
+        except Exception as e:  # plan construction needs runtime state
+            lines.append(f"| `{name}` | n/a ({type(e).__name__}) | | | | | | | | |")
+            continue
+        mark = "" if name not in curated else " ^"
+        lines.append(
+            f"| `{name}`{mark} | {'✓' if a['codegen'] else '✗'} "
+            f"| {a['pushed_filters']} | {a['scans']} "
+            f"| {'✓' if a['narrow_reads'] else '✗'} | {a['broadcasts']} "
+            f"| {a['smj']} | {a['exchanges']} "
+            f"| {'✓' if a['topk'] else '—'} | {'yes' if a['python'] else '—'} |"
+        )
+    lines += ["", "`^` = also in the curated table above with its intent.", ""]
     out = os.path.join(REPO, "PLANS.md")
     with open(out, "w") as f:
         f.write("\n".join(lines))
