@@ -276,39 +276,63 @@ def knn_graph(
     count) constant, which makes total pairs LINEAR in n; the registered
     query derives C = clamp(n/250, 8, 256) from a corpus count.
 
-    Unlike ``ivf_topk`` (a handful of cells → centroid LITERALS), cell
-    assignment here runs against a BROADCAST CENTROID TABLE: at C=80 the
-    literal-array expression was a codegen blow-up (the sf1 re-measure
-    got SLOWER, 86 s); the broadcast cross-join + per-vector rank window
-    does the same math as ordinary columnar rows — n×C skinny rows, one
-    window shuffle on vid.  Beyond C ≈ O(10³) a production build adds a
-    coarse quantizer so assignment never materializes n×C.
+    Cell assignment is HYBRID on C: up to 16 cells the centroid-literal
+    projection assigns in the scan (no assignment shuffle — ivf_topk's
+    path); beyond that, a BROADCAST CENTROID TABLE with cross-join +
+    per-vector rank window — at C=80 the literal-array expression was a
+    codegen blow-up (the sf1 re-measure got SLOWER, 86 s), while the
+    table path does the same math as ordinary columnar rows (n×C skinny
+    rows, one window shuffle on vid).  Beyond C ≈ O(10³) a production
+    build adds a coarse quantizer so assignment never materializes n×C.
 
     Returns (query_id, neighbor_id, score, rank) — the adjacency list of
     the cosine graph, rank 1..k per node.
     """
     base = with_quantized(df, vec_col, id_col)
     cents = _centroid_rows(base, centroid_filter, centroids)
-    cents_df = df.sparkSession.createDataFrame(
-        [(int(cid), [int(x) for x in qc], int(n2c)) for cid, qc, n2c in cents],
-        "cid long, qc array<bigint>, n2c long",
-    )
-    d = base.crossJoin(broadcast(cents_df)).withColumn(
-        "d2", F.col("n2") + F.col("n2c") - F.lit(2) * _dot(F.col("q"), F.col("qc"))
-    )
-    wv = Window.partitionBy("vid").orderBy("d2", "cid")
-    ranked = d.select("vid", "q", "n2", "cid", "d2").withColumn(
-        "rn", F.row_number().over(wv)
-    )
-    assigned = ranked.filter(F.col("rn") == 1).select(
-        "vid", "q", "n2", F.col("cid").alias("cell")
-    )
-    probes = ranked.filter(F.col("rn") <= nprobe).select(
-        F.col("vid").alias("query_id"),
-        F.col("q").alias("q_probe"),
-        F.col("n2").alias("n2_probe"),
-        F.col("cid").alias("pcell"),
-    )
+    if len(cents) <= 16:
+        # few cells: the literal-array expression assigns cells in the
+        # scan projection, no assignment shuffle at all (ivf_topk's path)
+        cells = _sorted_cells_expr(cents)
+        staged = base.withColumn("_cells", cells)
+        assigned = staged.select(
+            "vid", "q", "n2",
+            F.element_at("_cells", 1).getField("cid").alias("cell"),
+        )
+        # explode_OUTER: an inner explode lets InferFiltersFromGenerate
+        # push a size() filter that re-inlines the staged cells expression
+        # (see operators/textops.py winnowing for the measured pathology)
+        probes = staged.select(
+            F.col("vid").alias("query_id"),
+            F.col("q").alias("q_probe"),
+            F.col("n2").alias("n2_probe"),
+            F.explode_outer(
+                F.transform(
+                    F.slice("_cells", 1, nprobe), lambda s: s.getField("cid")
+                )
+            ).alias("pcell"),
+        ).filter(F.col("pcell").isNotNull())
+    else:
+        cents_df = df.sparkSession.createDataFrame(
+            [(int(cid), [int(x) for x in qc], int(n2c)) for cid, qc, n2c in cents],
+            "cid long, qc array<bigint>, n2c long",
+        )
+        d = base.crossJoin(broadcast(cents_df)).withColumn(
+            "d2", F.col("n2") + F.col("n2c") - F.lit(2) * _dot(F.col("q"), F.col("qc"))
+        )
+        wv = Window.partitionBy("vid").orderBy("d2", "cid")
+        ranked = d.select("vid", "q", "n2", "cid", "d2").withColumn(
+            "rn", F.row_number().over(wv)
+        )
+        assigned = ranked.filter(F.col("rn") == 1).select(
+            "vid", "q", "n2", F.col("cid").alias("cell")
+        )
+        probes = ranked.filter(F.col("rn") <= nprobe).select(
+            F.col("vid").alias("query_id"),
+            F.col("q").alias("q_probe"),
+            F.col("n2").alias("n2_probe"),
+            F.col("cid").alias("pcell"),
+        )
     # deliberately NOT broadcast: both sides shuffle once, keyed by cell
     pairs = assigned.join(probes, F.col("cell") == F.col("pcell")).filter(
         (F.col("vid") != F.col("query_id"))
