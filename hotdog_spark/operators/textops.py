@@ -239,11 +239,16 @@ def winnowing_pairs(
     # the hash lambda (k × positions regexp evaluations per row; measured
     # minutes-per-500-docs).  The outer variant infers no filter; the
     # post-filter on the GENERATED attribute is unpushable and free.
+    # persist: the exploded fingerprint table feeds THREE consumers (the
+    # hot-fp aggregate, and both sides of the self-join) — without it the
+    # whole O(n·k) winnowing computation re-runs per consumer (the same
+    # measured 2× cost minhash_lsh_pairs pins with its persist; at data-
+    # lake scale the equivalent move is materializing the fp index).
     fps = mins.select(
         F.col("id"),
         F.size("_mins").cast("bigint").alias("n_fp"),
         F.explode_outer("_mins").alias("fp"),
-    ).filter(F.col("fp").isNotNull())
+    ).filter(F.col("fp").isNotNull()).persist()
     hot = (
         fps.groupBy("fp").agg(F.count("*").alias("df"))
         .filter(F.col("df") > max_df)
