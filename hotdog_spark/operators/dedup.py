@@ -628,51 +628,76 @@ def prefix_filter_jaccard_pairs(
     array_intersect on the carried sets.
     Returns (id_a, id_b, inter_n, union_n, jaccard) for pairs >= t.
     """
+    # 5-WORD shingles: the element universe must outgrow the corpus for
+    # prefix filtering to prune.  3-word shingles saturated at sf1 (30 k
+    # possible vs 2.5 M instances -> dfs grow linearly with n and the
+    # candidate join wrote 43 GB of shuffle before filling the disk);
+    # the 5-word universe is ~1000x larger, so element dfs stay O(1) as
+    # the corpus grows.  Monitor this ratio when porting to a new corpus.
     toks = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.array_sort(
-            F.array_distinct(word_shingles(normalized_tokens(F.col(text_col)), 3))
+            F.array_distinct(word_shingles(normalized_tokens(F.col(text_col)), 5))
         ).alias("ta"),
-    ).withColumn("sz", F.size("ta").cast("bigint"))
+    ).withColumn("sz", F.size("ta").cast("bigint")).persist()
     ex = toks.select("id", F.explode("ta").alias("tok"))
     dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    from pyspark.sql.window import Window
-
-    ranked = dfreq.withColumn(
-        "rnk", F.row_number().over(Window.orderBy("df", "tok"))
-    ).select("tok", "rnk")
+    # NO global rank table: a row_number over all distinct elements would
+    # be a single-reducer sort (a genuine 100 TB killer spotted in this
+    # operator's own plan).  The prefix only needs each document's
+    # elements ORDERED by (df, element) — any consistent total order —
+    # so sort per doc on the joined (df, tok) struct directly.
     ordered = (
-        ex.join(ranked, "tok")
+        ex.join(dfreq, "tok")
         .groupBy("id")
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("rnk", "tok"))),
+                F.array_sort(F.collect_list(F.struct("df", "tok"))),
                 lambda s: s.getField("tok"),
             ).alias("by_rank")
         )
     )
     plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    # persist: pref feeds both self-join sides — without it the whole
+    # shingle → sort pipeline re-runs per side (the winnowing/minhash
+    # recompute lesson; at lake scale: materialize the prefix index).
+    # The candidate join carries ONLY (id, sz, ptok) — shipping the full
+    # shingle arrays through it was the other half of the 43 GB shuffle;
+    # arrays are joined back from the persisted toks table per PAIR, not
+    # per candidate row.
     pref = (
         toks.join(ordered, "id")
         .select(
-            "id", "ta", "sz",
+            "id", "sz",
             F.explode(F.slice("by_rank", F.lit(1), plen)).alias("ptok"),
         )
-    )
+    ).persist()
     a = pref.select(
-        F.col("id").alias("id_a"), F.col("ta").alias("ta_a"),
-        F.col("sz").alias("sz_a"), "ptok",
+        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "ptok",
     )
     b = pref.select(
-        F.col("id").alias("id_b"), F.col("ta").alias("ta_b"),
-        F.col("sz").alias("sz_b"), F.col("ptok").alias("ptok_b"),
+        F.col("id").alias("id_b"), F.col("sz").alias("sz_b"),
+        F.col("ptok").alias("ptok_b"),
     )
+    # PPJoin LENGTH FILTER (lossless): J(x,y) >= t forces
+    # t*|x| <= |y| and t*|y| <= |x| — applied inside the join condition
+    # so out-of-band-size pairs never materialize.
     cand = (
-        a.join(b, (F.col("ptok") == F.col("ptok_b")) & (F.col("id_a") < F.col("id_b")))
+        a.join(
+            b,
+            (F.col("ptok") == F.col("ptok_b"))
+            & (F.col("id_a") < F.col("id_b"))
+            & (F.col("sz_b").cast("double") >= F.lit(threshold) * F.col("sz_a").cast("double"))
+            & (F.col("sz_a").cast("double") >= F.lit(threshold) * F.col("sz_b").cast("double")),
+        )
+        .select("id_a", "id_b", "sz_a", "sz_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    ta = toks.select(F.col("id").alias("id_a"), F.col("ta").alias("ta_a"))
+    tb = toks.select(F.col("id").alias("id_b"), F.col("ta").alias("ta_b"))
+    verified = cand.join(ta, "id_a").join(tb, "id_b")
     inter = F.size(F.array_intersect("ta_a", "ta_b")).cast("bigint")
-    out = cand.select(
+    out = verified.select(
         "id_a", "id_b",
         inter.alias("inter_n"),
         (F.col("sz_a") + F.col("sz_b") - inter).alias("union_n"),

@@ -321,9 +321,11 @@ def knn_graph(
             "d2", F.col("n2") + F.col("n2c") - F.lit(2) * _dot(F.col("q"), F.col("qc"))
         )
         wv = Window.partitionBy("vid").orderBy("d2", "cid")
+        # persist: ranked feeds both the assignment and the probe side —
+        # without it the n×C cross-join + window shuffle runs twice
         ranked = d.select("vid", "q", "n2", "cid", "d2").withColumn(
             "rn", F.row_number().over(wv)
-        )
+        ).persist()
         assigned = ranked.filter(F.col("rn") == 1).select(
             "vid", "q", "n2", F.col("cid").alias("cell")
         )

@@ -512,9 +512,9 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
     ), toks AS (
       SELECT doc_id,
              list_sort(list_distinct(
-               CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-                    ELSE [array_to_string(t[i:i+2], ' ')
-                          for i in generate_series(1, len(t)-2)] END)) AS ta
+               CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                    ELSE [array_to_string(t[i:i+4], ' ')
+                          for i in generate_series(1, len(t)-4)] END)) AS ta
       FROM w
     ), sized AS (
       SELECT doc_id, ta, CAST(len(ta) AS BIGINT) AS sz FROM toks
@@ -522,25 +522,28 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
       SELECT doc_id, unnest(ta) AS tok FROM toks
     ), dfreq AS (
       SELECT tok, COUNT(*) AS df FROM ex GROUP BY tok
-    ), ranked AS (
-      SELECT tok, ROW_NUMBER() OVER (ORDER BY df, tok) AS rnk FROM dfreq
     ), ordered AS (
-      SELECT e.doc_id, list(e.tok ORDER BY r.rnk) AS by_rank
-      FROM ex e JOIN ranked r ON e.tok = r.tok GROUP BY e.doc_id
+      SELECT e.doc_id, list(e.tok ORDER BY d.df, e.tok) AS by_rank
+      FROM ex e JOIN dfreq d ON e.tok = d.tok GROUP BY e.doc_id
     ), pref AS (
-      SELECT s.doc_id, s.ta, s.sz,
+      SELECT s.doc_id, s.sz,
              unnest(o.by_rank[1 : CAST(s.sz - CEIL(0.8 * s.sz) + 1 AS INT)]) AS ptok
       FROM sized s JOIN ordered o ON s.doc_id = o.doc_id
     ), cand AS (
       SELECT DISTINCT ON (a.doc_id, b.doc_id)
-             a.doc_id AS id_a, b.doc_id AS id_b,
-             a.ta AS ta_a, b.ta AS ta_b, a.sz AS sz_a, b.sz AS sz_b
-      FROM pref a JOIN pref b ON a.ptok = b.ptok AND a.doc_id < b.doc_id
+             a.doc_id AS id_a, b.doc_id AS id_b, a.sz AS sz_a, b.sz AS sz_b
+      FROM pref a JOIN pref b
+        ON a.ptok = b.ptok AND a.doc_id < b.doc_id
+       AND CAST(b.sz AS DOUBLE) >= 0.8 * CAST(a.sz AS DOUBLE)
+       AND CAST(a.sz AS DOUBLE) >= 0.8 * CAST(b.sz AS DOUBLE)
     ), verified AS (
-      SELECT id_a, id_b,
-             CAST(len(list_intersect(ta_a, ta_b)) AS BIGINT) AS inter_n,
-             sz_a + sz_b - CAST(len(list_intersect(ta_a, ta_b)) AS BIGINT) AS union_n
-      FROM cand
+      SELECT c.id_a, c.id_b,
+             CAST(len(list_intersect(sa.ta, sb.ta)) AS BIGINT) AS inter_n,
+             c.sz_a + c.sz_b
+               - CAST(len(list_intersect(sa.ta, sb.ta)) AS BIGINT) AS union_n
+      FROM cand c
+      JOIN sized sa ON sa.doc_id = c.id_a
+      JOIN sized sb ON sb.doc_id = c.id_b
     )
     SELECT id_a, id_b, inter_n, union_n,
            CAST(inter_n AS DOUBLE) / CAST(union_n AS DOUBLE) AS jaccard
@@ -550,7 +553,7 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-similarity join with PREFIX FILTERING (PPJoin family): pairs
-    with 3-word-shingle-set Jaccard >= 0.8, candidates generated ONLY
+    with 5-word-shingle-set Jaccard >= 0.8, candidates generated ONLY
     from each document's rare-shingle prefix (|x| - ceil(0.8|x|) + 1
     elements ordered by ascending global document frequency).  Lossless
     by the prefix principle while ubiquitous shingles never reach the

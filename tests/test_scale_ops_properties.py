@@ -58,9 +58,9 @@ def test_prefix_filter_is_lossless(spark, seed):
     }
     want = {}
     for i, (ida, ta) in enumerate(docs):
-        sa = _shingle_set(ta)
+        sa = _shingle_set(ta, k=5)
         for idb, tb in docs[i + 1:]:
-            sb = _shingle_set(tb)
+            sb = _shingle_set(tb, k=5)
             inter = len(sa & sb)
             j = inter / len(sa | sb)
             if j >= t:
