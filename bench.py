@@ -105,6 +105,7 @@ HEADLINE = [
     "agg_approx_distinct_users_sketch_only",  # HLL rollup, sketch cost only
     "knn_graph_ivf",               # all-nodes kNN graph, cell-keyed join
     "pack_sharded_bins",           # (lang, shard)-parallel packing
+    "dedup_prefix_filter_jaccard", # PPJoin rare-prefix set-similarity join
 ]
 
 
