@@ -252,6 +252,7 @@ def knn_graph(
     k: int = 3,
     nprobe: int = 2,
     centroids: list[tuple[int, list[int]]] | None = None,
+    literal_cells_max: int = 16,
 ) -> DataFrame:
     """Approximate k-NN GRAPH: every vector's top-k neighbors, via
     IVF-cell blocking — the all-nodes counterpart of :func:`ivf_topk`.
@@ -290,7 +291,7 @@ def knn_graph(
     """
     base = with_quantized(df, vec_col, id_col)
     cents = _centroid_rows(base, centroid_filter, centroids)
-    if len(cents) <= 16:
+    if len(cents) <= literal_cells_max:
         # few cells: the literal-array expression assigns cells in the
         # scan projection, no assignment shuffle at all (ivf_topk's path)
         cells = _sorted_cells_expr(cents)

@@ -112,6 +112,30 @@ def test_zorder_key_is_bijective(spark):
     assert len(set(got.values())) == len(rows)  # bijective on the grid
 
 
+def test_knn_graph_hybrid_paths_agree(spark):
+    """The literal-centroid and broadcast-table assignment paths must
+    produce IDENTICAL graphs — same math, different physical shape."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(centroid_filter=F.col("vid") < 8, k=3, nprobe=2)
+    lit_rows = {
+        (r.query_id, r.rank): (r.neighbor_id, r.score)
+        for r in similarity.knn_graph(
+            emb, "embedding", "vec_id", literal_cells_max=16, **kw
+        ).collect()
+    }
+    tab_rows = {
+        (r.query_id, r.rank): (r.neighbor_id, r.score)
+        for r in similarity.knn_graph(
+            emb, "embedding", "vec_id", literal_cells_max=0, **kw
+        ).collect()
+    }
+    assert lit_rows == tab_rows and len(lit_rows) > 0
+
+
 def test_cms_never_undercounts(spark):
     """The count-min guarantee: estimate >= exact for every key, with
     equality when the key's buckets are collision-free."""
