@@ -1,0 +1,142 @@
+"""Correctness AT scale: run Spark-vs-DuckDB oracle comparison on the
+sf1 (10x) dataset for every query whose oracle is tractable there.
+
+The driver's correctness gate runs at sf0.01; the sf1 bench proves
+throughput but not answers.  This script closes that gap: same
+comparator (sorted columns, type-prefixed canonical values, exact
+match), 10x the rows.  Text/similarity queries whose DuckDB oracles are
+quadratic in corpus size (list-comprehension shingle/winnowing SQL over
+50 k docs) are excluded with the reason recorded — their semantics are
+already pinned at three smaller SFs.
+
+    python scripts/gen_sf1.py           # once
+    python scripts/verify_sf1.py        # writes SCALE_sf1_correctness.json
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.path.join(REPO, "testdata_sf1")
+
+# DuckDB-oracle cost class is the criterion, not importance: these
+# oracles enumerate shingles/grams/fingerprints per doc pair or position
+# in pure SQL and go superlinear on the ORACLE side at 50k docs.
+EXCLUDE = {
+    "dedup_ngram_jaccard": "oracle enumerates token pairs per block, quadratic at sf1",
+    "dedup_containment": "same capped-token pair enumeration as ngram_jaccard",
+    "dedup_minhash_lsh": "oracle self-joins full signature table, heavy at sf1",
+    "dedup_minhash_components": "builds on the minhash pair oracle",
+    "dedup_components_best_quality": "builds on the minhash pair oracle",
+    "dedup_minhash_jaccard_estimate": "minhash pair oracle + per-pair band join",
+    "dedup_prefix_filter_jaccard": "oracle list-comprehends 5-word shingles per doc",
+    "dedup_fuzzy_levenshtein": "oracle computes levenshtein over blocked pairs",
+    "dedup_incremental_ingest": "fingerprint-index join oracle, heavy at sf1",
+    "text_winnowing_fingerprints": "oracle evaluates k-term polynomial per char position",
+    "dedup_winnowing_pairs": "winnowing oracle + pair join",
+    "decontaminate_ngram_overlap": "oracle enumerates 5-grams per doc",
+    "text_ngram_novelty": "oracle enumerates 5-grams per doc",
+    "dedup_chunk_boilerplate": "oracle enumerates chunks per doc",
+    "kmeans_embedding_clusters": "unrolled 3-iteration kmeans SQL, heavy at 20k vecs",
+    "ann_recall_report": "brute-force oracle is n^2 over 20k vectors",
+    "ann_cosine_topk": "brute-force oracle scores 20k x 10 with 64-dim lists",
+    "knn_graph_ivf": "oracle cross-joins 20k vectors x 80 centroids",
+    "timeseries_similar_users": "probe x corpus series oracle",
+    "text_top_terms": "unnest x 5M token rows + per-doc window in one statement",
+    "text_salient_terms": "same unnest volume plus df join",
+    "text_repetition_stats": "per-token islands oracle over 5M rows",
+}
+
+
+def canon(df):
+    cols = sorted(df.columns)
+    out = []
+    for row in df[cols].itertuples(index=False):
+        vals = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                vals.append(None)
+            else:
+                if hasattr(v, "item"):
+                    v = v.item()
+                vals.append(f"{v:.10g}" if isinstance(v, float) else str(v))
+        out.append(tuple(vals))
+    return cols, sorted(out)
+
+
+def main() -> None:
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as mod
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    qs, os_ = mod.queries(), mod.oracle_sql()
+    results, bad = {}, []
+    for name in sorted(qs):
+        if name not in os_:
+            results[name] = {"status": "rows_only"}
+            continue
+        if name in EXCLUDE:
+            results[name] = {"status": "excluded", "reason": EXCLUDE[name]}
+            continue
+        t0 = time.time()
+        try:
+            sdf = qs[name](spark, SF_DIR).toPandas()
+            odf = con.execute(os_[name]).fetchdf()
+            sc, sr = canon(sdf)
+            dc, dr = canon(odf)
+            ok = sc == dc and sr == dr
+        except Exception as e:
+            results[name] = {"status": "error", "error": str(e)[:300]}
+            bad.append(name)
+            print(f"ERROR {name}: {str(e)[:200]}", file=sys.stderr)
+            continue
+        results[name] = {
+            "status": "match" if ok else "MISMATCH",
+            "rows": len(sr),
+            "sec": round(time.time() - t0, 1),
+        }
+        if not ok:
+            bad.append(name)
+            print(f"MISMATCH {name}", file=sys.stderr)
+    n_match = sum(1 for r in results.values() if r["status"] == "match")
+    payload = {
+        "sf": 1.0,
+        "checked": n_match + len(bad),
+        "matched": n_match,
+        "mismatched_or_error": bad,
+        "excluded_heavy_oracle": len(EXCLUDE),
+        "queries": results,
+    }
+    with open(os.path.join(REPO, "SCALE_sf1_correctness.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps({k: v for k, v in payload.items() if k != "queries"}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
