@@ -199,6 +199,7 @@ def ngram_jaccard_pairs(
     length_tol: int = 5,
     threshold: float = 0.2,
     max_df: int | None = None,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Token-set Jaccard similarity for blocked candidate pairs.
 
@@ -216,7 +217,23 @@ def ngram_jaccard_pairs(
     the informative-token sets — a deterministic, documented semantic the
     oracle mirrors, not an approximation of the uncapped answer.  The
     over-cap token list is tiny by construction (≤ total_tokens/max_df
-    entries, stopword-scale in practice), so it broadcasts."""
+    entries, stopword-scale in practice), so it broadcasts.
+
+    ``max_df_frac`` makes the cap SCALE-AWARE: effective cap per block =
+    max(max_df, ceil(frac × block_doc_count)), keeping the skew
+    guarantee (hot-token pair blowup bounded at frac²·bn² per token)
+    without a fixed constant that tightens relative to growing blocks.
+
+    KNOWN SCALE LIMIT, measured at sf1: on a 31-word vocabulary every
+    token's df reaches ~0.8·block regardless of cap policy (min df 5120
+    in 22 k-doc blocks), so WORD-set Jaccard returns zero pairs there —
+    both engines consistently.  That is vocabulary saturation, not a cap
+    bug: word sets stop being discriminative once the vocabulary is
+    dwarfed by the corpus.  For near-dup detection at scale use the
+    SHINGLE-domain operators (minhash_lsh_pairs,
+    prefix_filter_jaccard_pairs, winnowing_pairs), whose element
+    universes grow combinatorially; word-Jaccard remains the right tool
+    for rich-vocabulary or small-block settings."""
     toks = fan_out(df).select(
         F.col(id_col).alias("id"),
         *[F.col(c) for c in block_cols],
@@ -227,12 +244,22 @@ def ngram_jaccard_pairs(
         # tokens are distinct per doc, so count(*) per (block, tok) IS the
         # document frequency; map-side partial agg keeps the hot token's
         # rows linear, and the anti-join is map-side (broadcast).
-        hot = (
-            toks.groupBy(*block_cols, "tok")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_df)
-            .select(*block_cols, "tok")
+        dfreq = toks.groupBy(*block_cols, "tok").agg(
+            F.count(F.lit(1)).alias("_df")
         )
+        if max_df_frac is not None:
+            bn = df.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("_bn"))
+            cap = F.greatest(
+                F.lit(max_df).cast("bigint"),
+                F.ceil(F.lit(max_df_frac) * F.col("_bn")),
+            )
+            hot = (
+                dfreq.join(F.broadcast(bn), list(block_cols))
+                .filter(F.col("_df") > cap)
+                .select(*block_cols, "tok")
+            )
+        else:
+            hot = dfreq.filter(F.col("_df") > max_df).select(*block_cols, "tok")
         toks = toks.join(F.broadcast(hot), [*block_cols, "tok"], "left_anti")
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
     a = toks.select(
@@ -282,6 +309,7 @@ def ngram_containment_pairs(
     block_cols: list[str],
     threshold: float = 0.8,
     max_df: int | None = None,
+    max_df_frac: float | None = None,
 ) -> DataFrame:
     """Asymmetric near-dup detection by token-set CONTAINMENT:
     ``|A∩B| / min(|A|, |B|)`` — the score that catches a short document
@@ -300,12 +328,22 @@ def ngram_containment_pairs(
         F.explode(F.array_distinct(normalized_tokens(F.col(text_col)))).alias("tok"),
     )
     if max_df is not None:
-        hot = (
-            toks.groupBy(*block_cols, "tok")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_df)
-            .select(*block_cols, "tok")
+        dfreq = toks.groupBy(*block_cols, "tok").agg(
+            F.count(F.lit(1)).alias("_df")
         )
+        if max_df_frac is not None:
+            bn = df.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("_bn"))
+            cap = F.greatest(
+                F.lit(max_df).cast("bigint"),
+                F.ceil(F.lit(max_df_frac) * F.col("_bn")),
+            )
+            hot = (
+                dfreq.join(F.broadcast(bn), list(block_cols))
+                .filter(F.col("_df") > cap)
+                .select(*block_cols, "tok")
+            )
+        else:
+            hot = dfreq.filter(F.col("_df") > max_df).select(*block_cols, "tok")
         toks = toks.join(F.broadcast(hot), [*block_cols, "tok"], "left_anti")
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
     a = toks.select(

@@ -97,13 +97,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, lang, n_chars,
              unnest(list_distinct({_TOKS})) AS tok
       FROM documents
+    ), bn AS (
+      SELECT lang, COUNT(*) AS _bn FROM documents GROUP BY lang
     ), toks AS (
-      -- per-block document-frequency cap (max_df=100): the skew guard the
-      -- Spark side applies; tokens in >100 same-lang docs leave the
-      -- token universe entirely (sizes AND intersections).
+      -- SCALE-AWARE per-block document-frequency cap: tokens in more
+      -- than GREATEST(100, CEIL(0.05 * block_docs)) same-lang docs
+      -- leave the token universe (sizes AND intersections).  A fixed
+      -- cap collapsed recall to zero at sf1 — both engines agreed,
+      -- which is how the bug hid; the proportional cap keeps the skew
+      -- guarantee while surviving corpus growth.
       SELECT t.* FROM rawtoks t
-      JOIN (SELECT lang, tok FROM rawtoks GROUP BY lang, tok
-            HAVING COUNT(*) <= 100) keep
+      JOIN (SELECT r.lang, r.tok FROM rawtoks r
+            JOIN bn ON r.lang = bn.lang
+            GROUP BY r.lang, r.tok, bn._bn
+            HAVING COUNT(*) <= GREATEST(100, CEIL(0.05 * bn._bn))) keep
         ON t.lang = keep.lang AND t.tok = keep.tok
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
@@ -126,10 +133,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked token-set Jaccard: candidates limited to same-language,
     similar-length docs; intersection computed distributively by joining
-    exploded distinct tokens.  max_df=100 drops ubiquitous tokens from
-    the token universe before the join — the 100 TB skew/blowup guard
-    (see ngram_jaccard_pairs docstring); the oracle applies the identical
-    cap, so the match is exact by construction."""
+    exploded distinct tokens.  The scale-aware cap
+    max(100, ceil(5% of block)) drops ubiquitous tokens from the token
+    universe before the join — the 100 TB skew/blowup guard that, unlike
+    a fixed cap, does not silently zero out recall as blocks grow (the
+    sf1 run caught exactly that); the oracle applies the identical cap,
+    so the match is exact by construction."""
     return ops.ngram_jaccard_pairs(
         table(spark, sf_dir, "documents"),
         "text",
@@ -139,6 +148,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         length_tol=5,
         threshold=0.2,
         max_df=100,
+        max_df_frac=0.05,
     )
 
 
@@ -148,10 +158,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH rawtoks AS (
       SELECT doc_id, lang, unnest(list_distinct({_TOKS})) AS tok
       FROM documents
+    ), bn AS (
+      SELECT lang, COUNT(*) AS _bn FROM documents GROUP BY lang
     ), toks AS (
       SELECT t.* FROM rawtoks t
-      JOIN (SELECT lang, tok FROM rawtoks GROUP BY lang, tok
-            HAVING COUNT(*) <= 100) keep
+      JOIN (SELECT r.lang, r.tok FROM rawtoks r
+            JOIN bn ON r.lang = bn.lang
+            GROUP BY r.lang, r.tok, bn._bn
+            HAVING COUNT(*) <= GREATEST(100, CEIL(0.05 * bn._bn))) keep
         ON t.lang = keep.lang AND t.tok = keep.tok
     ), sizes AS (
       SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
@@ -173,7 +187,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric near-dup pairs by token-set containment (|A∩B| over
     the SMALLER set): catches excerpts/quotations that symmetric Jaccard
     dilutes to ~0 when lengths differ 100x.  Same blocked distributive
-    join as the Jaccard query, same max_df=100 skew cap on both sides."""
+    join as the Jaccard query, same scale-aware skew cap on both sides."""
     return ops.ngram_containment_pairs(
         table(spark, sf_dir, "documents"),
         "text",
@@ -181,6 +195,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_cols=["lang"],
         threshold=0.8,
         max_df=100,
+        max_df_frac=0.05,
     )
 
 
