@@ -36,9 +36,9 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, {_TOKS} AS t FROM documents
     ), sh AS (
       SELECT doc_id,
-             CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-                  ELSE [array_to_string(t[i:i+2], ' ')
-                        for i in generate_series(1, len(t)-2)] END AS shingles
+             CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+4], ' ')
+                        for i in generate_series(1, len(t)-4)] END AS shingles
       FROM toks
     ), ex AS (
       SELECT doc_id, unnest(shingles) AS shingle FROM sh
@@ -53,11 +53,11 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: 3-word shingles → 8 md5 minhashes
+    """MinHash+LSH near-dup candidates: 5-word shingles → 8 md5 minhashes
     → bucket join on (band, signature).  The shuffle key is the signature,
     so candidate generation never compares all pairs."""
     return ops.minhash_lsh_pairs(
-        table(spark, sf_dir, "documents"), "text", "doc_id", bands=8, k=3
+        table(spark, sf_dir, "documents"), "text", "doc_id", bands=8, k=5
     )
 
 
@@ -293,9 +293,9 @@ _MINHASH_PAIRS_SQL = f"""
       SELECT doc_id, {_TOKS} AS t FROM documents
     ), sh AS (
       SELECT doc_id,
-             CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-                  ELSE [array_to_string(t[i:i+2], ' ')
-                        for i in generate_series(1, len(t)-2)] END AS shingles
+             CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+4], ' ')
+                        for i in generate_series(1, len(t)-4)] END AS shingles
       FROM toks
     ), ex AS (
       SELECT doc_id, unnest(shingles) AS shingle FROM sh
@@ -334,7 +334,7 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph; component = min doc_id = the document to keep.  The oracle
     computes the same labels via a recursive-CTE transitive closure."""
     pairs = ops.minhash_lsh_pairs(
-        table(spark, sf_dir, "documents"), "text", "doc_id", bands=8, k=3
+        table(spark, sf_dir, "documents"), "text", "doc_id", bands=8, k=5
     )
     return ops.connected_components(pairs)
 
@@ -457,7 +457,7 @@ def dedup_components_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame
     from hotdog_spark.operators.textops import quality_expr
 
     docs = table(spark, sf_dir, "documents")
-    pairs = ops.minhash_lsh_pairs(docs, "text", "doc_id", bands=8, k=3)
+    pairs = ops.minhash_lsh_pairs(docs, "text", "doc_id", bands=8, k=5)
     comp = ops.connected_components(pairs)
     q = docs.select("doc_id", quality_expr(F.col("text")).alias("quality"))
     j = comp.join(q, comp.id == q.doc_id).select("component", "id", "quality")
@@ -482,9 +482,9 @@ def dedup_components_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT doc_id, {_TOKS} AS t FROM documents
     ), sh AS (
       SELECT doc_id,
-             CASE WHEN len(t) < 3 THEN [array_to_string(t, ' ')]
-                  ELSE [array_to_string(t[i:i+2], ' ')
-                        for i in generate_series(1, len(t)-2)] END AS shingles
+             CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                  ELSE [array_to_string(t[i:i+4], ' ')
+                        for i in generate_series(1, len(t)-4)] END AS shingles
       FROM toks
     ), ex AS (
       SELECT doc_id, unnest(shingles) AS shingle FROM sh
@@ -515,7 +515,7 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
     comparison.  Signatures built once and persisted; per-pair cost is
     exactly 8 comparison rows via two id-keyed joins."""
     return ops.minhash_jaccard_estimates(
-        table(spark, sf_dir, "documents"), "text", "doc_id", bands=8, k=3
+        table(spark, sf_dir, "documents"), "text", "doc_id", bands=8, k=5
     )
 
 
