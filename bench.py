@@ -40,26 +40,37 @@ def _prev_bench() -> tuple[str, dict] | None:
     $SPARK_GRAFT_BENCH_BASELINE=<path>."""
     override = os.environ.get("SPARK_GRAFT_BENCH_BASELINE")
     cur = _current_round()
-    benches = []
-    for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", p)
-        if m and (cur is None or int(m.group(1)) < cur):
-            benches.append((int(m.group(1)), p))
+
+    def _load(path):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            # the driver wraps our JSON line: {n, rc, ..., parsed: {payload}}
+            if "parsed" in data and isinstance(data["parsed"], dict):
+                data = data["parsed"]
+            # a truncated capture (r3's head was cut) parses but has no
+            # queries map — useless as a baseline, treat as unreadable
+            if not data.get("queries"):
+                return None
+            return os.path.basename(path), data
+        except Exception:
+            return None
+
     if override:
-        path = override
-    elif benches:
-        _, path = max(benches)
-    else:
-        return None
-    try:
-        with open(path) as f:
-            data = json.load(f)
-        # the driver wraps our JSON line: {n, rc, ..., parsed: {payload}}
-        if "parsed" in data and isinstance(data["parsed"], dict):
-            data = data["parsed"]
-        return os.path.basename(path), data
-    except Exception:
-        return None
+        return _load(override)
+    # prefer the driver's file for a round, fall back to the locally
+    # recorded BENCH_LOCAL_r{N}.json when the driver capture is unusable
+    benches = []
+    for pat in ("BENCH_r*.json", "BENCH_LOCAL_r*.json"):
+        for p in glob.glob(os.path.join(REPO, pat)):
+            m = re.search(r"BENCH(_LOCAL)?_r(\d+)\.json$", p)
+            if m and (cur is None or int(m.group(2)) < cur):
+                benches.append((int(m.group(2)), m.group(1) is None, p))
+    for _, _, path in sorted(benches, reverse=True):
+        loaded = _load(path)
+        if loaded is not None:
+            return loaded
+    return None
 
 # The headline set: one representative per operator family, stable across
 # rounds for comparability.
