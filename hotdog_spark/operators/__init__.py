@@ -31,6 +31,45 @@ def epoch_s(col: Column | str) -> Column:
     return F.unix_timestamp(c.cast("timestamp_ltz"))
 
 
+_TRACKED_PERSISTS: list[DataFrame] = []
+
+
+def track_persist(df: DataFrame) -> DataFrame:
+    """``df.persist()`` with lifecycle tracking.
+
+    Several operators persist an intermediate that feeds multiple plan
+    consumers (minhash signatures, winnowing fingerprints, IVF rankings,
+    prefix-filter token tables).  The persist is load-bearing — without
+    it the upstream chain recomputes per consumer — but the returned
+    result is lazy, so the operator itself cannot unpersist.  In a
+    short-lived job the session teardown reclaims the blocks; in a
+    LONG-LIVED session running many queries (bench loops, the sf1/sf10
+    verification sweeps) the cached blocks would otherwise accumulate.
+
+    Operators route their persists through here; batch runners call
+    :func:`release_tracked_persists` after materializing each query."""
+    df = df.persist()
+    _TRACKED_PERSISTS.append(df)
+    return df
+
+
+def release_tracked_persists() -> int:
+    """Unpersist every intermediate registered via :func:`track_persist`
+    (non-blocking) and clear the registry.  Returns how many were
+    released.  Safe to call at any time — releasing a DataFrame another
+    in-flight plan still references only costs recompute, never
+    correctness."""
+    n = 0
+    while _TRACKED_PERSISTS:
+        df = _TRACKED_PERSISTS.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped — nothing to release
+    return n
+
+
 def _parse_byte_conf(value: str) -> int:
     """Parse a Spark byte-size conf string (``134217728b``, ``128m``,
     ``1g`` — suffix case-insensitive, optional) to bytes; fall back to

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hotdog_spark.operators import fan_out
+from hotdog_spark.operators import fan_out, track_persist
 
 
 def normalized_tokens(text: Column) -> Column:
@@ -103,7 +103,7 @@ def minhash_lsh_pairs(
     registered queries use k=5, whose universe outgrows the corpus and
     keeps collisions meaning near-duplication; the default stays k=3
     for short-text/rich-vocabulary inputs."""
-    sigs = minhash_signatures(df, text_col, id_col, bands, k).persist()
+    sigs = track_persist(minhash_signatures(df, text_col, id_col, bands, k))
     a = sigs.select(
         F.col("band"), F.col("sig"), F.col("id").alias("id_a")
     )
@@ -136,7 +136,7 @@ def minhash_jaccard_estimates(
     costs exactly ``bands`` comparison rows.  Returns
     (id_a, id_b, matching_bands, est_jaccard).
     """
-    sigs = minhash_signatures(df, text_col, id_col, bands, k).persist()
+    sigs = track_persist(minhash_signatures(df, text_col, id_col, bands, k))
     cands = (
         sigs.alias("x")
         .join(
@@ -199,6 +199,45 @@ def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return sums.select("id", simhash.cast("bigint").alias("simhash"))
 
 
+def _drop_hot_tokens(
+    toks: DataFrame,
+    df: DataFrame,
+    block_cols: list[str],
+    max_df: int | None,
+    max_df_frac: float | None,
+) -> DataFrame:
+    """Remove tokens whose per-block document frequency exceeds the cap —
+    the shared skew guard for the token-join operators.
+
+    The two caps compose independently (effective cap = max of whichever
+    are given): ``max_df`` alone is an absolute df ceiling, ``max_df_frac``
+    alone is a scale-aware fractional ceiling (ceil(frac × block size)),
+    and together the looser of the two wins per block.  In particular a
+    call with ONLY ``max_df_frac`` is honored, not silently ignored.
+
+    Tokens are distinct per doc upstream, so count(*) per (block, tok) IS
+    the document frequency; the partial agg is map-side-combinable and the
+    hot list is tiny by construction, so the removal is a broadcast
+    anti-join."""
+    if max_df is None and max_df_frac is None:
+        return toks
+    dfreq = toks.groupBy(*block_cols, "tok").agg(F.count(F.lit(1)).alias("_df"))
+    if max_df_frac is not None:
+        bn = df.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("_bn"))
+        cap = F.greatest(
+            F.lit(max_df or 0).cast("bigint"),
+            F.ceil(F.lit(max_df_frac) * F.col("_bn")),
+        )
+        hot = (
+            dfreq.join(F.broadcast(bn), list(block_cols))
+            .filter(F.col("_df") > cap)
+            .select(*block_cols, "tok")
+        )
+    else:
+        hot = dfreq.filter(F.col("_df") > max_df).select(*block_cols, "tok")
+    return toks.join(F.broadcast(hot), [*block_cols, "tok"], "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str,
@@ -249,27 +288,7 @@ def ngram_jaccard_pairs(
         F.col(length_col).alias("_len"),
         F.explode(F.array_distinct(normalized_tokens(F.col(text_col)))).alias("tok"),
     )
-    if max_df is not None:
-        # tokens are distinct per doc, so count(*) per (block, tok) IS the
-        # document frequency; map-side partial agg keeps the hot token's
-        # rows linear, and the anti-join is map-side (broadcast).
-        dfreq = toks.groupBy(*block_cols, "tok").agg(
-            F.count(F.lit(1)).alias("_df")
-        )
-        if max_df_frac is not None:
-            bn = df.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("_bn"))
-            cap = F.greatest(
-                F.lit(max_df).cast("bigint"),
-                F.ceil(F.lit(max_df_frac) * F.col("_bn")),
-            )
-            hot = (
-                dfreq.join(F.broadcast(bn), list(block_cols))
-                .filter(F.col("_df") > cap)
-                .select(*block_cols, "tok")
-            )
-        else:
-            hot = dfreq.filter(F.col("_df") > max_df).select(*block_cols, "tok")
-        toks = toks.join(F.broadcast(hot), [*block_cols, "tok"], "left_anti")
+    toks = _drop_hot_tokens(toks, df, block_cols, max_df, max_df_frac)
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
     a = toks.select(
         F.col("id").alias("id_a"),
@@ -336,24 +355,7 @@ def ngram_containment_pairs(
         *[F.col(c) for c in block_cols],
         F.explode(F.array_distinct(normalized_tokens(F.col(text_col)))).alias("tok"),
     )
-    if max_df is not None:
-        dfreq = toks.groupBy(*block_cols, "tok").agg(
-            F.count(F.lit(1)).alias("_df")
-        )
-        if max_df_frac is not None:
-            bn = df.groupBy(*block_cols).agg(F.count(F.lit(1)).alias("_bn"))
-            cap = F.greatest(
-                F.lit(max_df).cast("bigint"),
-                F.ceil(F.lit(max_df_frac) * F.col("_bn")),
-            )
-            hot = (
-                dfreq.join(F.broadcast(bn), list(block_cols))
-                .filter(F.col("_df") > cap)
-                .select(*block_cols, "tok")
-            )
-        else:
-            hot = dfreq.filter(F.col("_df") > max_df).select(*block_cols, "tok")
-        toks = toks.join(F.broadcast(hot), [*block_cols, "tok"], "left_anti")
+    toks = _drop_hot_tokens(toks, df, block_cols, max_df, max_df_frac)
     sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
     a = toks.select(
         F.col("id").alias("id_a"),
@@ -653,7 +655,7 @@ def prefix_filter_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, threshold: float = 0.8
 ) -> DataFrame:
     """Set-similarity join via PREFIX FILTERING (the PPJoin family,
-    Xiao et al., WWW'08) over 3-WORD-SHINGLE sets: two sets with
+    Xiao et al., WWW'08) over 5-WORD-SHINGLE sets: two sets with
     Jaccard >= t must share an element among each set's first
     ``|x| - ceil(t*|x|) + 1`` elements when both are ordered by GLOBAL
     RARITY (ascending document frequency).  Only those short,
@@ -665,9 +667,10 @@ def prefix_filter_jaccard_pairs(
     filtering prunes only when element frequencies are Zipf-like.  On a
     small-vocabulary corpus token SETS are nearly identical across
     documents (measured: 32 k "near-dup" token-set pairs in 500 docs and
-    a quadratic candidate join); 3-word shingles restore a large,
+    a quadratic candidate join); multi-word shingles restore a large,
     skewed element space, so the same algorithm returns the true
-    near-dups with prefix-sized shuffle volume.
+    near-dups with prefix-sized shuffle volume.  The width is 5 (see the
+    inline note: 3-word shingles saturated at sf1).
 
     Plan: one element-frequency aggregate → rank join (AQE broadcasts
     it when small) → per-doc rarity-sorted arrays → candidate join on
@@ -686,7 +689,8 @@ def prefix_filter_jaccard_pairs(
         F.array_sort(
             F.array_distinct(word_shingles(normalized_tokens(F.col(text_col)), 5))
         ).alias("ta"),
-    ).withColumn("sz", F.size("ta").cast("bigint")).persist()
+    ).withColumn("sz", F.size("ta").cast("bigint"))
+    toks = track_persist(toks)
     ex = toks.select("id", F.explode("ta").alias("tok"))
     dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     # NO global rank table: a row_number over all distinct elements would
@@ -718,7 +722,8 @@ def prefix_filter_jaccard_pairs(
             "id", "sz",
             F.explode(F.slice("by_rank", F.lit(1), plen)).alias("ptok"),
         )
-    ).persist()
+    )
+    pref = track_persist(pref)
     a = pref.select(
         F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "ptok",
     )

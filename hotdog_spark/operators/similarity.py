@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 from pyspark.sql.window import Window
 
+from hotdog_spark.operators import track_persist
+
 from hotdog_spark.operators import fan_out
 
 
@@ -326,7 +328,8 @@ def knn_graph(
         # without it the n×C cross-join + window shuffle runs twice
         ranked = d.select("vid", "q", "n2", "cid", "d2").withColumn(
             "rn", F.row_number().over(wv)
-        ).persist()
+        )
+        ranked = track_persist(ranked)
         assigned = ranked.filter(F.col("rn") == 1).select(
             "vid", "q", "n2", F.col("cid").alias("cell")
         )

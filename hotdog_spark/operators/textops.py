@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from hotdog_spark.operators import fan_out
+from hotdog_spark.operators import fan_out, track_persist
 from hotdog_spark.operators.dedup import normalized_tokens
 
 # A BPE-ish lexer: letter runs, digit runs, single non-alnum marks.
@@ -135,7 +135,7 @@ def _winnow_mins(
     one projection, NO explode, NO shuffle — per-doc cost is O(n·k)
     codegen arithmetic.
     """
-    from hotdog_spark.operators import fan_out
+    from hotdog_spark.operators import fan_out, track_persist
     from hotdog_spark.operators.dedup import normalized_tokens  # noqa: F401  (same norm family)
 
     pw = [pow(WINNOW_B, k - 1 - j, WINNOW_M) for j in range(k)]
@@ -248,7 +248,8 @@ def winnowing_pairs(
         F.col("id"),
         F.size("_mins").cast("bigint").alias("n_fp"),
         F.explode_outer("_mins").alias("fp"),
-    ).filter(F.col("fp").isNotNull()).persist()
+    ).filter(F.col("fp").isNotNull())
+    fps = track_persist(fps)
     hot = (
         fps.groupBy("fp").agg(F.count("*").alias("df"))
         .filter(F.col("df") > max_df)
@@ -356,7 +357,7 @@ def top_terms(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFram
     """
     from pyspark.sql.window import Window
 
-    from hotdog_spark.operators import fan_out
+    from hotdog_spark.operators import fan_out, track_persist
     from hotdog_spark.operators.dedup import normalized_tokens
 
     toks = fan_out(df).select(
@@ -392,7 +393,7 @@ def rare_term_salience(
     """
     from pyspark.sql.window import Window
 
-    from hotdog_spark.operators import fan_out
+    from hotdog_spark.operators import fan_out, track_persist
     from hotdog_spark.operators.dedup import normalized_tokens
 
     toks = fan_out(df).select(
@@ -477,7 +478,7 @@ def doc_frequency(df: DataFrame, text_col: str, id_col: str, top: int = 20) -> D
     global top-k; the corpus size joins in as a single-row broadcast.
     Returns (tok, df, n_docs).
     """
-    from hotdog_spark.operators import fan_out
+    from hotdog_spark.operators import fan_out, track_persist
     from hotdog_spark.operators.dedup import normalized_tokens
 
     per_doc = fan_out(df).select(
@@ -549,7 +550,7 @@ def bm25_rational_topk(
     no single-reducer window).  Corpus-side cost is two scans and an
     O(1)-row shuffle at any scale.
     """
-    from hotdog_spark.operators import fan_out
+    from hotdog_spark.operators import fan_out, track_persist
     from hotdog_spark.operators.dedup import normalized_tokens
     from pyspark.sql.window import Window
 

@@ -50,6 +50,9 @@ from pyspark.sql.types import StructType
 
 DEFAULT_PORT = 1514          # the reference's example port (tsung.xml:9)
 DEFAULT_BUFFER = 65536       # retained-lines cap (cf. kafka.buffer=1024 default)
+DEFAULT_MAX_MSG = 1 << 20    # 1 MiB per-message cap; oversized frames are
+                             # shed + counted, so one bad client can't grow
+                             # a connection buffer without bound
 
 
 class _Listener:
@@ -60,12 +63,21 @@ class _Listener:
     (src/serve/mod.rs:54-70) that iterates newline-framed records
     (src/connection.rs:85)."""
 
-    def __init__(self, host: str, port: int, buffer: int, ssl_ctx: ssl.SSLContext | None):
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        buffer: int,
+        ssl_ctx: ssl.SSLContext | None,
+        max_msg: int = DEFAULT_MAX_MSG,
+    ):
         self._lines: deque[tuple[int, str]] = deque()
         self._lock = threading.Lock()
         self._next_seq = 0
         self._dropped = 0
+        self._oversized = 0
         self._buffer = buffer
+        self._max_msg = max_msg
         self._ssl_ctx = ssl_ctx
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
@@ -108,7 +120,20 @@ class _Listener:
         Mode is auto-detected from the connection's first byte (a digit
         ⇒ octet-counted), fixed per connection as the RFC prescribes; a
         malformed length prefix degrades to newline framing rather than
-        stalling the connection."""
+        stalling the connection.
+
+        Memory safety: any single message larger than ``max_msg`` (default
+        1 MiB) is shed and counted (`_oversized`) instead of buffered — an
+        octet frame declaring a huge length is discarded streamingly
+        without ever materializing it, and an unterminated newline-mode
+        line longer than the cap is dropped up to its terminator.  This
+        bounds per-connection memory at ~``max_msg`` + one recv chunk,
+        the same load-shedding posture as the bounded line deque.
+
+        Octet-counted payloads are delivered VERBATIM (RFC 6587 frames
+        are exact byte counts — trailing newlines are part of the
+        message); only newline-framed records are trimmed of their
+        ``\\r\\n`` terminator."""
         try:
             if self._ssl_ctx is not None:
                 # TLS handshake before any reads (src/serve/tls.rs:41-52);
@@ -117,18 +142,44 @@ class _Listener:
             with conn:
                 buf = b""
                 mode: str | None = None
+                discard = 0        # octet mode: oversized-frame bytes still to skip
+                skip_line = False  # newline mode: inside an oversized line
                 while True:
                     chunk = conn.recv(65536)
                     if not chunk:
                         break
                     buf += chunk
                     while buf:
+                        if discard:
+                            take = min(len(buf), discard)
+                            buf = buf[take:]
+                            discard -= take
+                            if discard:
+                                break  # rest of the frame not yet received
+                            continue
+                        if skip_line:
+                            nl = buf.find(b"\n")
+                            if nl < 0:
+                                buf = b""
+                                break
+                            buf = buf[nl + 1:]
+                            skip_line = False
+                            continue
                         if mode is None:
                             mode = "octet" if buf[0:1].isdigit() else "newline"
                         if mode == "newline":
                             nl = buf.find(b"\n")
                             if nl < 0:
+                                if len(buf) > self._max_msg:
+                                    # unterminated oversized line: shed it
+                                    buf = b""
+                                    skip_line = True
+                                    self._oversized += 1
                                 break
+                            if nl > self._max_msg:
+                                buf = buf[nl + 1:]
+                                self._oversized += 1
+                                continue
                             raw, buf = buf[:nl], buf[nl + 1:]
                             self._append(
                                 raw.decode("utf-8", errors="replace").rstrip("\r")
@@ -145,15 +196,19 @@ class _Listener:
                                 mode = "newline"
                                 continue
                             n = int(head)
+                            if n > self._max_msg:
+                                # shed the whole declared frame streamingly
+                                discard = sp + 1 + n
+                                self._oversized += 1
+                                continue
                             if len(buf) < sp + 1 + n:
                                 break  # frame incomplete; wait for more
                             raw = buf[sp + 1:sp + 1 + n]
                             buf = buf[sp + 1 + n:]
-                            self._append(
-                                raw.decode("utf-8", errors="replace").rstrip("\r\n")
-                            )
+                            # exact byte count ⇒ deliver verbatim (RFC 6587)
+                            self._append(raw.decode("utf-8", errors="replace"))
                 # trailing unterminated newline-framed record
-                if mode == "newline" and buf:
+                if mode == "newline" and buf and not skip_line:
                     self._append(buf.decode("utf-8", errors="replace").rstrip("\r"))
         except (OSError, ssl.SSLError):
             return  # connection reset / bad handshake: drop the connection
@@ -197,6 +252,7 @@ class _SyslogStreamReader(SimpleDataSourceStreamReader):
                 int(opts.get("port", DEFAULT_PORT)),
                 int(opts.get("buffer", DEFAULT_BUFFER)),
                 ssl_ctx,
+                max_msg=int(opts.get("max_msg", DEFAULT_MAX_MSG)),
             )
         return self._listener
 
@@ -238,7 +294,9 @@ class SyslogDataSource(DataSource):
 
     Options: ``host`` (default 127.0.0.1), ``port`` (default 1514; 0 =
     ephemeral), ``tls`` (true/false), ``cert``/``key`` (PEM paths when tls),
-    ``buffer`` (retained-line cap, default 65536)."""
+    ``buffer`` (retained-line cap, default 65536), ``max_msg``
+    (per-message byte cap, default 1 MiB; larger frames are shed and
+    counted, bounding per-connection memory)."""
 
     @classmethod
     def name(cls) -> str:

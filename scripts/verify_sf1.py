@@ -94,6 +94,12 @@ def main() -> None:
             bad.append(name)
             print(f"ERROR {name}: {str(e)[:200]}", file=sys.stderr)
             continue
+        finally:
+            # operators persist multi-consumer intermediates; a 148-query
+            # session would otherwise accumulate every query's cache
+            from hotdog_spark.operators import release_tracked_persists
+
+            release_tracked_persists()
         results[name] = {
             "status": "match" if ok else "MISMATCH",
             "rows": len(sr),

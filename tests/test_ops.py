@@ -90,6 +90,51 @@ def test_jaccard_max_df_drops_ubiquitous_tokens(spark):
     assert (0, 2) in uncapped and (2, 3) in uncapped
 
 
+def test_jaccard_max_df_frac_alone_is_honored(spark):
+    """``max_df_frac`` WITHOUT ``max_df`` must still cap hot tokens
+    (historically the frac branch was nested under ``max_df is not None``
+    and a frac-only call silently ran uncapped)."""
+    rows = [
+        (0, "the alpha beta", "en", 14),
+        (1, "the alpha beta", "en", 14),
+        (2, "the gamma delta", "en", 15),
+        (3, "the epsilon zeta", "en", 16),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    # block has 4 docs; frac 0.75 → cap ceil(3) → "the" (df=4) dropped
+    out = {
+        (r.id_a, r.id_b): r
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "text", "doc_id", ["lang"], "n_chars", 5, 0.01,
+            max_df_frac=0.75,
+        ).collect()
+    }
+    assert set(out) == {(0, 1)}
+    assert out[(0, 1)].union_n == 2
+
+
+def test_track_persist_release(spark, docs):
+    """Batch runners can release operator-persisted intermediates: after
+    a query materializes, release_tracked_persists() unpersists every
+    registered block and empties the registry."""
+    from hotdog_spark.operators import (
+        _TRACKED_PERSISTS,
+        release_tracked_persists,
+    )
+
+    release_tracked_persists()  # clean slate
+    dedup.minhash_lsh_pairs(docs, "text", "doc_id").collect()
+    assert len(_TRACKED_PERSISTS) >= 1
+    tracked = list(_TRACKED_PERSISTS)
+    assert any(d.is_cached for d in tracked)
+    n = release_tracked_persists()
+    assert n == len(tracked)
+    assert not _TRACKED_PERSISTS
+    assert not any(d.is_cached for d in tracked)
+
+
 def test_cosine_topk_self_similarity(spark):
     rows = [
         (0, [1.0, 0.0, 0.0, 0.0]),

@@ -461,6 +461,59 @@ def test_syslog_tcp_octet_counted_framing(spark):
     assert sorted(got) == sorted(msgs)
 
 
+def test_syslog_octet_verbatim_and_oversized_shedding():
+    """Listener-level framing pins (no Spark):
+
+    * octet-counted payloads are delivered VERBATIM — RFC 6587 frames are
+      exact byte counts, so a message legitimately ending in ``\\n`` keeps
+      it (messages differing only in trailing newlines stay distinct);
+    * a frame declaring a length beyond ``max_msg`` is shed streamingly
+      and counted, and the connection keeps working afterwards;
+    * an unterminated newline-mode line beyond ``max_msg`` is shed too,
+      bounding per-connection memory."""
+    import socket as socket_mod
+
+    from hotdog_spark.sources.syslog_tcp import _Listener
+
+    def drain(lst, want, timeout=10.0):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            items, _ = lst.snapshot_from(0)
+            if len(items) >= want:
+                return [line for _, line in items]
+            time.sleep(0.05)
+        items, _ = lst.snapshot_from(0)
+        return [line for _, line in items]
+
+    lst = _Listener("127.0.0.1", 0, 1024, None, max_msg=64)
+    try:
+        # --- octet mode: verbatim payloads + oversized frame in the middle
+        with socket_mod.create_connection(("127.0.0.1", lst.port), timeout=5) as s:
+            m1 = "keep my newline\n"
+            m2 = "no newline"
+            big = "x" * 200  # > max_msg=64 → shed, not buffered
+            payload = (
+                f"{len(m1.encode())} ".encode() + m1.encode()
+                + f"{len(big.encode())} ".encode() + big.encode()
+                + f"{len(m2.encode())} ".encode() + m2.encode()
+            )
+            s.sendall(payload)
+        got = drain(lst, 2)
+        assert got == [m1, m2]  # verbatim: trailing \n preserved, big shed
+        assert lst._oversized == 1
+
+        # --- newline mode: oversized unterminated line shed, next line OK
+        with socket_mod.create_connection(("127.0.0.1", lst.port), timeout=5) as s:
+            s.sendall(b"y" * 200)       # no newline yet, beyond the cap
+            time.sleep(0.3)
+            s.sendall(b"tail\nok\n")    # terminator of the shed line + good line
+        got = drain(lst, 3)
+        assert got == [m1, m2, "ok"]
+        assert lst._oversized == 2
+    finally:
+        lst.close()
+
+
 def test_syslog_tls_source(spark, tmp_path):
     import random
     import subprocess
