@@ -359,6 +359,143 @@ def knn_graph(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def knn_graph_cells(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    centroid_filter: Column | None = None,
+    k: int = 3,
+    nprobe: int = 2,
+    centroids: list[tuple[int, list[int]]] | None = None,
+) -> DataFrame:
+    """k-NN graph via per-cell Arrow-batched matrix scoring — the fast
+    twin of :func:`knn_graph`, bit-identical output.
+
+    The join formulation (:func:`knn_graph`) is shuffle-shaped right but
+    pays twice elsewhere: every candidate pair evaluates a 64-term
+    higher-order-function dot product (zip_with + aggregate lambdas are
+    interpreted per element, ~10M pairs at sf1), and ALL pair rows flow
+    into the global top-k window.  Here the per-pair work becomes one
+    numpy matmul per cell and the window input shrinks from pair count
+    to ≤ nprobe·k rows per query:
+
+    1. cell assignment + probe-cell expansion in ONE Arrow-batched map
+       stage against the broadcast centroid matrix (no n×C crossJoin, no
+       assignment window — the d² argsort happens in the kernel);
+    2. one shuffle, keyed by cell: members (role 0) + probes (role 1);
+    3. per-cell ``applyInPandas``: P·Mᵀ in float64 BLAS — exact, because
+       quantized dots are < 2⁵³ so every intermediate is an integer a
+       double represents exactly (same bigint→double semantics as the
+       codegen path); per-probe top-k with (score desc, id asc)
+       tie-break via lexsort;
+    4. global merge: a window over the ≤ nprobe·k surviving rows/query.
+
+    100 TB posture: the shuffle is the same cell-keyed exchange as the
+    join plan (n·(1+nprobe) vector rows, once), but a pandas group
+    cannot be AQE-skew-split, so C must scale with n to bound cell size
+    (the registered query derives C = clamp(n/250, 8, 256)); centroids
+    ship in the task closure, fine to C ≈ O(10⁴) — beyond that add a
+    coarse quantizer, as with :func:`knn_graph`."""
+    import pandas as pd
+
+    base = with_quantized(df, vec_col, id_col)
+    cents = sorted(_centroid_rows(base, centroid_filter, centroids))
+    cid_arr = [int(c[0]) for c in cents]
+    cmat = [[int(x) for x in c[1]] for c in cents]
+    n2c_arr = [int(c[2]) for c in cents]
+    np_ = __import__("numpy")
+    CID = np_.asarray(cid_arr, dtype=np_.int64)
+    CM = np_.asarray(cmat, dtype=np_.float64)      # C × dim
+    N2C = np_.asarray(n2c_arr, dtype=np_.int64)
+    npb = int(nprobe)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = np_.asarray([np_.asarray(v, dtype=np_.float64) for v in pdf["q"]])
+            n2 = pdf["n2"].to_numpy(dtype=np_.int64)
+            # d² = |v|² + |c|² − 2 v·c, all values < 2⁵³ ⇒ exact in f64
+            d2 = n2[:, None] + N2C[None, :] - 2.0 * (Q @ CM.T)
+            # ties break on cid: centroids are cid-sorted and argsort is
+            # stable, so the first minimal column is the smallest cid
+            order = np_.argsort(d2, axis=1, kind="stable")[:, :npb]
+            out = {
+                "cell": CID[order[:, 0]],
+                "role": np_.zeros(len(pdf), dtype=np_.int32),
+                "id": pdf["vid"].to_numpy(dtype=np_.int64),
+                "q": pdf["q"],
+                "n2": n2,
+            }
+            member = pd.DataFrame(out)
+            probe_parts = [member]
+            for j in range(min(npb, order.shape[1])):
+                probe_parts.append(pd.DataFrame({
+                    "cell": CID[order[:, j]],
+                    "role": np_.ones(len(pdf), dtype=np_.int32),
+                    "id": out["id"],
+                    "q": pdf["q"],
+                    "n2": n2,
+                }))
+            yield pd.concat(probe_parts, ignore_index=True)
+
+    tagged = base.mapInPandas(
+        assign, "cell long, role int, id long, q array<bigint>, n2 long"
+    )
+
+    kk = int(k)
+
+    def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = pdf[(pdf["role"] == 0) & (pdf["n2"] > 0)]
+        p = pdf[(pdf["role"] == 1) & (pdf["n2"] > 0)]
+        if len(m) == 0 or len(p) == 0:
+            return pd.DataFrame({
+                "query_id": pd.Series(dtype="int64"),
+                "neighbor_id": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
+            })
+        M = np_.asarray([np_.asarray(v, dtype=np_.float64) for v in m["q"]])
+        P = np_.asarray([np_.asarray(v, dtype=np_.float64) for v in p["q"]])
+        mid = m["id"].to_numpy(dtype=np_.int64)
+        pid = p["id"].to_numpy(dtype=np_.int64)
+        n2m = m["n2"].to_numpy(dtype=np_.int64)
+        n2p = p["n2"].to_numpy(dtype=np_.int64)
+        dots = P @ M.T                              # exact: < 2⁵³
+        # bigint product n2·n2p can exceed 2⁵³ — compute in int64
+        # (exact to 2⁶³) THEN convert, replicating Spark's
+        # (a*b).cast("double") rounding
+        denom = np_.sqrt((n2p[:, None] * n2m[None, :]).astype(np_.float64))
+        score = dots / denom
+        qs, ns, ss = [], [], []
+        for i in range(len(pid)):
+            mask = mid != pid[i]
+            cand_ids = mid[mask]
+            cand_sc = score[i][mask]
+            if len(cand_ids) == 0:
+                continue
+            # (score desc, neighbor_id asc): lexsort is stable,
+            # last key primary
+            order = np_.lexsort((cand_ids, -cand_sc))[:kk]
+            qs.extend([pid[i]] * len(order))
+            ns.extend(cand_ids[order])
+            ss.extend(cand_sc[order])
+        return pd.DataFrame({
+            "query_id": np_.asarray(qs, dtype=np_.int64),
+            "neighbor_id": np_.asarray(ns, dtype=np_.int64),
+            "score": np_.asarray(ss, dtype=np_.float64),
+        })
+
+    partial = tagged.groupBy("cell").applyInPandas(
+        score_cell, "query_id long, neighbor_id long, score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id")
+    )
+    return partial.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= kk
+    )
+
+
 def near_dup_pairs(
     df: DataFrame,
     vec_col: str,

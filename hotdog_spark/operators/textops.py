@@ -123,9 +123,89 @@ WINNOW_M = (1 << 31) - 1
 def _winnow_mins(
     df: DataFrame, text_col: str, id_col: str, k: int, w: int
 ) -> DataFrame:
-    """Shared winnowing core: (id, n_grams, _mins) where ``_mins`` is the
-    deduplicated array of per-window minimum Rabin-Karp k-gram hashes —
-    the MOSS fingerprint set (Schleimer/Wilkerson/Aiken, SIGMOD'03).
+    """Shared winnowing core: (id, n_grams, _mins) — dispatches to the
+    Arrow-batched kernel (:func:`_winnow_mins_kernel`), which computes
+    the identical integers ~10× faster than the expression path
+    (:func:`_winnow_mins_expr`, kept for cross-validation: the property
+    suite pins kernel ≡ expression on adversarial inputs)."""
+    return _winnow_mins_kernel(df, text_col, id_col, k, w)
+
+
+# Java \s (ASCII-only: space, tab, newline, vertical tab, form feed, CR)
+# — Python's \s on str is Unicode-aware and would collapse NBSP etc.,
+# silently diverging from the JVM/regexp_replace semantics.
+_JAVA_WS = "[ \\t\\n\\x0b\\f\\r]+"
+
+
+def _winnow_mins_kernel(
+    df: DataFrame, text_col: str, id_col: str, k: int, w: int
+) -> DataFrame:
+    """Vectorized winnowing core: one Arrow batch in, per-doc rolling
+    k-gram hashes + window minima via numpy sliding windows — O(n) work
+    per document with C-speed inner loops, replacing the expression
+    path's O(n·k) interpreted higher-order-function arithmetic (the
+    gram hash there re-reads k array elements per position because
+    Catalyst lambdas cannot roll state across positions).
+
+    Bit-parity with :func:`_winnow_mins_expr` (property-pinned):
+    normalization is lower → collapse JAVA-\\s runs to one space → trim
+    spaces; codes are Unicode code points (``F.ascii`` ≡ ``ord``); the
+    polynomial sum never overflows int64 (max code point 0x10FFFF ×
+    (M-1) × k=20 < 2⁶³) and is reduced mod M exactly once, like the
+    bigint expression; dedup keeps first-occurrence order
+    (``pd.unique`` ≡ ``F.array_distinct``)."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    ws = re.compile(_JAVA_WS)
+    pw = np.array([pow(WINNOW_B, k - 1 - j, WINNOW_M) for j in range(k)],
+                  dtype=np.int64)
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, ngs, mins = [], [], []
+            for doc_id, text in zip(pdf["id"], pdf["txt"]):
+                norm = ws.sub(" ", (text or "").lower()).strip(" ")
+                codes = np.frombuffer(
+                    norm.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                n = len(codes)
+                if n < k:
+                    ids.append(doc_id); ngs.append(0)
+                    mins.append(np.array([], dtype=np.int64))
+                    continue
+                grams = np.lib.stride_tricks.sliding_window_view(codes, k)
+                hashes = (grams @ pw) % WINNOW_M
+                if len(hashes) >= w:
+                    wins = np.lib.stride_tricks.sliding_window_view(hashes, w)
+                    m = wins.min(axis=1)
+                else:
+                    m = hashes
+                ids.append(doc_id); ngs.append(len(hashes))
+                mins.append(pd.unique(m))
+            yield pd.DataFrame({
+                "id": pd.Series(ids, dtype="int64"),
+                "n_grams": pd.Series(ngs, dtype="int64"),
+                "_mins": mins,
+            })
+
+    staged = fan_out(df).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("txt")
+    )
+    return staged.mapInPandas(
+        kernel, "id long, n_grams long, _mins array<bigint>"
+    )
+
+
+def _winnow_mins_expr(
+    df: DataFrame, text_col: str, id_col: str, k: int, w: int
+) -> DataFrame:
+    """Expression-path winnowing core: (id, n_grams, _mins) where
+    ``_mins`` is the deduplicated array of per-window minimum Rabin-Karp
+    k-gram hashes — the MOSS fingerprint set
+    (Schleimer/Wilkerson/Aiken, SIGMOD'03).
 
     The per-gram hash is the classic Rabin-Karp polynomial
     (Σ c_j·B^(k-1-j) mod M) — a single-threaded scanner computes it
@@ -230,6 +310,19 @@ def winnowing_pairs(
     overlap = shared / min(n_fp) — the containment form, robust to
     length mismatch.  Reference anchor: the reference has no analog
     (it is a syslog router); this extends SURVEY §7.3 M5.
+
+    SHUFFLE DIET (sf1-measured): the first shape self-joined the exploded
+    (id, n_fp, fp) table on fp — the fingerprint rows (with the n_fp
+    payload riding every one) crossed the wire twice for the join plus
+    once more as 4-column pair keys, 237 MB at sf1, the repo's largest
+    shuffle.  Now the fp rows shuffle ONCE, as bare 2-column (id, fp)
+    rows, into a groupBy(fp) whose bounded id-lists (df <= max_df, so
+    <= max_df elements) generate the pairs MAP-SIDE from each list; the
+    pair aggregate keys on (id_a, id_b) only, and the per-doc sizes join
+    back onto the (tiny, post-threshold) result instead of riding the
+    hot path.  Same answer, one skinny shuffle instead of three wide
+    ones — and the hot-fp cap becomes a free filter on the grouped list
+    size instead of a separate aggregate + anti-join.
     """
     mins = _winnow_mins(df, text_col, id_col, k, w)
     # explode_OUTER, not explode: for an inner explode Catalyst's
@@ -239,42 +332,57 @@ def winnowing_pairs(
     # the hash lambda (k × positions regexp evaluations per row; measured
     # minutes-per-500-docs).  The outer variant infers no filter; the
     # post-filter on the GENERATED attribute is unpushable and free.
-    # persist: the exploded fingerprint table feeds THREE consumers (the
-    # hot-fp aggregate, and both sides of the self-join) — without it the
-    # whole O(n·k) winnowing computation re-runs per consumer (the same
-    # measured 2× cost minhash_lsh_pairs pins with its persist; at data-
-    # lake scale the equivalent move is materializing the fp index).
+    # persist: the exploded fingerprint table feeds the sizes aggregate
+    # AND the pair pipeline — without it the whole O(n·k) winnowing
+    # computation re-runs per consumer (measured 2×; at data-lake scale
+    # the equivalent move is materializing the fp index).
     fps = mins.select(
         F.col("id"),
-        F.size("_mins").cast("bigint").alias("n_fp"),
         F.explode_outer("_mins").alias("fp"),
     ).filter(F.col("fp").isNotNull())
     fps = track_persist(fps)
-    hot = (
-        fps.groupBy("fp").agg(F.count("*").alias("df"))
-        .filter(F.col("df") > max_df)
-        .select("fp")
+    # _mins is array_distinct per doc, so count(*) per id IS n_fp — the
+    # PRE-cap fingerprint count, same as size(_mins)
+    sizes = fps.groupBy("id").agg(F.count("*").cast("bigint").alias("n_fp"))
+    # one shuffle of bare (id, fp): docs sharing each fingerprint,
+    # sorted for id_a < id_b; lists longer than max_df (boilerplate
+    # everyone shares, O(df²) pairs) are dropped here — the same cap the
+    # anti-join applied, now a free post-aggregate filter
+    grouped = (
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))
     )
-    capped = fps.join(F.broadcast(hot), "fp", "left_anti")
-    a, b = capped.alias("a"), capped.alias("b")
-    pairs = (
-        a.join(b, "fp")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.n_fp").alias("n_fp_a"),
-            F.col("b.n_fp").alias("n_fp_b"),
+    # pair generation is a map-side array expression over each bounded
+    # list: element i pairs with every later element
+    pair_expr = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
+    )
+    pairs = (
+        grouped.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").cast("bigint").alias("shared_fp"))
         .filter(F.col("shared_fp") >= min_shared)
     )
-    return pairs.select(
-        "id_a", "id_b", "shared_fp", "n_fp_a", "n_fp_b",
-        (
-            F.col("shared_fp").cast("double")
-            / F.least("n_fp_a", "n_fp_b").cast("double")
-        ).alias("overlap"),
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_fp").alias("n_fp_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_fp").alias("n_fp_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a", "id_b", "shared_fp", "n_fp_a", "n_fp_b",
+            (
+                F.col("shared_fp").cast("double")
+                / F.least("n_fp_a", "n_fp_b").cast("double")
+            ).alias("overlap"),
+        )
     )
 
 

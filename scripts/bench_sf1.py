@@ -89,6 +89,8 @@ def main() -> None:
     prev = bench._prev_bench()
     sf01 = (prev[1].get("queries", {}) if prev else {})
 
+    from hotdog_spark.operators import release_tracked_persists
+
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     results: dict[str, dict] = {}
     seen = set(_stage_metrics(app_id))
@@ -100,6 +102,7 @@ def main() -> None:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             el = time.perf_counter() - t0
             best = el if best is None else min(best, el)
+            release_tracked_persists()
         stages = _stage_metrics(app_id)
         new = [m for sid, m in stages.items() if sid not in seen]
         seen = set(stages)

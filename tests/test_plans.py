@@ -267,14 +267,16 @@ def test_minhash_index_join_has_no_signature_shuffle(spark, tmp_path):
 
 def test_winnowing_pairs_plan_shape(spark):
     """dedup_winnowing_pairs' scale discipline, asserted on the physical
-    plan: (1) the hot-fingerprint cap rides a BROADCAST anti-join (no
-    all-to-all shuffle of the fingerprint stream against the hot list);
-    (2) no Generate-inferred filter re-evaluates the winnowing expression
-    below the explode (the InferFiltersFromGenerate pathology — a
-    regexp_replace appearing inside a Filter means the staged chain got
-    inlined and per-row cost explodes k×positions-fold)."""
-    from pyspark.sql import functions as F
-
+    plan: (1) NO join ever touches the fingerprint stream — the pair
+    pipeline is groupBy(fp) → map-side pair explosion from bounded
+    id-lists, so the only joins in the plan are the per-doc size
+    join-backs onto the tiny post-threshold result; (2) the hot-fp cap
+    is a post-aggregate filter on the grouped list size (not a separate
+    aggregate + anti-join); (3) no Generate-inferred filter re-evaluates
+    the winnowing expression below the explode (the
+    InferFiltersFromGenerate pathology — a regexp_replace appearing
+    inside a Filter means the staged chain got inlined and per-row cost
+    explodes k×positions-fold)."""
     from hotdog_spark.operators.textops import winnowing_pairs
 
     docs = spark.createDataFrame(
@@ -285,12 +287,24 @@ def test_winnowing_pairs_plan_shape(spark):
     pairs = winnowing_pairs(docs, "text", "doc_id", k=12, w=4,
                             max_df=10, min_shared=2)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
+    saw_size_filter = False
     for line in plan.splitlines():
-        if line.strip().startswith(("Filter", "+- Filter", ": +- Filter")):
+        stripped = line.strip().lstrip(":+- ")
+        if "Join" in line:
+            assert "fp#" not in line, (
+                "fingerprint rows crossed a join — the shuffle-diet shape "
+                "regressed to the self-join:\n" + line[:500]
+            )
+        if stripped.startswith("Filter"):
             assert "regexp_replace" not in line, (
                 "winnowing chain inlined into a Filter:\n" + line[:500]
             )
+            if "size(ids" in line:
+                saw_size_filter = True
+    assert saw_size_filter, (
+        "hot-fingerprint cap (size(ids) bounds) missing from the plan:\n"
+        + plan[:2000]
+    )
 
 
 def test_ivf_index_probe_prunes_partitions(spark, tmp_path):

@@ -136,6 +136,65 @@ def test_knn_graph_hybrid_paths_agree(spark):
     assert lit_rows == tab_rows and len(lit_rows) > 0
 
 
+def test_knn_graph_cells_matches_join_path(spark):
+    """The per-cell Arrow-batched matmul twin (knn_graph_cells) must be
+    BIT-IDENTICAL to the equi-join formulation — same neighbors, same
+    ranks, same float64 scores (the quantized dots stay below 2⁵³, so
+    BLAS f64 arithmetic is exact and matches the codegen bigint path)."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kw = dict(centroid_filter=F.col("vid") < 8, k=3, nprobe=2)
+    join_rows = {
+        (r.query_id, r.rank): (r.neighbor_id, r.score)
+        for r in similarity.knn_graph(emb, "embedding", "vec_id", **kw).collect()
+    }
+    cell_rows = {
+        (r.query_id, r.rank): (r.neighbor_id, r.score)
+        for r in similarity.knn_graph_cells(
+            emb, "embedding", "vec_id", **kw
+        ).collect()
+    }
+    assert join_rows == cell_rows and len(cell_rows) > 0
+
+
+def test_winnow_kernel_matches_expression(spark):
+    """The Arrow-batched winnowing kernel must produce BIT-IDENTICAL
+    (n_grams, fingerprint-set) output to the Catalyst expression path on
+    adversarial inputs: empty/short docs, Java-\\s whitespace runs,
+    Unicode outside ASCII (NBSP and em-space must NOT be collapsed —
+    Python's \\s would, Java's doesn't), casefolding specials (ß, İ),
+    and repetitive strings that stress window dedup."""
+    from hotdog_spark.operators import textops as T
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog " * 5),
+        (1, ""),
+        (2, "short"),
+        (3, "a\t\tb\nc\r\nd   e\x0b f\x0c g"),
+        (4, "ÜBER straße İstanbul ß Ω ω"),
+        (5, "nb sp and em space stay"),   # Unicode spaces ≠ Java \s
+        (6, "x" * 7),
+        (7, "  leading and trailing   "),
+        (8, "ab" * 300),
+        (9, "päivää hyvää " * 40),
+        (10, None),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    for k, w in [(8, 4), (20, 4)]:
+        expr = {
+            r["id"]: (r["n_grams"], list(r["_mins"]))
+            for r in T._winnow_mins_expr(df, "text", "doc_id", k, w).collect()
+        }
+        kern = {
+            r["id"]: (r["n_grams"], list(r["_mins"]))
+            for r in T._winnow_mins_kernel(df, "text", "doc_id", k, w).collect()
+        }
+        assert expr == kern and len(kern) == len(texts)
+
+
 def test_cms_never_undercounts(spark):
     """The count-min guarantee: estimate >= exact for every key, with
     equality when the key's buckets are collision-free."""
