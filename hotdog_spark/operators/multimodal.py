@@ -723,16 +723,13 @@ AUDIO_CHUNK_SCHEMA = StructType(
 )
 
 
-def audio_chunk_stub(df: DataFrame, chunk_bytes: int = 256) -> DataFrame:
-    """Fixed-size audio chunking: one input blob → N chunk rows (the
-    1→N generator shape the other multimodal kernels don't cover — frame
-    extraction, utterance segmentation and sliding-window ASR all look
-    like this).
-
-    A real deployment decodes PCM/containers first (decode_image's
-    NotImplementedError twin applies); the byte-window chunker below is
-    the deterministic stand-in, while the Spark contract — Arrow-batched
-    expansion, bounded memory per batch, chunk ordinals — is real.
+def binary_chunks(df: DataFrame, chunk_bytes: int = 256) -> DataFrame:
+    """Fixed-size BINARY chunking: one input blob → N chunk rows (the
+    1→N generator shape — sharding opaque payloads for transport or
+    per-chunk hashing).  Format-agnostic byte windows; for AUDIO use
+    :func:`audio_chunks_pcm`, which decodes first and chunks on frame
+    boundaries (this byte chunker can split a 16-bit sample in half,
+    which is fine for blobs and wrong for PCM).
     """
     from hotdog_spark.dist import ensure_shipped
 
@@ -759,3 +756,66 @@ def audio_chunk_stub(df: DataFrame, chunk_bytes: int = 256) -> DataFrame:
             )
 
     return df.select("media_id", "content").mapInPandas(kernel, AUDIO_CHUNK_SCHEMA)
+
+
+PCM_CHUNK_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("chunk_idx", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("sum_val", LongType()),
+        StructField("min_val", LongType()),
+        StructField("max_val", LongType()),
+        StructField("peak_abs", LongType()),
+        StructField("sum_sq", LongType()),
+    ]
+)
+
+
+def audio_chunks_pcm(df: DataFrame, chunk_frames: int = 100) -> DataFrame:
+    """SAMPLE-ALIGNED audio chunking over decoded PCM — the real
+    utterance/window segmentation shape: each WAV payload is decoded
+    (:func:`decode_wav` — RIFF walk + 16/8-bit PCM extraction, stdlib
+    only), its samples grouped into FRAMES (one sample per channel), and
+    split into consecutive ``chunk_frames``-frame chunks; a chunk never
+    splits a frame, and the last chunk is the remainder.  Per chunk the
+    kernel emits exact integer stats — sum, min, max, |peak|, Σv² (the
+    integer core of RMS: rms = sqrt(sum_sq / (n_frames·channels)), left
+    to the caller so every emitted column stays engine-exact).
+
+    Undecodable / non-WAV payloads produce no rows (corrupt-record
+    divert posture, /root/reference/src/sink/parquet.rs:254-285).
+    Arrow-batched 1→N expansion: memory bounded by batch size, like the
+    other multimodal kernels.  Replaces the byte-window stub the round-4
+    review flagged (chunks were not sample-aligned)."""
+    from hotdog_spark.dist import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "chunk_idx", "n_frames", "sum_val",
+                "min_val", "max_val", "peak_abs", "sum_sq",
+            )}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                decoded = decode_wav(bytes(blob) if blob is not None else b"")
+                if decoded is None:
+                    continue  # divert, never fatal
+                ch = max(1, decoded["channels"])
+                samples = decoded["samples"]
+                n_frames_total = len(samples) // ch
+                step = chunk_frames * ch
+                for idx in range(0, n_frames_total * ch, step):
+                    chunk = samples[idx: idx + step]
+                    rows["media_id"].append(mid)
+                    rows["chunk_idx"].append(idx // step)
+                    rows["n_frames"].append(len(chunk) // ch)
+                    rows["sum_val"].append(sum(chunk))
+                    rows["min_val"].append(min(chunk))
+                    rows["max_val"].append(max(chunk))
+                    rows["peak_abs"].append(max(abs(v) for v in chunk))
+                    rows["sum_sq"].append(sum(v * v for v in chunk))
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "content").mapInPandas(kernel, PCM_CHUNK_SCHEMA)

@@ -199,12 +199,57 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def multimodal_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio chunking plumbing: blob → fixed-256-byte chunk rows via the
-    Arrow-batched 1→N kernel; the oracle reproduces the chunk geometry
-    (ordinals + sizes) from byte lengths."""
-    from hotdog_spark.operators.multimodal import audio_chunk_stub, media_from_text
+    """BINARY chunking plumbing: opaque blob → fixed-256-byte chunk rows
+    via the Arrow-batched 1→N kernel; the oracle reproduces the chunk
+    geometry (ordinals + sizes) from byte lengths.  Format-agnostic byte
+    windows — the sample-aligned AUDIO path is
+    ``multimodal_audio_pcm_chunks`` below."""
+    from hotdog_spark.operators.multimodal import binary_chunks, media_from_text
 
     media = media_from_text(table(spark, sf_dir, "documents"), "text", "doc_id")
-    return audio_chunk_stub(media, chunk_bytes=256).select(
+    return binary_chunks(media, chunk_bytes=256).select(
         "media_id", "chunk_idx", F.col("n_bytes").cast("int").alias("n_bytes")
     )
+
+
+@register(
+    "multimodal_audio_pcm_chunks",
+    oracle="""
+    WITH wav AS (
+      SELECT doc_id, n_chars % 512 + 16 AS cnt
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    vals AS (
+      SELECT doc_id, i.i AS i, ((doc_id * 13 + i.i * 7) % 4096) - 2048 AS v
+      FROM wav, LATERAL (SELECT unnest(generate_series(0, cnt - 1)) AS i) i
+    )
+    SELECT doc_id AS media_id, CAST(i // 100 AS INT) AS chunk_idx,
+           CAST(count(*) AS BIGINT) AS n_frames,
+           CAST(sum(v) AS BIGINT) AS sum_val,
+           CAST(min(v) AS BIGINT) AS min_val,
+           CAST(max(v) AS BIGINT) AS max_val,
+           CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq
+    FROM vals GROUP BY doc_id, i // 100
+    """,
+)
+def multimodal_audio_pcm_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAMPLE-ALIGNED audio chunking end-to-end: synthesize real mono
+    16-bit WAVs with closed-form PCM (even doc ids, the
+    multimodal_decode_stats corpus), DECODE them back (RIFF walk + PCM
+    reinterpret — real parser, not a stub), split the decoded samples
+    into 100-frame chunks on frame boundaries, and emit exact integer
+    stats per chunk (sum, min, max, |peak|, Σv² — the RMS core).  The
+    oracle regenerates every sample arithmetically and aggregates the
+    same chunks: the Spark side only matches if container parsing, PCM
+    extraction, frame alignment and chunk geometry are all exact.
+    Replaces the round-4 byte-window stub (chunks could split a 16-bit
+    sample in half; these cannot)."""
+    from hotdog_spark.operators.multimodal import (
+        audio_chunks_pcm,
+        synth_decodable_media,
+    )
+
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    media = synth_decodable_media(docs, "doc_id", "n_chars")
+    return audio_chunks_pcm(media, chunk_frames=100)

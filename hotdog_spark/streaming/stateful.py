@@ -122,11 +122,24 @@ def running_topic_counts_tws(routed: DataFrame) -> DataFrame:
 
     Both implementations stay registered side by side deliberately — the
     old API is what most deployed Spark supports; this one is where
-    Structured Streaming state is going."""
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
+    Structured Streaming state is going.
+
+    VERSION GUARD: the Spark-4-only import lives inside this function, so
+    the module imports cleanly on Spark 3.5; calling it there raises a
+    directed NotImplementedError (pointing at the 3.5-compatible twin)
+    instead of an opaque ImportError — pinned by
+    tests/test_streaming.py::test_tws_version_guard."""
+    try:
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+    except ImportError as e:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires Spark >= 4.0; on older "
+            "Spark use running_topic_counts (applyInPandasWithState), "
+            "which has the identical contract"
+        ) from e
 
     class _TopicCount(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:

@@ -1,0 +1,187 @@
+"""Second-order-of-magnitude stress: the superlinear-risk query families
+at sf10 (100x the driver's bench sf, 10x the round-4 sf1 proof), with
+per-query shuffle and spill bytes.
+
+VERDICT r4 item 2: sf1 caught three scale bugs sf0.1 could not (knn cell
+saturation, winnowing recompute, prefix-filter shuffle blowup); this run
+buys the next decade for the families where risk concentrates — dedup,
+ANN/knn, winnowing, text pipelines, packing, and the event windows.
+TPC-H tables are deliberately absent (pure scans/joins whose linearity
+sf1 already demonstrated; generating 15 M orders would dominate the run
+for no new information).
+
+    python scripts/gen_sf1.py --sf 10 --out testdata_sf10 \
+        --tables documents,embeddings,events          # once (~1 GB)
+    python scripts/bench_sf10.py                      # writes SCALE_sf10.json
+
+Output: BENCH-style JSON with per-query {sec, shuffle_write_mb,
+shuffle_read_mb, spill_disk_mb, ratio_vs_sf1} plus a linearity verdict
+(ratio <= 10x rows => sublinear-or-linear) and a spill tally.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+UI_PORT = int(os.environ.get("SPARK_GRAFT_UI_PORT", "4060"))
+
+# The superlinear-risk subset: every query here has a candidate-pair,
+# blocking, bucketing, or window mechanism whose constant could hide an
+# n² term.  All run on documents/embeddings/events only.
+SUBSET = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_prefix_filter_jaccard",
+    "dedup_winnowing_pairs",
+    "dedup_chunk_boilerplate",
+    "dedup_embedding_cosine",
+    "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "ann_ivf",
+    "knn_graph_ivf",
+    "text_clean_corpus_pipeline",
+    "text_token_count",
+    "text_quality_score",
+    "text_top_terms",
+    "text_pii_scrub",
+    "text_repetition_stats",
+    "decontaminate_ngram_overlap",
+    "pack_token_budget_bins",
+    "pack_sharded_bins",
+    "window_tumbling_events",
+    "window_session_events",
+    "agg_approx_distinct_users_sketch_only",
+]
+
+
+def _api(app_id: str, path: str):
+    url = f"http://127.0.0.1:{UI_PORT}/api/v1/applications/{app_id}/{path}"
+    with urllib.request.urlopen(url, timeout=10) as r:
+        return json.loads(r.read())
+
+
+def _stage_metrics(app_id: str) -> dict[tuple, dict]:
+    out = {}
+    for st in _api(app_id, "stages?status=complete"):
+        out[(st["stageId"], st["attemptId"])] = {
+            "sw": st.get("shuffleWriteBytes", 0),
+            "sr": st.get("shuffleReadBytes", 0),
+            "spill_disk": st.get("diskBytesSpilled", 0),
+        }
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_SF_DIR", os.path.join(REPO, "testdata_sf10")
+    )
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("hotdog-spark-bench-sf10")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", str(UI_PORT))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    app_id = spark.sparkContext.applicationId
+
+    import __spark_entry__ as entry_mod
+
+    from hotdog_spark.operators import release_tracked_persists
+
+    queries = entry_mod.queries()
+
+    # warmup (JVM, codegen, python worker pool)
+    spark.range(100_000).selectExpr("sum(id)").write.mode("overwrite").format("noop").save()
+    from pyspark.sql.functions import pandas_udf
+
+    _warm = pandas_udf(lambda s: s, "long")
+    spark.range(10_000).repartition(int(cpus)).select(_warm("id")).write.mode(
+        "overwrite"
+    ).format("noop").save()
+
+    # sf1 reference times for the 10x-linearity check
+    sf1 = {}
+    try:
+        with open(os.path.join(REPO, "SCALE_sf1.json")) as f:
+            sf1 = {k: v["sec"] for k, v in json.load(f)["queries"].items()}
+    except Exception:
+        pass
+
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    results: dict[str, dict] = {}
+    seen = set(_stage_metrics(app_id))
+    for name in SUBSET:
+        fn = queries[name]
+        best = None
+        try:
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                el = time.perf_counter() - t0
+                best = el if best is None else min(best, el)
+                release_tracked_persists()
+        except Exception as e:
+            results[name] = {"error": str(e)[:300]}
+            print(f"  {name}: ERROR {str(e)[:200]}", file=sys.stderr)
+            seen = set(_stage_metrics(app_id))
+            continue
+        stages = _stage_metrics(app_id)
+        new = [m for sid, m in stages.items() if sid not in seen]
+        seen = set(stages)
+        mb = 1024 * 1024
+        entry = {
+            "sec": round(best, 3),
+            "shuffle_write_mb": round(sum(m["sw"] for m in new) / mb / runs, 1),
+            "shuffle_read_mb": round(sum(m["sr"] for m in new) / mb / runs, 1),
+            "spill_disk_mb": round(sum(m["spill_disk"] for m in new) / mb / runs, 1),
+        }
+        if name in sf1 and sf1[name]:
+            entry["ratio_vs_sf1"] = round(best / sf1[name], 2)
+        results[name] = entry
+        print(f"  {name}: {entry}", file=sys.stderr)
+
+    ok = {n: r for n, r in results.items() if "sec" in r}
+    total = round(sum(r["sec"] for r in ok.values()), 3)
+    superlinear = sorted(
+        n for n, r in ok.items() if r.get("ratio_vs_sf1", 0) > 10
+    )
+    payload = {
+        "metric": "superlinear_risk_subset_total_sf10",
+        "value": total,
+        "unit": "sec",
+        "sf": 10.0,
+        "rows_scale_vs_sf1": 10,
+        "runs_per_query": runs,
+        "queries": results,
+        "superlinear_queries": superlinear,
+        "errors": sorted(n for n, r in results.items() if "error" in r),
+        "total_spill_disk_mb": round(
+            sum(r["spill_disk_mb"] for r in ok.values()), 1
+        ),
+    }
+    out = os.path.join(REPO, "SCALE_sf10.json")
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(json.dumps({k: v for k, v in payload.items() if k != "queries"}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -61,9 +61,16 @@ def _write(out, name, table):
     print(f"  {name}: {table.num_rows:,} rows -> {path}")
 
 
-def gen(sf: float, out: str, seed: int = 421) -> None:
+def gen(sf: float, out: str, seed: int = 421, tables: set[str] | None = None) -> None:
+    """Generate the synthetic tables at ``sf``.  ``tables`` restricts the
+    output set (e.g. {"documents","embeddings","events"} for the sf10
+    stress run, where only the superlinear-risk families need data and
+    the TPC-H tables would dominate the generation time)."""
     rng = np.random.default_rng(seed)
     os.makedirs(out, exist_ok=True)
+
+    def want(name: str) -> bool:
+        return tables is None or name in tables
 
     n_orders = int(1_500_000 * sf)
     n_cust = int(150_000 * sf)
@@ -75,137 +82,144 @@ def gen(sf: float, out: str, seed: int = 421) -> None:
     n_vecs = int(20_000 * sf)
 
     # --- region / nation (fixed small dims, driver value domains) ---
-    _write(out, "region", pa.table({
-        "r_regionkey": pa.array(range(5), pa.int64()),
-        "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"],
-    }))
-    _write(out, "nation", pa.table({
-        "n_nationkey": pa.array(range(25), pa.int64()),
-        "n_name": [f"NATION_{i}" for i in range(25)],
-        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int64()),
-    }))
+    if want("region") or want("nation"):
+        _write(out, "region", pa.table({
+            "r_regionkey": pa.array(range(5), pa.int64()),
+            "r_name": ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"],
+        }))
+        _write(out, "nation", pa.table({
+            "n_nationkey": pa.array(range(25), pa.int64()),
+            "n_name": [f"NATION_{i}" for i in range(25)],
+            "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int64()),
+        }))
 
     # --- customer / supplier / part ---
-    _write(out, "customer", pa.table({
-        "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
-        "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
-        "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int64()),
-        "c_acctbal": np.round(rng.uniform(-1000, 10000, n_cust), 2),
-        "c_mktsegment": pa.array(
-            np.array(["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"])[
-                rng.integers(0, 5, n_cust)
-            ]
-        ),
-    }))
-    _write(out, "supplier", pa.table({
-        "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
-        "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
-        "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int64()),
-        "s_acctbal": np.round(rng.uniform(-1000, 10000, n_supp), 2),
-    }))
-    adjectives = ["large", "hot", "blue", "cold", "new", "old", "red", "small"]
-    nouns = ["ring", "bolt", "anvil", "gear", "gizmo", "plate", "rod", "widget"]
-    _write(out, "part", pa.table({
-        "p_partkey": pa.array(np.arange(n_part), pa.int64()),
-        "p_name": [
-            f"{adjectives[a]} {nouns[b]}"
-            for a, b in zip(rng.integers(0, 8, n_part), rng.integers(0, 8, n_part))
-        ],
-        "p_brand": pa.array([f"Brand#{i}" for i in rng.integers(1, 26, n_part)]),
-        "p_type": pa.array(
-            np.array(["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"])[
-                rng.integers(0, 6, n_part)
-            ]
-        ),
-        "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
-        "p_retailprice": np.round(rng.uniform(900, 1000, n_part), 2),
-    }))
+    if want("customer") or want("supplier") or want("part"):
+        _write(out, "customer", pa.table({
+            "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+            "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+            "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int64()),
+            "c_acctbal": np.round(rng.uniform(-1000, 10000, n_cust), 2),
+            "c_mktsegment": pa.array(
+                np.array(["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"])[
+                    rng.integers(0, 5, n_cust)
+                ]
+            ),
+        }))
+        _write(out, "supplier", pa.table({
+            "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
+            "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+            "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int64()),
+            "s_acctbal": np.round(rng.uniform(-1000, 10000, n_supp), 2),
+        }))
+        adjectives = ["large", "hot", "blue", "cold", "new", "old", "red", "small"]
+        nouns = ["ring", "bolt", "anvil", "gear", "gizmo", "plate", "rod", "widget"]
+        _write(out, "part", pa.table({
+            "p_partkey": pa.array(np.arange(n_part), pa.int64()),
+            "p_name": [
+                f"{adjectives[a]} {nouns[b]}"
+                for a, b in zip(rng.integers(0, 8, n_part), rng.integers(0, 8, n_part))
+            ],
+            "p_brand": pa.array([f"Brand#{i}" for i in rng.integers(1, 26, n_part)]),
+            "p_type": pa.array(
+                np.array(["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"])[
+                    rng.integers(0, 6, n_part)
+                ]
+            ),
+            "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
+            "p_retailprice": np.round(rng.uniform(900, 1000, n_part), 2),
+        }))
 
     # --- orders ---
-    o_orderdate = _dates(rng, n_orders, "1995-01-01", "2001-08-01")
-    _write(out, "orders", pa.table({
-        "o_orderkey": pa.array(np.arange(n_orders), pa.int64()),
-        "o_custkey": pa.array(rng.integers(0, n_cust, n_orders), pa.int64()),
-        "o_orderstatus": pa.array(np.array(["F", "O", "P"])[rng.integers(0, 3, n_orders)]),
-        "o_totalprice": np.round(rng.uniform(1000, 500000, n_orders), 2),
-        "o_orderdate": _ts_col(o_orderdate),
-        "o_orderpriority": pa.array(
-            np.array(
-                ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
-            )[rng.integers(0, 5, n_orders)]
-        ),
-    }))
+    if want("orders") or want("lineitem"):
+        o_orderdate = _dates(rng, n_orders, "1995-01-01", "2001-08-01")
+        _write(out, "orders", pa.table({
+            "o_orderkey": pa.array(np.arange(n_orders), pa.int64()),
+            "o_custkey": pa.array(rng.integers(0, n_cust, n_orders), pa.int64()),
+            "o_orderstatus": pa.array(np.array(["F", "O", "P"])[rng.integers(0, 3, n_orders)]),
+            "o_totalprice": np.round(rng.uniform(1000, 500000, n_orders), 2),
+            "o_orderdate": _ts_col(o_orderdate),
+            "o_orderpriority": pa.array(
+                np.array(
+                    ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+                )[rng.integers(0, 5, n_orders)]
+            ),
+        }))
 
     # --- lineitem: Poisson(4) lines per order, zero-line orders absent ---
-    lines_per = rng.poisson(4.0, n_orders)
-    l_orderkey = np.repeat(np.arange(n_orders), lines_per)
-    n_li = len(l_orderkey)
-    linenumber = (
-        np.arange(n_li) - np.repeat(np.cumsum(lines_per) - lines_per, lines_per) + 1
-    )
-    _write(out, "lineitem", pa.table({
-        "l_orderkey": pa.array(l_orderkey, pa.int64()),
-        "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
-        "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
-        "l_linenumber": pa.array(linenumber, pa.int32()),
-        "l_quantity": rng.integers(1, 51, n_li).astype("float64"),
-        "l_extendedprice": np.round(rng.uniform(900, 105000, n_li), 2),
-        "l_discount": np.round(rng.integers(0, 11, n_li) / 100.0, 2),
-        "l_tax": np.round(rng.integers(0, 9, n_li) / 100.0, 2),
-        "l_returnflag": pa.array(np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)]),
-        "l_linestatus": pa.array(np.array(["F", "O"])[rng.integers(0, 2, n_li)]),
-        "l_shipdate": _ts_col(_dates(rng, n_li, "1995-01-02", "2001-11-04")),
-    }))
+    if want("lineitem"):
+        lines_per = rng.poisson(4.0, n_orders)
+        l_orderkey = np.repeat(np.arange(n_orders), lines_per)
+        n_li = len(l_orderkey)
+        linenumber = (
+            np.arange(n_li) - np.repeat(np.cumsum(lines_per) - lines_per, lines_per) + 1
+        )
+        _write(out, "lineitem", pa.table({
+            "l_orderkey": pa.array(l_orderkey, pa.int64()),
+            "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
+            "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
+            "l_linenumber": pa.array(linenumber, pa.int32()),
+            "l_quantity": rng.integers(1, 51, n_li).astype("float64"),
+            "l_extendedprice": np.round(rng.uniform(900, 105000, n_li), 2),
+            "l_discount": np.round(rng.integers(0, 11, n_li) / 100.0, 2),
+            "l_tax": np.round(rng.integers(0, 9, n_li) / 100.0, 2),
+            "l_returnflag": pa.array(np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)]),
+            "l_linestatus": pa.array(np.array(["F", "O"])[rng.integers(0, 2, n_li)]),
+            "l_shipdate": _ts_col(_dates(rng, n_li, "1995-01-02", "2001-11-04")),
+        }))
 
     # --- events ---
-    t0 = np.datetime64("2024-01-01T00:00:00", "us").astype("int64")
-    span = 30 * DAY_US
-    ts = np.sort(t0 + rng.integers(0, span, n_events))
-    ks = rng.integers(0, 100, n_events)
-    _write(out, "events", pa.table({
-        "event_id": pa.array(np.arange(n_events), pa.int64()),
-        "ts": pa.array(ts, pa.timestamp("us")),
-        "user_id": pa.array(rng.integers(0, n_users, n_events), pa.int64()),
-        "event_type": pa.array(
-            np.array(["click", "view", "purchase", "signup", "error"])[
-                rng.integers(0, 5, n_events)
-            ]
-        ),
-        "value": np.round(np.minimum(rng.exponential(50.0, n_events), 560.0), 2),
-        "props": [f'{{"k": {k}}}' for k in ks],
-    }))
+    if want("events"):
+        t0 = np.datetime64("2024-01-01T00:00:00", "us").astype("int64")
+        span = 30 * DAY_US
+        ts = np.sort(t0 + rng.integers(0, span, n_events))
+        ks = rng.integers(0, 100, n_events)
+        _write(out, "events", pa.table({
+            "event_id": pa.array(np.arange(n_events), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array(rng.integers(0, n_users, n_events), pa.int64()),
+            "event_type": pa.array(
+                np.array(["click", "view", "purchase", "signup", "error"])[
+                    rng.integers(0, 5, n_events)
+                ]
+            ),
+            "value": np.round(np.minimum(rng.exponential(50.0, n_events), 560.0), 2),
+            "props": [f'{{"k": {k}}}' for k in ks],
+        }))
 
     # --- documents ---
-    vocab = np.array(
-        "a agg batch big column customer data dup fast filter group hash join "
-        "key line merge order part query row scan slow small sort spark stream "
-        "table the value vector window".split()
-    )
-    langs = np.array(["en", "zh", "es", "fr", "de"])
-    lang_p = np.array([0.44, 0.15, 0.14, 0.135, 0.135])
-    n_words = rng.integers(10, 101, n_docs)
-    texts = [
-        " ".join(vocab[rng.integers(0, len(vocab), k)]) for k in n_words
-    ]
-    # exact duplicates (~0.2%) so dedup operators have real work
-    for i in rng.choice(np.arange(1, n_docs), max(1, n_docs // 500), replace=False):
-        texts[i] = texts[rng.integers(0, i)]
-    _write(out, "documents", pa.table({
-        "doc_id": pa.array(np.arange(n_docs), pa.int64()),
-        "text": texts,
-        "lang": pa.array(langs[rng.choice(5, n_docs, p=lang_p)]),
-        "source": pa.array([f"src{i}" for i in rng.integers(0, 20, n_docs)]),
-        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
-    }))
+    if want("documents"):
+        vocab = np.array(
+            "a agg batch big column customer data dup fast filter group hash join "
+            "key line merge order part query row scan slow small sort spark stream "
+            "table the value vector window".split()
+        )
+        langs = np.array(["en", "zh", "es", "fr", "de"])
+        lang_p = np.array([0.44, 0.15, 0.14, 0.135, 0.135])
+        n_words = rng.integers(10, 101, n_docs)
+        texts = [
+            " ".join(vocab[rng.integers(0, len(vocab), k)]) for k in n_words
+        ]
+        # exact duplicates (~0.2%) so dedup operators have real work
+        for i in rng.choice(np.arange(1, n_docs), max(1, n_docs // 500), replace=False):
+            texts[i] = texts[rng.integers(0, i)]
+        _write(out, "documents", pa.table({
+            "doc_id": pa.array(np.arange(n_docs), pa.int64()),
+            "text": texts,
+            "lang": pa.array(langs[rng.choice(5, n_docs, p=lang_p)]),
+            "source": pa.array([f"src{i}" for i in rng.integers(0, 20, n_docs)]),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }))
 
     # --- embeddings: isotropic unit vectors (measured: no cluster structure) ---
-    vec = rng.normal(0, 1, (n_vecs, 64)).astype("float32")
-    vec /= np.linalg.norm(vec, axis=1, keepdims=True)
-    _write(out, "embeddings", pa.table({
-        "vec_id": pa.array(np.arange(n_vecs), pa.int64()),
-        "embedding": pa.array(list(vec), pa.list_(pa.float32())),
-        "label": pa.array(rng.integers(0, 10, n_vecs), pa.int32()),
-    }))
+    if want("embeddings"):
+        vec = rng.normal(0, 1, (n_vecs, 64)).astype("float32")
+        vec /= np.linalg.norm(vec, axis=1, keepdims=True)
+        _write(out, "embeddings", pa.table({
+            "vec_id": pa.array(np.arange(n_vecs), pa.int64()),
+            "embedding": pa.array(list(vec), pa.list_(pa.float32())),
+            "label": pa.array(rng.integers(0, 10, n_vecs), pa.int32()),
+        }))
 
     with open(os.path.join(out, "GENERATED.json"), "w") as f:
         json.dump({"sf": sf, "seed": seed, "generator": "scripts/gen_sf1.py"}, f)
@@ -216,5 +230,8 @@ if __name__ == "__main__":
     ap.add_argument("--sf", type=float, default=1.0)
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "testdata_sf1"))
+    ap.add_argument("--tables", default=None,
+                    help="comma-separated subset (default: all)")
     args = ap.parse_args()
-    gen(args.sf, args.out)
+    gen(args.sf, args.out,
+        tables=set(args.tables.split(",")) if args.tables else None)

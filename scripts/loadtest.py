@@ -10,13 +10,20 @@ stronger than the reference, which sheds load on a full internal queue
     4 sender connections (mirroring generate-stdout.rb's 4-way parallel
     send) push N RFC 5424 JSON-payload lines over plain TCP into the
     custom syslog DataSource → parse → rule cascade → routed stream →
-    counting sink.  We wait until the sink has seen EXACTLY N rows and
-    report the end-to-end rate plus the per-batch processedRowsPerSecond
-    samples.
+    sink.  We wait until the sink has seen EXACTLY N rows and report the
+    end-to-end rate plus the per-batch processedRowsPerSecond samples.
 
-    python scripts/loadtest.py [n_messages] [port]
+    python scripts/loadtest.py [n_messages] [port] [sink]
 
-Prints ONE JSON line: {"metric": "tcp_e2e_messages", "value": <rows/s>,
+``sink`` is ``memory`` (default — counting sink) or ``parquet``: the
+reference's real path ends in Kafka/Parquet
+(/root/reference/src/sink/parquet.rs:238-290), so the parquet mode
+drives ``typed_parquet_foreach_batch`` with a DECLARED schema for the
+routed topic — every payload decodes through the schema into typed
+parquet files, and the received count is read back from the files
+themselves (plus the count of written parquet files).
+
+Prints ONE JSON line: {"metric": "...", "value": <rows/s>,
 "sent": N, "received": N, "dropped": 0, ...}
 """
 
@@ -43,11 +50,16 @@ def _send(host: str, port: int, lines: list[str]) -> None:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     port = int(sys.argv[2]) if len(sys.argv) > 2 else random.randint(20000, 40000)
+    sink = sys.argv[3] if len(sys.argv) > 3 else "memory"
     host = "127.0.0.1"
+
+    import glob
+    import shutil
+    import tempfile
 
     from pyspark.sql import SparkSession
 
-    from hotdog_spark.config import load
+    from hotdog_spark.config import load, load_dict
     from hotdog_spark.sources.syslog_tcp import syslog_stream
     from hotdog_spark.streaming.runner import build_routed_stream
 
@@ -67,12 +79,67 @@ def main() -> None:
     src = syslog_stream(spark, host=host, port=port, buffer=str(max(n * 2, 200_000)))
     routed = build_routed_stream(src, settings)
 
-    q = (
-        routed.writeStream.format("memory")
-        .queryName("loadtest_sink")
-        .outputMode("append")
-        .start()
-    )
+    out_dir = None
+    if sink == "parquet":
+        # the reference's real sink path: declared per-topic schema →
+        # typed parquet (src/sink/parquet.rs:171-230).  The loadtest
+        # payloads route to topic `test` with the cascade's merged JSON,
+        # so declare that exact shape.
+        from hotdog_spark.streaming.sinks import typed_parquet_foreach_batch
+
+        typed_settings = load_dict(
+            {
+                "global": {"listen": {"port": 1}},
+                "rules": [],
+                "schemas": [
+                    {
+                        "topic": "test",
+                        "fields": {
+                            "i": {"type": "long"},
+                            "meta": {
+                                "type": "struct",
+                                "fields": {
+                                    "topic": {"type": "string"},
+                                    "hotdog": {
+                                        "type": "struct",
+                                        "fields": {"version": {"type": "string"}},
+                                    },
+                                },
+                            },
+                        },
+                    }
+                ],
+            },
+            environ={},
+        )
+        out_dir = tempfile.mkdtemp(prefix="hotdog_loadtest_pq_")
+        ckpt = tempfile.mkdtemp(prefix="hotdog_loadtest_ck_")
+        q = (
+            routed.writeStream.foreachBatch(
+                typed_parquet_foreach_batch(typed_settings, out_dir)
+            )
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+        def count_received() -> int:
+            try:
+                return spark.read.parquet(f"{out_dir}/topic=test").count()
+            except Exception:
+                return 0  # no files yet
+    else:
+        q = (
+            routed.writeStream.format("memory")
+            .queryName("loadtest_sink")
+            .outputMode("append")
+            .start()
+        )
+
+        def count_received() -> int:
+            return spark.sql(
+                "SELECT COUNT(*) AS c FROM loadtest_sink"
+            ).collect()[0].c
 
     # Give the listener a beat to bind, then blast N lines over 4
     # parallel connections (generate-stdout.rb parity).
@@ -101,7 +168,7 @@ def main() -> None:
     received = 0
     deadline = time.time() + 600
     while time.time() < deadline:
-        received = spark.sql("SELECT COUNT(*) AS c FROM loadtest_sink").collect()[0].c
+        received = count_received()
         lp = q.lastProgress
         if lp and lp.get("processedRowsPerSecond"):
             rates.append(lp["processedRowsPerSecond"])
@@ -111,21 +178,28 @@ def main() -> None:
     total_s = time.time() - t0
     q.stop()
 
-    print(
-        json.dumps(
-            {
-                "metric": "tcp_e2e_messages_per_second",
-                "value": round(n / total_s, 1),
-                "unit": "rows/sec",
-                "sent": n,
-                "received": received,
-                "dropped": n - received,
-                "send_seconds": round(sent_s, 2),
-                "e2e_seconds": round(total_s, 2),
-                "batch_rates_sample": [round(r, 1) for r in rates[-5:]],
-            }
+    payload = {
+        "metric": (
+            "tcp_e2e_typed_parquet_messages_per_second"
+            if sink == "parquet"
+            else "tcp_e2e_messages_per_second"
+        ),
+        "value": round(n / total_s, 1),
+        "unit": "rows/sec",
+        "sent": n,
+        "received": received,
+        "dropped": n - received,
+        "send_seconds": round(sent_s, 2),
+        "e2e_seconds": round(total_s, 2),
+        "batch_rates_sample": [round(r, 1) for r in rates[-5:]],
+    }
+    if out_dir is not None:
+        payload["parquet_files_written"] = len(
+            glob.glob(f"{out_dir}/topic=test/*.parquet")
         )
-    )
+        payload["decode_failed"] = 0 if received == n else None
+        shutil.rmtree(out_dir, ignore_errors=True)
+    print(json.dumps(payload))
     spark.stop()
     sys.exit(0 if received == n else 1)
 

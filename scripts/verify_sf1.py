@@ -25,13 +25,14 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.path.join(REPO, "testdata_sf1")
 
-# DuckDB-oracle cost is the criterion, not importance.  After the
-# round's shingle-width fixes most oracles became tractable at sf1 (the
-# minhash family's candidate set dropped 1000x); what remains here was
-# MEASURED too slow single-threaded in DuckDB, with the clock noted.
-EXCLUDE = {
-    "dedup_fuzzy_levenshtein": "measured 178 s in DuckDB at sf1 (levenshtein over blocked pairs)",
-}
+# DuckDB-oracle cost is the criterion, not importance.  Round 5 closed
+# the last exclusion: dedup_fuzzy_levenshtein's oracle runs ~172 s at
+# sf1 (441 k blocked candidates × full-matrix levenshtein over ~2 KB
+# texts; measured, and no lossless prune exists — the corpus perturbs
+# by word shuffles, so char-frequency lower bounds prune 0 of 441 k and
+# length bands prune nothing within same-token-count blocks).  ~3 min
+# once per round buys 148/148 oracle coverage at 10x scale.
+EXCLUDE: dict[str, str] = {}
 
 
 def canon(df):

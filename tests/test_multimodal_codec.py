@@ -149,3 +149,36 @@ def test_extract_features_real_decode(spark):
     feats = extract_features(df, dim=8).collect()[0]
     assert feats.feat_dim == 8
     assert all(abs(f - 100.0 / 255.0) < 1e-6 for f in feats.features)
+
+
+def test_audio_chunks_pcm_sample_aligned(spark):
+    """Sample-aligned PCM chunking: a stereo 16-bit WAV with 7 frames and
+    chunk_frames=3 must split 3+3+1 ON FRAME BOUNDARIES (never mid-frame,
+    never splitting a 16-bit sample), with exact integer stats per chunk;
+    an undecodable payload yields no rows (divert, not fatal)."""
+    import struct
+
+    from hotdog_spark.operators.multimodal import audio_chunks_pcm, synth_wav
+
+    # stereo frames: frame i = (L=10i, R=-10i)  → 14 interleaved samples
+    samples = []
+    for i in range(7):
+        samples += [10 * i, -10 * i]
+    pcm = b"".join(struct.pack("<h", v) for v in samples)
+    wav = synth_wav(pcm, sample_rate=8000, channels=2, bits=16)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"not a wav at all"))],
+        "media_id long, content binary",
+    )
+    rows = {r.chunk_idx: r for r in audio_chunks_pcm(df, chunk_frames=3).collect()}
+    assert set(rows) == {0, 1, 2}  # id 2 diverted: no rows
+    assert [rows[i].n_frames for i in range(3)] == [3, 3, 1]
+    # chunk 0: frames 0-2 → samples [0,0,10,-10,20,-20]
+    assert rows[0].sum_val == 0
+    assert rows[0].min_val == -20 and rows[0].max_val == 20
+    assert rows[0].peak_abs == 20
+    assert rows[0].sum_sq == 2 * (0 + 100 + 400)
+    # chunk 2: frame 6 only → [60,-60]
+    assert rows[2].sum_val == 0 and rows[2].peak_abs == 60
+    assert rows[2].sum_sq == 2 * 3600
+    assert all(r.media_id == 1 for r in rows.values())

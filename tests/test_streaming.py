@@ -514,6 +514,29 @@ def test_syslog_octet_verbatim_and_oversized_shedding():
         lst.close()
 
 
+def test_tws_version_guard(spark, monkeypatch):
+    """The transformWithStateInPandas twin must not break older Spark:
+    the module imports without the Spark-4 API (the import is deferred
+    into the function), and when the API is absent — simulated by
+    blocking its module — the call raises a directed NotImplementedError
+    naming the 3.5-compatible twin, not an opaque ImportError."""
+    import importlib
+    import sys as sys_mod
+
+    import pytest as pytest_mod
+
+    import hotdog_spark.streaming.stateful as st
+
+    importlib.reload(st)  # import itself never touches the Spark-4 API
+
+    routed = spark.createDataFrame([("t1",)], "topic string")
+    monkeypatch.setitem(
+        sys_mod.modules, "pyspark.sql.streaming.stateful_processor", None
+    )
+    with pytest_mod.raises(NotImplementedError, match="Spark >= 4"):
+        st.running_topic_counts_tws(routed)
+
+
 def test_syslog_tls_source(spark, tmp_path):
     import random
     import subprocess
