@@ -60,21 +60,100 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, bands: int = 8, k: int = 3
 ) -> DataFrame:
-    """MinHash signatures: ``bands`` independent hash functions, each the
-    lexicographic min of md5('<band>|'<shingle>) over the doc's shingles.
-    Returns (id, band, sig) — one row per (doc, band).
+    """MinHash signatures — dispatches to the Arrow-batched kernel
+    (:func:`_minhash_signatures_kernel`): tokenize → k-word shingles →
+    ONE md5 per shingle → per-band minima, all inside one map stage with
+    C-speed inner loops.  The Catalyst expression twin
+    (:func:`_minhash_signatures_expr`) is kept for cross-validation
+    (property-pinned bit-identical); sf10 measured its shingle
+    explode — 25 M interpreted transform/concat_ws evaluations — at
+    ~20 s before a single hash was computed, ~6× the whole kernel.
+    Returns (id, band, sig) — one row per (doc, band)."""
+    return _minhash_signatures_kernel(df, text_col, id_col, bands, k)
+
+
+def _minhash_signatures_kernel(
+    df: DataFrame, text_col: str, id_col: str, bands: int, k: int
+) -> DataFrame:
+    """See :func:`minhash_signatures`.  Bit-parity notes: normalization
+    is lower → trim spaces → split on JAVA-\s runs (Python's \s is
+    Unicode-wide and would diverge); a doc shorter than k words
+    collapses to one whole-text shingle like :func:`word_shingles`;
+    band b's hash is the 15-hex-char window of md5(shingle) at offset
+    2b, and fixed-width lowercase hex compares lexicographically in
+    value order, so ``min`` over Python strings equals the expression
+    path's MIN."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    ws = re.compile("[ \t\n\x0b\f\r]+")
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, bnds, sigs = [], [], []
+            for did, text in zip(pdf["id"], pdf["txt"]):
+                if text is None:
+                    # parity: the expression path explodes a null
+                    # shingle array to zero rows — null docs get no sigs
+                    continue
+                norm = text.lower().strip(" ")
+                toks = ws.split(norm)
+                if len(toks) < k:
+                    shingles = [" ".join(toks)]
+                else:
+                    shingles = [
+                        " ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)
+                    ]
+                hashes = [
+                    hashlib.md5(sh.encode("utf-8")).hexdigest() for sh in shingles
+                ]
+                for b in range(bands):
+                    ids.append(did)
+                    bnds.append(b)
+                    sigs.append(min(h[2 * b: 2 * b + 15] for h in hashes))
+            yield pd.DataFrame({
+                "id": pd.Series(ids, dtype="int64"),
+                "band": pd.Series(bnds, dtype="int32"),
+                "sig": sigs,
+            })
+
+    staged = fan_out(df).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("txt")
+    )
+    return staged.mapInPandas(kernel, "id long, band int, sig string")
+
+
+def _minhash_signatures_expr(
+    df: DataFrame, text_col: str, id_col: str, bands: int = 8, k: int = 3
+) -> DataFrame:
+    """MinHash signatures: ``bands`` hash functions derived from one md5
+    per shingle (overlapping 15-hex windows), each the lexicographic min
+    over the doc's shingles.  Returns (id, band, sig) — one row per
+    (doc, band).
 
     All band minima are computed in ONE aggregation over the shingle rows
     (8 min() columns, map-side combinable) instead of exploding shingles ×
     bands — an 8× reduction of the shuffled row count; the (band, sig)
-    long format is unpivoted afterwards from the tiny per-doc result."""
+    long format is unpivoted afterwards from the tiny per-doc result.
+
+    ONE md5 PER SHINGLE: band b's hash is the 15-hex-char window of
+    md5(shingle) starting at 2b+1 (overlapping 60-bit windows of one
+    128-bit digest — the standard split-a-wide-hash construction for k
+    MinHash functions).  The first version hashed md5(band|shingle),
+    i.e. ``bands`` md5 evaluations per shingle instance; sf10 measured
+    that as 384 M md5 calls dominating the whole operator.  Fixed-width
+    lowercase hex compares lexicographically in value order, so MIN
+    over the substring IS the min-hash; every oracle mirrors the same
+    substring windows."""
     shingled = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(normalized_tokens(F.col(text_col)), k)).alias("shingle"),
-    )
+    ).withColumn("_h", F.md5("shingle"))
     sigs_wide = shingled.groupBy("id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("shingle")))).alias(f"sig{b}")
+            F.min(F.substring("_h", 2 * b + 1, 15)).alias(f"sig{b}")
             for b in range(bands)
         ]
     )
@@ -85,7 +164,12 @@ def minhash_signatures(
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, text_col: str, id_col: str, bands: int = 8, k: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bands: int = 8,
+    k: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs: docs sharing any band signature.
     Returns distinct (id_a, id_b) with id_a < id_b.
@@ -102,8 +186,27 @@ def minhash_lsh_pairs(
     7.6 M candidates across sf0.01/0.1/1 (~×90 per ×10 docs).  The
     registered queries use k=5, whose universe outgrows the corpus and
     keeps collisions meaning near-duplication; the default stays k=3
-    for short-text/rich-vocabulary inputs."""
+    for short-text/rich-vocabulary inputs.
+
+    ``max_bucket`` is the second dial, for when even wide shingles
+    saturate (sf10 measured k=5 candidates going quadratic again at
+    500 k docs): (band, sig) buckets holding more than ``max_bucket``
+    docs are DROPPED before the join — the standard LSH bucket cap
+    (a bucket that a meaningful fraction of the corpus falls into
+    signals a degenerate signature, not near-duplication; its O(b²)
+    pairs are noise).  Deliberately a documented *semantic* (the
+    oracles mirror it with a HAVING on bucket size), not a silent
+    truncation.  The count-then-filter runs BEFORE any pair
+    materializes, so the cap also bounds the join's skew."""
     sigs = track_persist(minhash_signatures(df, text_col, id_col, bands, k))
+    if max_bucket is not None:
+        keep = (
+            sigs.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket)
+            .select("band", "sig")
+        )
+        sigs = sigs.join(keep, ["band", "sig"])
     a = sigs.select(
         F.col("band"), F.col("sig"), F.col("id").alias("id_a")
     )
@@ -684,10 +787,25 @@ def prefix_filter_jaccard_pairs(
     # candidate join wrote 43 GB of shuffle before filling the disk);
     # the 5-word universe is ~1000x larger, so element dfs stay O(1) as
     # the corpus grows.  Monitor this ratio when porting to a new corpus.
+    #
+    # Elements are HASHED to int60 (md5 prefix, engine-portable — the
+    # DuckDB oracle reproduces the identical integers digit-by-digit),
+    # so every downstream row carries an 8-byte key instead of a ~45-byte
+    # shingle string: sf10 measured 3.3 GB of shuffle with string
+    # elements, dominated by payload width.  A hash collision would
+    # merge two shingles IDENTICALLY in both engines (same md5), so
+    # oracle parity is exact by construction; at 60 bits the expected
+    # collision count stays ≪ 1 far beyond 10⁸ distinct shingles.
+    shingle_hash = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")  # noqa: E731
     toks = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.array_sort(
-            F.array_distinct(word_shingles(normalized_tokens(F.col(text_col)), 5))
+            F.array_distinct(
+                F.transform(
+                    word_shingles(normalized_tokens(F.col(text_col)), 5),
+                    shingle_hash,
+                )
+            )
         ).alias("ta"),
     ).withColumn("sz", F.size("ta").cast("bigint"))
     toks = track_persist(toks)
@@ -720,30 +838,50 @@ def prefix_filter_jaccard_pairs(
         toks.join(ordered, "id")
         .select(
             "id", "sz",
-            F.explode(F.slice("by_rank", F.lit(1), plen)).alias("ptok"),
+            F.posexplode(F.slice("by_rank", F.lit(1), plen)).alias("pos", "ptok"),
         )
     )
     pref = track_persist(pref)
     a = pref.select(
-        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"), "ptok",
+        F.col("id").alias("id_a"), F.col("sz").alias("sz_a"),
+        F.col("pos").alias("pa"), "ptok",
     )
     b = pref.select(
         F.col("id").alias("id_b"), F.col("sz").alias("sz_b"),
-        F.col("ptok").alias("ptok_b"),
+        F.col("pos").alias("pb"), F.col("ptok").alias("ptok_b"),
     )
     # PPJoin LENGTH FILTER (lossless): J(x,y) >= t forces
     # t*|x| <= |y| and t*|y| <= |x| — applied inside the join condition
     # so out-of-band-size pairs never materialize.
+    joined = a.join(
+        b,
+        (F.col("ptok") == F.col("ptok_b"))
+        & (F.col("id_a") < F.col("id_b"))
+        & (F.col("sz_b").cast("double") >= F.lit(threshold) * F.col("sz_a").cast("double"))
+        & (F.col("sz_a").cast("double") >= F.lit(threshold) * F.col("sz_b").cast("double")),
+    )
+    # PPJoin POSITIONAL FILTER (lossless): with both sets in the same
+    # global rarity order, every shared element sits at position >=
+    # min-shared-prefix-position in each set, so
+    # inter <= min(|x| - pa*, |y| - pb*) with pa*/pb* the coordinate-wise
+    # minima over the pair'''s shared prefix elements; and J >= t forces
+    # inter >= ceil(t/(1+t)·(|x|+|y|)).  Candidates whose positional
+    # upper bound cannot reach that floor are pruned BEFORE the
+    # verification join ever fetches their full element arrays — they
+    # could only fail it.  (Per-row bounds would over-prune: the minima
+    # may come from different elements, hence the aggregate.)
+    alpha = F.ceil(
+        F.lit(threshold) / F.lit(1.0 + threshold)
+        * (F.col("sz_a") + F.col("sz_b")).cast("double")
+    )
     cand = (
-        a.join(
-            b,
-            (F.col("ptok") == F.col("ptok_b"))
-            & (F.col("id_a") < F.col("id_b"))
-            & (F.col("sz_b").cast("double") >= F.lit(threshold) * F.col("sz_a").cast("double"))
-            & (F.col("sz_a").cast("double") >= F.lit(threshold) * F.col("sz_b").cast("double")),
+        joined.groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.min("pa").alias("pa"), F.min("pb").alias("pb"))
+        .filter(
+            F.least(F.col("sz_a") - F.col("pa"), F.col("sz_b") - F.col("pb"))
+            >= alpha
         )
         .select("id_a", "id_b", "sz_a", "sz_b")
-        .dropDuplicates(["id_a", "id_b"])
     )
     ta = toks.select(F.col("id").alias("id_a"), F.col("ta").alias("ta_a"))
     tb = toks.select(F.col("id").alias("id_b"), F.col("ta").alias("ta_b"))

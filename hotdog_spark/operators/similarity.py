@@ -128,12 +128,38 @@ def _centroid_rows(
     ]
 
 
+def _dot_lit(q: Column, qc: list[int]) -> Column:
+    """Dot product of an array column against a LITERAL vector as an
+    explicit element_at sum — a flat whole-stage-codegen expression.
+    The ``zip_with + aggregate`` form (:func:`_dot`) is a higher-order
+    function Catalyst interprets per element; with 8 centroids × 64
+    dims × 200 k rows that interpretation measured 80+ s at sf10, vs
+    single-digit seconds for the expanded sum.  Only valid for literal
+    vectors (the expansion is per-component)."""
+    terms = [
+        F.element_at(q, i + 1) * F.lit(int(c))
+        for i, c in enumerate(qc)
+        if int(c) != 0
+    ]
+    if not terms:
+        return F.lit(0).cast("bigint")
+    acc = terms[0]
+    for t in terms[1:]:
+        acc = acc + t
+    return acc
+
+
 def _sorted_cells_expr(cents: list[tuple[int, list[int], int]]) -> Column:
     """Array of (d², cell_id) structs sorted nearest-first, evaluated per
     row against the (q, n2) columns: cell assignment as a pure projection."""
 
     def dist2_to(qc: list[int], n2c: int) -> Column:
         # |v - c|^2 = n2(v) + n2(c) - 2·v·c, all bigint-exact.
+        # HOF _dot, not the literal-expanded sum: measured FASTER for
+        # small centroid counts (1.6 s vs 3.7 s at sf10/8 cells), and
+        # the consumer must STAGE this expression through a column —
+        # un-staged re-inlining, not the dot form, was ann_ivf's sf10
+        # blow-up (see ivf_topk).
         return F.col("n2") + F.lit(int(n2c)) - F.lit(2) * _dot(F.col("q"), _lit_vec(qc))
 
     return F.array_sort(
@@ -210,19 +236,43 @@ def ivf_topk(
     base = with_quantized(df, vec_col, id_col)
     cents = _centroid_rows(base, centroid_filter, centroids)
     cells = _sorted_cells_expr(cents)
-    assigned = base.withColumn("cell", F.element_at(cells, 1).getField("cid"))
+    # STAGE the sorted-cells expression through a column (select from
+    # `staged`, never re-derive from the raw expression): without the
+    # barrier Catalyst re-inlines the full 8-struct × 64-term distance
+    # array into every downstream consumer — the probe explode, the
+    # join condition, the scoring projection — re-evaluating it
+    # per-candidate-pair instead of per-row (sf10 measured ann_ivf at
+    # 80+ s with 2-4 s of real assignment work; same pathology the
+    # winnowing chain pinned for InferFiltersFromGenerate).
+    staged = base.withColumn("_cells", cells)
+    # COALESCE makes `cell` non-nullable: the equi-join downstream would
+    # otherwise infer isnotnull(cell) (InferFiltersFromConstraints) and
+    # push it below fan_out's exchange INTO THE SCAN, inlining the full
+    # 8-struct × 64-dim distance array into a per-row Filter — measured
+    # at sf10 as 93 s of single-task CPU (the scan side had one row
+    # group) against 2-4 s of real assignment work.  element_at over the
+    # non-empty literal centroid array never IS null, so the fallback
+    # value is unreachable; it exists only to change the nullability bit.
+    assigned = staged.select(
+        "vid", "q", "n2",
+        F.coalesce(
+            F.element_at("_cells", 1).getField("cid"), F.lit(-1)
+        ).alias("cell"),
+    )
 
     probes = (
-        assigned.filter(probe_filter)
-        .withColumn("pcell", F.explode(
-            F.transform(F.slice(cells, 1, nprobe), lambda s: s.getField("cid"))
-        ))
+        staged.filter(probe_filter)
         .select(
             F.col("vid").alias("query_id"),
             F.col("q").alias("q_probe"),
             F.col("n2").alias("n2_probe"),
-            F.col("pcell"),
+            F.explode_outer(
+                F.transform(
+                    F.slice("_cells", 1, nprobe), lambda s: s.getField("cid")
+                )
+            ).alias("pcell"),
         )
+        .filter(F.col("pcell").isNotNull())
     )
     pairs = assigned.join(
         broadcast(probes), F.col("cell") == F.col("pcell")
@@ -298,9 +348,13 @@ def knn_graph(
         # scan projection, no assignment shuffle at all (ivf_topk's path)
         cells = _sorted_cells_expr(cents)
         staged = base.withColumn("_cells", cells)
+        # coalesce: non-nullable cell, so the cell-keyed join infers no
+        # isnotnull filter to push below the exchange (see ivf_topk)
         assigned = staged.select(
             "vid", "q", "n2",
-            F.element_at("_cells", 1).getField("cid").alias("cell"),
+            F.coalesce(
+                F.element_at("_cells", 1).getField("cid"), F.lit(-1)
+            ).alias("cell"),
         )
         # explode_OUTER: an inner explode lets InferFiltersFromGenerate
         # push a size() filter that re-inlines the staged cells expression

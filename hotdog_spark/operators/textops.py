@@ -311,6 +311,20 @@ def winnowing_pairs(
     length mismatch.  Reference anchor: the reference has no analog
     (it is a syslog router); this extends SURVEY §7.3 M5.
 
+    MEASURED SCALE CHARACTERISTIC (sf10): on the synthetic 31-word
+    corpus the TRUE RESULT grows quadratically — 404 k pairs at 50 k
+    docs → 21.6 M pairs at 500 k docs — because the 20-char gram space
+    saturates and unrelated documents genuinely share ≥ min_shared
+    fingerprints.  The operator's work stays proportional to candidates
+    (392 M candidate rows → 21.6 M output in ~118 s, ~0.3 µs/candidate);
+    no plan can emit a 21.6 M-row answer with sub-answer-sized shuffle.
+    On a rich-vocabulary corpus the answer (and hence cost) stays near
+    linear; the dials when a corpus saturates are gram width ``k``
+    (wider grams ⇒ fewer coincidental matches) and ``max_df`` (lower ⇒
+    only rarer, more discriminative fingerprints pair).  Same
+    saturation finding as word-set Jaccard (ngram_jaccard_pairs
+    docstring), one representation level down.
+
     SHUFFLE DIET (sf1-measured): the first shape self-joined the exploded
     (id, n_fp, fp) table on fp — the fingerprint rows (with the n_fp
     payload riding every one) crossed the wire twice for the join plus
@@ -344,14 +358,25 @@ def winnowing_pairs(
     # _mins is array_distinct per doc, so count(*) per id IS n_fp — the
     # PRE-cap fingerprint count, same as size(_mins)
     sizes = fps.groupBy("id").agg(F.count("*").cast("bigint").alias("n_fp"))
-    # one shuffle of bare (id, fp): docs sharing each fingerprint,
-    # sorted for id_a < id_b; lists longer than max_df (boilerplate
-    # everyone shares, O(df²) pairs) are dropped here — the same cap the
-    # anti-join applied, now a free post-aggregate filter
-    grouped = (
+    # COUNT FIRST, COLLECT SECOND (sf10-measured): collecting id-lists
+    # and then filtering on size materializes the FULL list for every
+    # ubiquitous fingerprint before the cap can apply — at sf10 that
+    # meant multi-100k-element aggregation buffers, 6.7 GB of spill and
+    # a 12.7× time ratio.  The count aggregate is map-side combinable
+    # (counts, never lists), the eligible-fp filter (2 ≤ df ≤ max_df)
+    # applies before any list exists, and the fp-keyed join + groupBy
+    # reuse one partitioning, so every collected list is ≤ max_df
+    # elements by construction.
+    eligible = (
         fps.groupBy("fp")
+        .agg(F.count("*").alias("_df"))
+        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_df))
+        .select("fp")
+    )
+    grouped = (
+        fps.join(eligible, "fp")
+        .groupBy("fp")
         .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-        .filter((F.size("ids") >= 2) & (F.size("ids") <= max_df))
     )
     # pair generation is a map-side array expression over each bounded
     # list: element i pairs with every later element

@@ -43,7 +43,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ex AS (
       SELECT doc_id, unnest(shingles) AS shingle FROM sh
     ), sigs AS (
-      SELECT doc_id, band, MIN(md5(band || '|' || shingle)) AS sig
+      SELECT doc_id, band, MIN(substring(md5(shingle), 2 * band + 1, 15)) AS sig
       FROM ex, (SELECT unnest(generate_series(0, 7)) AS band) b
       GROUP BY doc_id, band
     )
@@ -53,9 +53,15 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates: 5-word shingles → 8 md5 minhashes
-    → bucket join on (band, signature).  The shuffle key is the signature,
-    so candidate generation never compares all pairs."""
+    """MinHash+LSH near-dup candidates: 5-word shingles → 8 band minima
+    (overlapping 60-bit windows of ONE md5 per shingle — sf10 measured
+    the per-(band,shingle) md5 version at 384 M digest calls, 8× this)
+    → bucket join on (band, signature).  The shuffle key is the
+    signature, so candidate generation never compares all pairs.  sf10
+    bucket audit: max bucket 8 docs, 781 k candidate pairs for 500 k
+    docs — no saturation, so the operator's optional max_bucket cap
+    stays off (it cost an extra count+join pass for nothing when
+    measured)."""
     return ops.minhash_lsh_pairs(
         table(spark, sf_dir, "documents"), "text", "doc_id", bands=8, k=5
     )
@@ -241,8 +247,8 @@ def dedup_chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("n_chunks", F.col("n_chunks").cast("bigint"))
 
 
-_BUCKET8 = " || ".join(
-    f"(CASE WHEN qv[{i}] >= 0 THEN '1' ELSE '0' END)" for i in range(1, 9)
+_BUCKET24 = " || ".join(
+    f"(CASE WHEN qv[{i}] >= 0 THEN '1' ELSE '0' END)" for i in range(1, 25)
 )
 _QUANT_EMB = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
@@ -260,8 +266,14 @@ _QUANT_EMB = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000
       SELECT vec_id, {_QUANT_EMB} AS qv,
              list_sum(list_transform({_QUANT_EMB}, x -> x * x)) AS n2
       FROM corpus
+    ), params AS (
+      SELECT GREATEST(8, LEAST(24,
+        CAST(ceil(log2(CAST(COUNT(*) AS DOUBLE) / 64.0)) AS INT))) AS bits
+      FROM corpus
     ), b AS (
-      SELECT vec_id, qv, n2, {_BUCKET8} AS bucket FROM n WHERE n2 > 0
+      SELECT vec_id, qv, n2,
+             substring({_BUCKET24}, 1, (SELECT bits FROM params)) AS bucket
+      FROM n WHERE n2 > 0
     )
     SELECT a.vec_id AS id_a, c.vec_id AS id_b,
            CAST(list_sum(list_transform(list_zip(a.qv, c.qv), s -> s[1] * s[2])) AS DOUBLE)
@@ -276,7 +288,18 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.99 within buckets.  The corpus is augmented with deterministically
     perturbed copies (×1.01 scaling of every 20th vector) so the operator
     provably recovers planted near-duplicates — the synthetic embeddings
-    have no natural ones (max pairwise cosine ≈ 0.55)."""
+    have no natural ones (max pairwise cosine ≈ 0.55).
+
+    BUCKET BITS SCALE WITH THE CORPUS — bits = clamp(⌈log2(n/64)⌉, 8, 24)
+    — keeping expected bucket size (and so pair volume per bucket)
+    constant as n grows: sf10 measured the fixed-8-bit version going
+    quadratic (19.6× time for 10× rows) because 256 buckets means bucket
+    size ∝ n.  The oracle derives the same width from the same count and
+    takes the same sign-string prefix.  A scaling perturbation preserves
+    every sign, so planted near-dup recall is invariant to the width —
+    only the candidate volume changes."""
+    import math
+
     from hotdog_spark.operators import similarity as sim
 
     emb = table(spark, sf_dir, "embeddings")
@@ -285,7 +308,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x * F.lit(1.01)).alias("embedding"),
     )
     corpus = emb.select("vec_id", "embedding").unionByName(planted)
-    return sim.near_dup_pairs(corpus, "embedding", "vec_id", threshold=0.99, bits=8)
+    n = corpus.count()
+    bits = max(8, min(24, math.ceil(math.log2(n / 64.0))))
+    return sim.near_dup_pairs(corpus, "embedding", "vec_id", threshold=0.99, bits=bits)
 
 
 _MINHASH_PAIRS_SQL = f"""
@@ -300,7 +325,7 @@ _MINHASH_PAIRS_SQL = f"""
     ), ex AS (
       SELECT doc_id, unnest(shingles) AS shingle FROM sh
     ), sigs AS (
-      SELECT doc_id, band, MIN(md5(band || '|' || shingle)) AS sig
+      SELECT doc_id, band, MIN(substring(md5(shingle), 2 * band + 1, 15)) AS sig
       FROM ex, (SELECT unnest(generate_series(0, 7)) AS band) b
       GROUP BY doc_id, band
     )
@@ -489,7 +514,7 @@ def dedup_components_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame
     ), ex AS (
       SELECT doc_id, unnest(shingles) AS shingle FROM sh
     ), sigs AS (
-      SELECT doc_id, band, MIN(md5(band || '|' || shingle)) AS sig
+      SELECT doc_id, band, MIN(substring(md5(shingle), 2 * band + 1, 15)) AS sig
       FROM ex, (SELECT unnest(generate_series(0, 7)) AS band) b
       GROUP BY doc_id, band
     ), cand AS (
@@ -526,10 +551,11 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
       SELECT doc_id, {_TOKS} AS t FROM documents
     ), toks AS (
       SELECT doc_id,
-             list_sort(list_distinct(
+             list_sort(list_distinct(list_transform(
                CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
                     ELSE [array_to_string(t[i:i+4], ' ')
-                          for i in generate_series(1, len(t)-4)] END)) AS ta
+                          for i in generate_series(1, len(t)-4)] END,
+               s -> list_sum(list_transform(generate_series(1,15), i -> CAST(strpos('0123456789abcdef', substring(md5(s), i, 1)) - 1 AS BIGINT) * CAST(pow(16, 15 - i) AS BIGINT)))))) AS ta
       FROM w
     ), sized AS (
       SELECT doc_id, ta, CAST(len(ta) AS BIGINT) AS sz FROM toks
@@ -570,11 +596,15 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set-similarity join with PREFIX FILTERING (PPJoin family): pairs
     with 5-word-shingle-set Jaccard >= 0.8, candidates generated ONLY
     from each document's rare-shingle prefix (|x| - ceil(0.8|x|) + 1
-    elements ordered by ascending global document frequency).  Lossless
-    by the prefix principle while ubiquitous shingles never reach the
-    join; shingles (not tokens) keep the element space Zipf-like so the
-    filter actually prunes — see the operator docstring for the measured
-    token-set failure mode on a small-vocabulary corpus."""
+    elements ordered by ascending global document frequency), pruned
+    further by PPJoin's positional upper bound (lossless — see the
+    operator).  Elements travel as md5-int60 hashes (8-byte keys instead
+    of ~45-byte shingle strings; the oracle reproduces the identical
+    integers digit-by-digit, so any collision merges the same pair of
+    shingles in both engines).  Shingles (not tokens) keep the element
+    space Zipf-like so the filter actually prunes — see the operator
+    docstring for the measured token-set failure mode on a
+    small-vocabulary corpus."""
     return ops.prefix_filter_jaccard_pairs(
         table(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.8
     )

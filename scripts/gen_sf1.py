@@ -57,7 +57,15 @@ def _dates(rng, n, lo, hi):
 
 def _write(out, name, table):
     path = os.path.join(out, f"{name}.parquet")
-    pq.write_table(table, path, compression="snappy")
+    # MULTIPLE ROW GROUPS (>= 32 for any non-tiny table): a single-group
+    # file collapses Spark's scan to ONE task no matter how many byte
+    # splits it plans, so any filter the optimizer pushes below the
+    # fan_out exchange runs single-threaded — measured at sf10 as a 93 s
+    # straggler on embeddings.  Real lakes ship many files/groups; the
+    # stress data should too.
+    rows_per_group = max(1024, table.num_rows // 32)
+    pq.write_table(table, path, compression="snappy",
+                   row_group_size=rows_per_group)
     print(f"  {name}: {table.num_rows:,} rows -> {path}")
 
 

@@ -43,9 +43,9 @@ AUDIT = [
     ("dedup_chunk_boilerplate", "chunk dedup: hot-chunk broadcast flag-join, ONE doc aggregate"),
     ("pack_split_sequences", "split packing: window cumsum + bounded generator"),
     ("embedding_drift_report", "drift: both cohorts in ONE conditional-sum aggregate"),
-    ("dedup_winnowing_pairs", "MOSS pairs: hot-fp broadcast anti-join caps the self-join"),
+    ("dedup_winnowing_pairs", "MOSS pairs: one (id,fp) shuffle, map-side pairs from capped lists"),
     ("agg_approx_distinct_users_sketch_only", "HLL rollup: one mergeable agg, no per-user shuffle"),
-    ("knn_graph_ivf", "kNN graph: bcast centroid table assign, cell-keyed pair join"),
+    ("knn_graph_ivf", "kNN graph: per-cell Arrow matmul, window only on nprobe*k rows"),
     ("pack_sharded_bins", "sharded packing: langs x shards parallel windows"),
     ("export_zorder_tiles", "zorder tiles: bit-interleave projection + one agg"),
     ("text_bm25_topk", "bm25: 1-row stats broadcast + TakeOrdered top-k"),

@@ -287,23 +287,32 @@ def test_winnowing_pairs_plan_shape(spark):
     pairs = winnowing_pairs(docs, "text", "doc_id", k=12, w=4,
                             max_df=10, min_shared=2)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
-    saw_size_filter = False
+    saw_df_filter = False
     for line in plan.splitlines():
         stripped = line.strip().lstrip(":+- ")
         if "Join" in line:
-            assert "fp#" not in line, (
-                "fingerprint rows crossed a join — the shuffle-diet shape "
-                "regressed to the self-join:\n" + line[:500]
+            # the only fp-keyed join allowed is the eligibility
+            # semi-filter against the COUNT aggregate — a join that
+            # ships collected id-lists means pair generation regressed
+            # to a list-carrying self-join
+            assert "ids#" not in line, (
+                "collected id-lists crossed a join:\n" + line[:500]
             )
         if stripped.startswith("Filter"):
             assert "regexp_replace" not in line, (
                 "winnowing chain inlined into a Filter:\n" + line[:500]
             )
-            if "size(ids" in line:
-                saw_size_filter = True
-    assert saw_size_filter, (
-        "hot-fingerprint cap (size(ids) bounds) missing from the plan:\n"
-        + plan[:2000]
+            # the cap must precede list collection: a post-collect
+            # size(ids) filter means unbounded aggregation buffers
+            assert "size(ids" not in line, (
+                "hot-fp cap regressed to a post-collect_list filter:\n"
+                + line[:500]
+            )
+            if "_df#" in line:
+                saw_df_filter = True
+    assert saw_df_filter, (
+        "count-first hot-fingerprint cap (filter on _df) missing — "
+        "collect_list would materialize unbounded lists:\n" + plan[:2000]
     )
 
 

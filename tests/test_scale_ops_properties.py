@@ -195,6 +195,43 @@ def test_winnow_kernel_matches_expression(spark):
         assert expr == kern and len(kern) == len(texts)
 
 
+def test_minhash_kernel_matches_expression(spark):
+    """The Arrow-batched MinHash signature kernel must be BIT-IDENTICAL
+    to the Catalyst expression path on adversarial inputs: empty/short
+    docs (whole-text shingle), Java-\\s whitespace runs, Unicode spaces
+    that Java \\s must NOT split on, casefolding specials, and long
+    repetitive docs."""
+    from hotdog_spark.operators import dedup as D
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog " * 4),
+        (1, ""),
+        (2, "one two"),
+        (3, "a\t\tb\nc\r\nd   e\x0b f\x0c g h i j"),
+        (4, "ÜBER straße İstanbul ß Ω ω alpha beta gamma"),
+        (5, "nb sp em space stay one token each word here"),
+        (6, "  leading and trailing words here ok   "),
+        (7, "rep " * 100),
+        (8, None),
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    for bands, k in [(8, 5), (4, 3)]:
+        expr = {
+            (r["id"], r["band"]): r["sig"]
+            for r in D._minhash_signatures_expr(
+                df, "text", "doc_id", bands, k
+            ).collect()
+        }
+        kern = {
+            (r["id"], r["band"]): r["sig"]
+            for r in D._minhash_signatures_kernel(
+                df, "text", "doc_id", bands, k
+            ).collect()
+        }
+        # the None-text doc gets no signature rows on either path
+        assert expr == kern and len(kern) == (len(texts) - 1) * bands
+
+
 def test_cms_never_undercounts(spark):
     """The count-min guarantee: estimate >= exact for every key, with
     equality when the key's buckets are collision-free."""
