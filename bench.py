@@ -117,6 +117,7 @@ HEADLINE = [
     "knn_graph_ivf",               # all-nodes kNN graph, cell-keyed join
     "pack_sharded_bins",           # (lang, shard)-parallel packing
     "dedup_prefix_filter_jaccard", # PPJoin rare-prefix set-similarity join
+    "multimodal_audio_pcm_chunks", # WAV synth → real PCM decode → frame-aligned chunk stats
 ]
 
 
@@ -194,6 +195,15 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "runs_per_query": runs,
+        # Round 5 methodology change, affecting round-over-round ratios:
+        # (a) median-of-3 replaces best-of-2 (medians sit above minima,
+        # especially for sub-second queries); (b) operator-persisted
+        # intermediates are RELEASED between runs — previously a query's
+        # 2nd run could time against the 1st run's still-cached
+        # signature/fingerprint tables, flattering exactly the dedup
+        # family.  Ratios vs r4-and-earlier recordings therefore mix
+        # real deltas with honest-measurement correction.
+        "methodology": "median-of-N, tracked persists released per run",
     }
     prev = _prev_bench()
     if prev is not None:

@@ -754,6 +754,59 @@ def lsh_pairs_from_index(spark, table_name: str) -> DataFrame:
     )
 
 
+def _hashed_shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> DataFrame:
+    """(id, ta, sz) where ``ta`` is the sorted distinct md5-int60 hashed
+    k-word-shingle set — the prefix-filter input, built in one Arrow
+    batch per partition.  The expression form (transform + concat_ws
+    per shingle, then conv(substring(md5))) is interpreted per element
+    by Catalyst; at sf10 the 25 M-shingle build alone cost ~20 s before
+    hashing.  Hash parity with the DuckDB oracle is by construction:
+    ``int(md5(s).hexdigest()[:15], 16)`` ≡ the oracle's digit-by-digit
+    hex expansion ≡ Spark's ``conv(substring(md5(s),1,15),16,10)``
+    (spot-pinned in tests).  Tokenization parity matches the minhash
+    kernel: lower → trim spaces → split on Java-\s runs; < k words ⇒
+    one whole-text shingle; null text ⇒ no row (explode-of-null
+    parity)."""
+    import hashlib
+    import re
+
+    import pandas as pd
+
+    ws = re.compile("[ \t\n\x0b\f\r]+")
+
+    def kernel(batches):
+        for pdf in batches:
+            ids, tas, szs = [], [], []
+            for did, text in zip(pdf["id"], pdf["txt"]):
+                if text is None:
+                    continue
+                toks_ = ws.split(text.lower().strip(" "))
+                if len(toks_) < k:
+                    shingles = [" ".join(toks_)]
+                else:
+                    shingles = [
+                        " ".join(toks_[i:i + k])
+                        for i in range(len(toks_) - k + 1)
+                    ]
+                ta = sorted({
+                    int(hashlib.md5(sh.encode("utf-8")).hexdigest()[:15], 16)
+                    for sh in shingles
+                })
+                ids.append(did); tas.append(ta); szs.append(len(ta))
+            yield pd.DataFrame({
+                "id": pd.Series(ids, dtype="int64"),
+                "ta": tas,
+                "sz": pd.Series(szs, dtype="int64"),
+            })
+
+    staged = fan_out(df).select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("txt")
+    )
+    return staged.mapInPandas(kernel, "id long, ta array<bigint>, sz long")
+
+
 def prefix_filter_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, threshold: float = 0.8
 ) -> DataFrame:
@@ -796,18 +849,7 @@ def prefix_filter_jaccard_pairs(
     # merge two shingles IDENTICALLY in both engines (same md5), so
     # oracle parity is exact by construction; at 60 bits the expected
     # collision count stays ≪ 1 far beyond 10⁸ distinct shingles.
-    shingle_hash = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")  # noqa: E731
-    toks = fan_out(df).select(
-        F.col(id_col).alias("id"),
-        F.array_sort(
-            F.array_distinct(
-                F.transform(
-                    word_shingles(normalized_tokens(F.col(text_col)), 5),
-                    shingle_hash,
-                )
-            )
-        ).alias("ta"),
-    ).withColumn("sz", F.size("ta").cast("bigint"))
+    toks = _hashed_shingle_sets(df, text_col, id_col, k=5)
     toks = track_persist(toks)
     ex = toks.select("id", F.explode("ta").alias("tok"))
     dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))

@@ -209,8 +209,13 @@ def syslog_parse_failure_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
            array_to_string(
              list_filter(
                [CASE WHEN regexp_matches(line, '^hello\\s+(\\w+)?') THEN '0' END,
-                CASE WHEN json_valid(line)
-                      AND json_extract(line, '$.meta.topic') IS NOT NULL THEN '1' END,
+                -- nested CASE, not AND: DuckDB's vectorized AND does not
+                -- guarantee short-circuit, so json_extract could run on
+                -- non-JSON rows and throw (observed once the sf1 file
+                -- gained multiple row groups); CASE branches ARE lazy
+                CASE WHEN json_valid(line) THEN
+                  CASE WHEN json_extract(line, '$.meta.topic') IS NOT NULL THEN '1' END
+                END,
                 '2'],
                x -> x IS NOT NULL), ',') AS matches
     FROM (
