@@ -38,8 +38,24 @@ def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def _stopword_hits(tokens: Column, words: list[str]) -> Column:
-    wordlist = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(tokens, lambda t: F.array_contains(wordlist, t)))
+    """Multiset count of tokens that equal any of ``words`` — as ONE
+    codegen'd regexp instead of a higher-order filter.
+
+    The HOF form (filter + array_contains per token) is interpreted per
+    element by Catalyst: tokens × |wordlist| lambda evaluations per row,
+    ×5 languages in language_id — measured as the dominant cost of the
+    whole text-stats family at sf10.  Equivalent JVM form: rebuild the
+    single-space-joined token string, pad with spaces, and count
+    ZERO-WIDTH lookahead matches of ``(?= word )`` — zero-width so
+    adjacent occurrences sharing a separator space both count ("the the"
+    → 2), and each token occurrence contributes exactly one match (the
+    one position whose following text is ``word`` + space).  Exact same
+    integers as the token-multiset count; the oracles are unchanged."""
+    import re as _re
+
+    padded = F.concat(F.lit(" "), F.concat_ws(" ", tokens), F.lit(" "))
+    alt = "|".join(_re.escape(w) for w in words)
+    return F.regexp_count(padded, F.lit(f"(?= (?:{alt}) )"))
 
 
 def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -76,11 +92,15 @@ def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     toks = normalized_tokens(text)
     n_tok = F.size(toks)
     n_chars = F.length(text)
-    punct = F.size(F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), 0))
+    # regexp_count, not size(regexp_extract_all(...)): same integer
+    # without materializing a match array per row
+    punct = F.regexp_count(text, F.lit(r"[^A-Za-z0-9\s]"))
     stop_en = _stopword_hits(toks, STOPWORDS["en"])
-    mean_tok_len = F.aggregate(
-        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
-    ).cast("double") / n_tok.cast("double")
+    # Σ token lengths = length of the separator-free token join — a flat
+    # JVM concat instead of an interpreted per-token aggregate lambda
+    mean_tok_len = F.length(F.concat_ws("", toks)).cast("bigint").cast(
+        "double"
+    ) / n_tok.cast("double")
     punct_ratio = punct.cast("double") / n_chars.cast("double")
     stop_ratio = stop_en.cast("double") / n_tok.cast("double")
     score = (
@@ -412,14 +432,17 @@ def winnowing_pairs(
 
 
 def quality_expr(text: Column) -> Column:
-    """The combined quality score as a single reusable expression."""
+    """The combined quality score as a single reusable expression.
+    Same flat-JVM forms as quality_score: regexp_count for punctuation,
+    concat_ws-length for Σ token lengths, lookahead-count stopword hits
+    — identical integers, no interpreted per-element lambdas."""
     toks = normalized_tokens(text)
     n_tok = F.size(toks)
-    mean_tok_len = F.aggregate(
-        toks, F.lit(0).cast("bigint"), lambda acc, t: acc + F.length(t)
-    ).cast("double") / n_tok.cast("double")
+    mean_tok_len = F.length(F.concat_ws("", toks)).cast("bigint").cast(
+        "double"
+    ) / n_tok.cast("double")
     punct_ratio = (
-        F.size(F.regexp_extract_all(text, F.lit(r"[^A-Za-z0-9\s]"), 0)).cast("double")
+        F.regexp_count(text, F.lit(r"[^A-Za-z0-9\s]")).cast("double")
         / F.length(text).cast("double")
     )
     stop_ratio = _stopword_hits(toks, STOPWORDS["en"]).cast("double") / n_tok.cast("double")

@@ -1,19 +1,32 @@
-"""Correctness AT scale: run Spark-vs-DuckDB oracle comparison on the
-sf1 (10x) dataset for every query whose oracle is tractable there.
+"""Correctness AT scale: run Spark-vs-DuckDB oracle comparison on a
+scaled dataset for every query whose tables exist and whose oracle is
+tractable there.
 
-The driver's correctness gate runs at sf0.01; the sf1 bench proves
+The driver's correctness gate runs at sf0.01; the scale benches prove
 throughput but not answers.  This script closes that gap: same
 comparator (sorted columns, type-prefixed canonical values, exact
-match), 10x the rows.  Queries whose DuckDB oracle was MEASURED
-intractably slow at sf1 are excluded with the measurement recorded —
-their semantics are already pinned at three smaller SFs.
+match), 10x-100x the rows.
 
-    python scripts/gen_sf1.py           # once
-    python scripts/verify_sf1.py        # writes SCALE_sf1_correctness.json
+    python scripts/gen_sf1.py                     # once
+    python scripts/verify_sf1.py                  # SCALE_sf1_correctness.json
+
+    python scripts/gen_sf1.py --sf 10 --out testdata_sf10 \
+        --tables documents,embeddings,events      # once
+    python scripts/verify_sf1.py --sf-dir testdata_sf10 --sf 10 \
+        --out SCALE_sf10_correctness.json \
+        --exclude dedup_winnowing_pairs,dedup_fuzzy_levenshtein
+
+Queries touching tables absent from the directory are recorded as
+``skipped_missing_table`` (the sf10 set carries only the
+superlinear-risk families' tables).  Queries whose DuckDB oracle was
+MEASURED intractably slow are excluded via --exclude with the
+measurement recorded in the committed artifact's notes — their
+semantics stay pinned at every smaller SF.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import math
 import os
@@ -22,17 +35,6 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-
-SF_DIR = os.path.join(REPO, "testdata_sf1")
-
-# DuckDB-oracle cost is the criterion, not importance.  Round 5 closed
-# the last exclusion: dedup_fuzzy_levenshtein's oracle runs ~172 s at
-# sf1 (441 k blocked candidates × full-matrix levenshtein over ~2 KB
-# texts; measured, and no lossless prune exists — the corpus perturbs
-# by word shuffles, so char-frequency lower bounds prune 0 of 441 k and
-# length bands prune nothing within same-token-count blocks).  ~3 min
-# once per round buys 148/148 oracle coverage at 10x scale.
-EXCLUDE: dict[str, str] = {}
 
 
 def canon(df):
@@ -51,7 +53,21 @@ def canon(df):
     return cols, sorted(out)
 
 
+ALL_TABLES = ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split()
+
+
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.path.join(REPO, "testdata_sf1"))
+    ap.add_argument("--sf", type=float, default=1.0)
+    ap.add_argument("--out", default="SCALE_sf1_correctness.json")
+    ap.add_argument("--exclude", default="",
+                    help="comma-separated query names with measured-heavy oracles")
+    args = ap.parse_args()
+    sf_dir = args.sf_dir if os.path.isabs(args.sf_dir) else os.path.join(REPO, args.sf_dir)
+    exclude = {n for n in args.exclude.split(",") if n}
+
     import duckdb
     from pyspark.sql import SparkSession
 
@@ -67,36 +83,64 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
-    con = duckdb.connect()
-    for t in ("region nation customer supplier part orders lineitem "
-              "events documents embeddings").split():
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+    present = {t for t in ALL_TABLES if os.path.exists(f"{sf_dir}/{t}.parquet")}
+    missing = [t for t in ALL_TABLES if t not in present]
+
+    def fresh_con():
+        """A NEW connection per query: DuckDB's buffer pool grows toward
+        its memory_limit and caches aggressively — a 100+-query sweep
+        over 100x data on one connection exhausted the box alongside the
+        Spark JVM (every post-OOM query then failed on kB-sized
+        allocations).  Reconnecting releases the pool; the explicit
+        limit keeps DuckDB + JVM + Arrow inside physical memory."""
+        c = duckdb.connect()
+        c.execute("SET memory_limit='32GB'")
+        for t in present:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return c
 
     qs, os_ = mod.queries(), mod.oracle_sql()
     results, bad = {}, []
+    n_skipped = 0
     for name in sorted(qs):
         if name not in os_:
             results[name] = {"status": "rows_only"}
             continue
-        if name in EXCLUDE:
-            results[name] = {"status": "excluded", "reason": EXCLUDE[name]}
+        if name in exclude:
+            results[name] = {"status": "excluded_heavy_oracle"}
             continue
         t0 = time.time()
+        print(f"... {name}", file=sys.stderr, flush=True)
+        con = None
         try:
-            sdf = qs[name](spark, SF_DIR).toPandas()
+            sdf = qs[name](spark, sf_dir).toPandas()
+            con = fresh_con()
             odf = con.execute(os_[name]).fetchdf()
             sc, sr = canon(sdf)
             dc, dr = canon(odf)
             ok = sc == dc and sr == dr
         except Exception as e:
-            results[name] = {"status": "error", "error": str(e)[:300]}
+            msg = str(e)
+            # a query over a table the subset directory doesn't carry is
+            # out of scope, not a failure
+            if missing and any(
+                f"{t}.parquet" in msg or f"Table with name {t}" in msg
+                or f"{os.sep}{t}.parquet" in msg
+                for t in missing
+            ) or "PATH_NOT_FOUND" in msg:
+                results[name] = {"status": "skipped_missing_table"}
+                n_skipped += 1
+                continue
+            results[name] = {"status": "error", "error": msg[:300]}
             bad.append(name)
-            print(f"ERROR {name}: {str(e)[:200]}", file=sys.stderr)
+            print(f"ERROR {name}: {msg[:200]}", file=sys.stderr)
             continue
         finally:
-            # operators persist multi-consumer intermediates; a 148-query
+            if con is not None:
+                con.close()
+            # operators persist multi-consumer intermediates; a 149-query
             # session would otherwise accumulate every query's cache
             from hotdog_spark.operators import release_tracked_persists
 
@@ -111,14 +155,15 @@ def main() -> None:
             print(f"MISMATCH {name}", file=sys.stderr)
     n_match = sum(1 for r in results.values() if r["status"] == "match")
     payload = {
-        "sf": 1.0,
+        "sf": args.sf,
         "checked": n_match + len(bad),
         "matched": n_match,
         "mismatched_or_error": bad,
-        "excluded_heavy_oracle": len(EXCLUDE),
+        "excluded_heavy_oracle": len(exclude),
+        "skipped_missing_table": n_skipped,
         "queries": results,
     }
-    with open(os.path.join(REPO, "SCALE_sf1_correctness.json"), "w") as f:
+    with open(os.path.join(REPO, args.out), "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps({k: v for k, v in payload.items() if k != "queries"}))
     spark.stop()
