@@ -75,7 +75,7 @@ def minhash_signatures(
 def _minhash_signatures_kernel(
     df: DataFrame, text_col: str, id_col: str, bands: int, k: int
 ) -> DataFrame:
-    """See :func:`minhash_signatures`.  Bit-parity notes: normalization
+    r"""See :func:`minhash_signatures`.  Bit-parity notes: normalization
     is lower → trim spaces → split on JAVA-\s runs (Python's \s is
     Unicode-wide and would diverge); a doc shorter than k words
     collapses to one whole-text shingle like :func:`word_shingles`;
@@ -757,7 +757,7 @@ def lsh_pairs_from_index(spark, table_name: str) -> DataFrame:
 def _hashed_shingle_sets(
     df: DataFrame, text_col: str, id_col: str, k: int
 ) -> DataFrame:
-    """(id, ta, sz) where ``ta`` is the sorted distinct md5-int60 hashed
+    r"""(id, ta, sz) where ``ta`` is the sorted distinct md5-int60 hashed
     k-word-shingle set — the prefix-filter input, built in one Arrow
     batch per partition.  The expression form (transform + concat_ws
     per shingle, then conv(substring(md5))) is interpreted per element

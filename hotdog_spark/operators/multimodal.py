@@ -312,6 +312,206 @@ def synth_wav(pcm: bytes, sample_rate: int = 16000, channels: int = 1, bits: int
     return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
 
 
+def synth_avi(
+    frames: list[bytes],
+    width: int,
+    height: int,
+    usec_per_frame: int = 40_000,
+) -> bytes:
+    """Build a minimal valid uncompressed (DIB) AVI around raw frame
+    payloads, stdlib-struct only (public AVI/RIFF spec — the video twin
+    of :func:`synth_wav`): RIFF 'AVI ' → LIST hdrl (avih MainAVIHeader +
+    LIST strl (strh 'vids'/'DIB ' + strf BITMAPINFOHEADER)) → LIST movi
+    ('00db' chunk per frame, word-aligned) → idx1 (one AVIIF_KEYFRAME
+    entry per frame, offsets relative to the movi 'movi' fourcc, the
+    convention real muxers use).
+
+    The header prelude is FIXED-SIZE (200 bytes of hdrl + 12 RIFF +
+    12 movi-LIST header), so with constant frame size the f-th payload
+    starts at byte ``224 + f*(8 + fs + fs%2) + 8`` — the closed form the
+    frame-index oracle predicts."""
+    import struct
+
+    avih = struct.pack(
+        "<14I",
+        usec_per_frame,          # dwMicroSecPerFrame
+        0, 0, 0x10,              # maxbytes, padding, AVIF_HASINDEX
+        len(frames), 0, 1, 0,    # totalframes, initial, streams, sugbuf
+        width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIiI4H",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, max(1, 1_000_000 // usec_per_frame),  # scale, rate
+        0, len(frames), 0, -1, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0, width * height * 3, 0, 0, 0, 0,
+    )
+    strl = b"strl" + b"strh" + struct.pack("<I", len(strh)) + strh \
+        + b"strf" + struct.pack("<I", len(strf)) + strf
+    hdrl = (
+        b"hdrl" + b"avih" + struct.pack("<I", len(avih)) + avih
+        + b"LIST" + struct.pack("<I", len(strl)) + strl
+    )
+    movi = bytearray(b"movi")
+    idx = bytearray()
+    for fr in frames:
+        # idx1 offsets point at the chunk fourcc, relative to 'movi'
+        idx += struct.pack("<4sII", b"00db", 0x10, len(movi)) \
+            + struct.pack("<I", len(fr))
+        movi += b"00db" + struct.pack("<I", len(fr)) + fr
+        if len(fr) & 1:
+            movi += b"\x00"
+    body = (
+        b"AVI " + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl
+        + b"LIST" + struct.pack("<I", len(movi)) + bytes(movi)
+        + b"idx1" + struct.pack("<I", len(idx)) + bytes(idx)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi_header(content: bytes) -> dict | None:
+    """RIFF/AVI walk → (width, height, total_frames, usec_per_frame), or
+    None for non-AVI input.  Reads the MainAVIHeader from the hdrl LIST;
+    tolerant of extra chunks like the WAV walker."""
+    import struct
+
+    if (
+        not content
+        or len(content) < 12
+        or content[:4] != b"RIFF"
+        or content[8:12] != b"AVI "
+    ):
+        return None
+    pos = 12
+    while pos + 8 <= len(content):
+        tag = content[pos:pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4:pos + 8])
+        body = content[pos + 8:pos + 8 + size]
+        if tag == b"LIST" and body[:4] == b"hdrl":
+            ipos = 4
+            while ipos + 8 <= len(body):
+                itag = body[ipos:ipos + 4]
+                (isz,) = struct.unpack("<I", body[ipos + 4:ipos + 8])
+                if itag == b"avih" and isz >= 40:
+                    v = struct.unpack("<10I", body[ipos + 8:ipos + 48])
+                    return {
+                        "format": "avi",
+                        "usec_per_frame": v[0],
+                        "total_frames": v[4],
+                        "width": v[8],
+                        "height": v[9],
+                    }
+                ipos += 8 + isz + (isz & 1)
+        pos += 8 + size + (size & 1)
+    return None
+
+
+def iter_avi_frames(content: bytes):
+    """Demux an AVI's movi LIST: yield (frame_no, absolute_payload_offset,
+    payload_size) for every video frame chunk ('00db' uncompressed /
+    '00dc' compressed).  Pure index walk — never copies frame payloads,
+    so indexing a multi-GB blob touches only chunk headers."""
+    import struct
+
+    if parse_avi_header(content) is None:
+        return
+    pos = 12
+    while pos + 8 <= len(content):
+        tag = content[pos:pos + 4]
+        (size,) = struct.unpack("<I", content[pos + 4:pos + 8])
+        if tag == b"LIST" and content[pos + 8:pos + 12] == b"movi":
+            fno, ipos, end = 0, pos + 12, pos + 8 + size
+            while ipos + 8 <= end:
+                itag = content[ipos:ipos + 4]
+                (isz,) = struct.unpack("<I", content[ipos + 4:ipos + 8])
+                if itag in (b"00db", b"00dc"):
+                    yield fno, ipos + 8, isz
+                    fno += 1
+                ipos += 8 + isz + (isz & 1)
+            return
+        pos += 8 + size + (size & 1)
+
+
+FRAME_INDEX_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("byte_offset", LongType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def frame_index(df: DataFrame, every_n: int = 1) -> DataFrame:
+    """REAL video frame indexing: demux each AVI payload's movi chunk
+    list (:func:`iter_avi_frames` — stdlib RIFF walk, the video twin of
+    the WAV path) and emit (media_id, frame_no, byte_offset, n_bytes)
+    for every ``every_n``-th frame — the seek table a frame-extraction
+    stage consumes.  Non-AVI / corrupt payloads produce no rows
+    (corrupt-record divert posture).  Arrow-batched 1→N expansion;
+    payload bytes are never copied, only chunk headers are read.
+
+    Retires round 1-5's ``frame_sample_stub`` (frame counts faked from
+    byte length) — offsets here are real file positions, golden-tested
+    by slicing the original blob at [byte_offset, byte_offset+n_bytes)
+    and comparing to the source frame."""
+    from hotdog_spark.dist import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_no": [], "byte_offset": [], "n_bytes": []}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                blob = bytes(blob) if blob is not None else b""
+                for fno, off, sz in iter_avi_frames(blob):
+                    if fno % every_n:
+                        continue
+                    rows["media_id"].append(mid)
+                    rows["frame_no"].append(fno)
+                    rows["byte_offset"].append(off)
+                    rows["n_bytes"].append(sz)
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "content").mapInPandas(kernel, FRAME_INDEX_SCHEMA)
+
+
+def synth_decodable_video(df: DataFrame, id_col: str, len_col: str) -> DataFrame:
+    """Deterministic REAL AVI videos with closed-form geometry (the video
+    member of the synth_decodable_media family): per row,
+    w = (len%8)*2+2 (even), h = len%6+1, n_frames = len%12+2, each frame
+    a constant-fill w*h*3 payload of byte ``(id*7 + frame*13) % 256`` —
+    so an oracle predicts every frame offset and size arithmetically
+    (see :func:`synth_avi` for the fixed 232-byte first-payload
+    offset)."""
+    from hotdog_spark.dist import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for mid, n in zip(pdf[id_col], pdf[len_col]):
+                mid, n = int(mid), int(n)
+                w, h = (n % 8) * 2 + 2, n % 6 + 1
+                frames = [
+                    bytes([(mid * 7 + f * 13) % 256]) * (w * h * 3)
+                    for f in range(n % 12 + 2)
+                ]
+                ids.append(mid)
+                blobs.append(synth_avi(frames, w, h))
+            yield pd.DataFrame({"media_id": ids, "content": blobs})
+
+    schema = StructType(
+        [StructField("media_id", LongType()), StructField("content", BinaryType())]
+    )
+    return df.select(id_col, len_col).mapInPandas(kernel, schema)
+
+
 def parse_png_header(content: bytes) -> dict | None:
     """PNG signature + IHDR → (width, height, bit_depth, color_type), or
     None when the bytes are not a PNG / the IHDR is malformed."""
@@ -390,7 +590,10 @@ def sniff_media_meta(df: DataFrame) -> DataFrame:
                 rows[c] = []
             for mid, blob in zip(pdf["media_id"], pdf["content"]):
                 blob = bytes(blob) if blob is not None else b""
-                meta = parse_png_header(blob) or parse_wav_header(blob) or {}
+                meta = (
+                    parse_png_header(blob) or parse_wav_header(blob)
+                    or parse_avi_header(blob) or {}
+                )
                 rows["media_id"].append(mid)
                 rows["format"].append(meta.get("format", "unknown"))
                 for c in cols:
@@ -688,29 +891,12 @@ def resize_image(df: DataFrame, max_side: int = 256) -> DataFrame:
 resize_stub = resize_image
 
 
-def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """Video frame-sampling plumbing: emits (media_id, frame_no) rows for
-    frames 0, n, 2n… based on a fake duration derived from byte length.
-    The real implementation would demux with pyav inside the same
-    mapInPandas shape."""
-    from hotdog_spark.dist import ensure_shipped
-
-    ensure_shipped(df.sparkSession)
-
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = {"media_id": [], "frame_no": []}
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
-                n_frames = (len(content or b"") % 100) + 1
-                for f in range(0, n_frames, every_n):
-                    rows["media_id"].append(mid)
-                    rows["frame_no"].append(f)
-            yield pd.DataFrame(rows)
-
-    schema = StructType(
-        [StructField("media_id", LongType()), StructField("frame_no", IntegerType())]
-    )
-    return df.mapInPandas(kernel, schema)
+def frame_sample(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Every-n-th-frame sampling over REAL AVI demux: the (media_id,
+    frame_no) projection of :func:`frame_index`.  Replaces the r1-r5
+    ``frame_sample_stub`` whose frame counts were faked from byte
+    length."""
+    return frame_index(df, every_n=every_n).select("media_id", "frame_no")
 
 
 AUDIO_CHUNK_SCHEMA = StructType(
@@ -807,7 +993,11 @@ def audio_chunks_pcm(df: DataFrame, chunk_frames: int = 100) -> DataFrame:
                 n_frames_total = len(samples) // ch
                 step = chunk_frames * ch
                 for idx in range(0, n_frames_total * ch, step):
-                    chunk = samples[idx: idx + step]
+                    # Clamp to whole frames: a data chunk whose byte length
+                    # is not a multiple of the frame size would otherwise
+                    # leak orphan partial-frame samples into the last
+                    # chunk's stats while n_frames excluded that frame.
+                    chunk = samples[idx: min(idx + step, n_frames_total * ch)]
                     rows["media_id"].append(mid)
                     rows["chunk_idx"].append(idx // step)
                     rows["n_frames"].append(len(chunk) // ch)

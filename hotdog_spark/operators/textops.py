@@ -37,25 +37,49 @@ def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def _stopword_hits(tokens: Column, words: list[str]) -> Column:
-    """Multiset count of tokens that equal any of ``words`` — as ONE
-    codegen'd regexp instead of a higher-order filter.
+def _stopword_hits_hof(tokens: Column, words: list[str]) -> Column:
+    """Multiset stopword count, higher-order-function form: filter the
+    token array against a literal word array and take its size.  Lambda
+    is interpreted per element (tokens × |wordlist| evaluations per row,
+    ×5 languages in language_id)."""
+    wordlist = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens, lambda t: F.array_contains(wordlist, t)))
 
-    The HOF form (filter + array_contains per token) is interpreted per
-    element by Catalyst: tokens × |wordlist| lambda evaluations per row,
-    ×5 languages in language_id — measured as the dominant cost of the
-    whole text-stats family at sf10.  Equivalent JVM form: rebuild the
+
+def _stopword_hits_regexp(tokens: Column, words: list[str]) -> Column:
+    """Multiset stopword count, single-regexp form: rebuild the
     single-space-joined token string, pad with spaces, and count
     ZERO-WIDTH lookahead matches of ``(?= word )`` — zero-width so
     adjacent occurrences sharing a separator space both count ("the the"
     → 2), and each token occurrence contributes exactly one match (the
     one position whose following text is ``word`` + space).  Exact same
-    integers as the token-multiset count; the oracles are unchanged."""
+    integers as the token-multiset count."""
     import re as _re
 
     padded = F.concat(F.lit(" "), F.concat_ws(" ", tokens), F.lit(" "))
     alt = "|".join(_re.escape(w) for w in words)
     return F.regexp_count(padded, F.lit(f"(?= (?:{alt}) )"))
+
+
+def _stopword_hits(tokens: Column, words: list[str]) -> Column:
+    """Multiset count of tokens that equal any of ``words``.
+
+    Two exactly-equivalent forms (oracles unchanged either way),
+    selected by HOTDOG_STOPWORD_IMPL for A/B measurement; the default is
+    the measured winner.  r5 swapped HOF → regexp on an unrecorded
+    claim; the r6 A/B (AB_TEXTOPS.json: sf0.1 AND sf10, median-of-3,
+    text_quality_score / text_language_id / text_clean_corpus_pipeline)
+    decides it with numbers — see that artifact for the standing
+    decision."""
+    import os as _os
+
+    impl = _os.environ.get("HOTDOG_STOPWORD_IMPL", _STOPWORD_DEFAULT)
+    fn = _stopword_hits_regexp if impl == "regexp" else _stopword_hits_hof
+    return fn(tokens, words)
+
+
+# Measured winner (AB_TEXTOPS.json): set after the r6 A/B runs.
+_STOPWORD_DEFAULT = "regexp"
 
 
 def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -310,6 +334,7 @@ def winnowing_pairs(
     df: DataFrame, text_col: str, id_col: str,
     k: int = 20, w: int = WINNOW_W,
     max_df: int = 50, min_shared: int = 3,
+    saturation_warn_ratio: float = 4.0,
 ) -> DataFrame:
     """Winnowing overlap detection (MOSS stage 2): find document pairs
     sharing >= ``min_shared`` winnowing fingerprints — the join MOSS runs
@@ -375,6 +400,39 @@ def winnowing_pairs(
         F.explode_outer("_mins").alias("fp"),
     ).filter(F.col("fp").isNotNull())
     fps = track_persist(fps)
+    # SATURATION GUARD (sf10 finding, VERDICT r5): on a small-vocabulary
+    # corpus the k-char gram space saturates and the TRUE answer grows
+    # quadratically (404 k pairs at 50 k docs → 21.6 M at 500 k on the
+    # synthetic corpus) — previously a silent 5 GB shuffle the user hit
+    # before reading the docstring.  The signal is the distinct-
+    # fingerprint : document ratio: on a rich corpus each doc contributes
+    # mostly-unique fingerprints (ratio ≈ mean n_fp, tens), at
+    # saturation distinct fps stop growing with the corpus and the ratio
+    # collapses toward 0.  The check is one skinny aggregate over the
+    # already-persisted fp table (two counts, map-side combinable, O(1)
+    # driver rows) — the only eager step in the operator, and it shares
+    # the persisted scan every downstream consumer reuses anyway.
+    if saturation_warn_ratio > 0:
+        import warnings
+
+        stats = fps.agg(
+            F.countDistinct("fp").alias("d"),
+            F.countDistinct("id").alias("n"),
+        ).collect()[0]
+        if stats["n"] and stats["d"] / stats["n"] < saturation_warn_ratio:
+            warnings.warn(
+                "winnowing_pairs: fingerprint space is SATURATED — "
+                f"{stats['d']:,} distinct fingerprints across "
+                f"{stats['n']:,} documents "
+                f"(ratio {stats['d'] / stats['n']:.2f} < "
+                f"{saturation_warn_ratio}); unrelated documents will "
+                "genuinely share >= min_shared fingerprints and the "
+                "answer (and its shuffle) grows quadratically with the "
+                "corpus.  Dials: widen gram width k (fewer coincidental "
+                "matches), lower max_df (only rarer fingerprints pair), "
+                "or raise min_shared.",
+                stacklevel=2,
+            )
     # _mins is array_distinct per doc, so count(*) per id IS n_fp — the
     # PRE-cap fingerprint count, same as size(_mins)
     sizes = fps.groupBy("id").agg(F.count("*").cast("bigint").alias("n_fp"))

@@ -1,7 +1,8 @@
-"""Multimodal plumbing queries: binary columns + metadata + stubbed
-feature extraction (the decode kernels are fakes — no media libs in this
-container — but the Spark dataflow is real; see operators/multimodal.py).
-"""
+"""Multimodal queries: binary columns + typed metadata + REAL stdlib
+codecs (PNG inflate/unfilter, WAV PCM, AVI demux — no media libs in this
+container, so every decoder is a from-spec RIFF/zlib implementation; see
+operators/multimodal.py).  The only remaining stub is JPEG decode,
+loudly marked NotImplementedError."""
 
 from __future__ import annotations
 
@@ -168,20 +169,59 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frame_index",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, (n_chars % 8) * 2 + 2 AS w, n_chars % 6 + 1 AS h,
+             n_chars % 12 + 2 AS nf
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, w, h, g.fno
+      FROM v, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS fno) g
+    )
+    SELECT doc_id AS media_id,
+           CAST(fno AS INT) AS frame_no,
+           CAST(232 + fno * (8 + w * h * 3) AS BIGINT) AS byte_offset,
+           CAST(w * h * 3 AS BIGINT) AS n_bytes
+    FROM f
+    """,
+)
+def multimodal_frame_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame indexing end-to-end: synthesize actual
+    uncompressed AVIs (RIFF hdrl/movi/idx1, stdlib struct — closed-form
+    geometry per doc), then DEMUX them back by walking the movi chunk
+    list (operators/multimodal.py iter_avi_frames — a real parser, the
+    video twin of the WAV RIFF walk) into a (media_id, frame_no,
+    byte_offset, n_bytes) seek table.  The oracle predicts every offset
+    arithmetically from the fixed 232-byte header prelude and the
+    constant per-doc frame size: the Spark side only matches if the
+    muxer and demuxer agree byte-for-byte on the AVI layout.  Retires
+    frame_sample_stub, the package's last faked decode."""
+    docs = table(spark, sf_dir, "documents")
+    media = ops.synth_decodable_video(docs, "doc_id", "n_chars")
+    return ops.frame_index(media, every_n=1)
+
+
+@register(
     "multimodal_frame_sample",
     oracle="""
-    SELECT doc_id AS media_id, CAST(unnest(
-             generate_series(0, (octet_length(encode(text)) % 100), 10)
-           ) AS INT) AS frame_no
-    FROM documents
+    WITH v AS (
+      SELECT doc_id, n_chars % 12 + 2 AS nf FROM documents
+    )
+    SELECT doc_id AS media_id, CAST(g.fno AS INT) AS frame_no
+    FROM v, LATERAL (
+      SELECT unnest(generate_series(0, nf - 1, 4)) AS fno
+    ) g
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling plumbing: every-10th-frame rows emitted from a
-    mapInPandas kernel (fake duration = byte length % 100 + 1 frames)."""
+    """Every-4th-frame sampling over the REAL AVI demux (same synthetic
+    video corpus as multimodal_frame_index; frame numbers come from
+    walking actual movi chunks, not from byte-length arithmetic)."""
     docs = table(spark, sf_dir, "documents")
-    media = ops.media_from_text(docs, "text", "doc_id")
-    return ops.frame_sample_stub(media, every_n=10)
+    media = ops.synth_decodable_video(docs, "doc_id", "n_chars")
+    return ops.frame_sample(media, every_n=4)
 
 
 @register(

@@ -72,6 +72,27 @@ def parquet_url(parquet: ParquetConfig, environ: dict[str, str] | None = None) -
     return url
 
 
+def kafka_records(routed: DataFrame, default_topic: str) -> DataFrame:
+    """The produce-record projection — THE Kafka wire contract, shared by
+    the real writer and the sandbox fake so a contract test on one is a
+    test of the other (src/sink/kafka.rs:137-140):
+
+    * ``value`` = payload cast to string (the reference produces the
+      rendered payload string);
+    * ``topic`` = the routed destination, with rows routed to the empty
+      string (failed dynamic-topic render) falling back to the config's
+      default topic;
+    * NO ``key`` column: the reference explicitly produces keyless
+      records (``FutureRecord::<String,String>::to(dest).payload(..)``
+      with no ``.key()``, kafka.rs:129-140) — Spark's Kafka sink treats
+      an absent key column as a null key, the same wire bytes."""
+    return routed.select(
+        F.col("payload").cast("string").alias("value"),
+        F.when(F.col("topic") == "", F.lit(default_topic))
+        .otherwise(F.col("topic")).alias("topic"),
+    )
+
+
 def kafka_writer(
     routed: DataFrame,
     kafka: KafkaConfig,
@@ -80,16 +101,63 @@ def kafka_writer(
     """Routed (topic, payload) stream → Kafka writer (not yet started).
 
     Records with a null topic have already been filtered by the cascade;
-    the default topic (kafka.topic in the config) catches rows routed to
-    the empty string (failed dynamic-topic render)."""
-    out = routed.select(
-        F.col("payload").cast("string").alias("value"),
-        F.when(F.col("topic") == "", F.lit(kafka.topic)).otherwise(F.col("topic")).alias("topic"),
-    )
-    writer = out.writeStream.format("kafka")
+    see :func:`kafka_records` for the produce contract."""
+    writer = kafka_records(routed, kafka.topic).writeStream.format("kafka")
     for k, v in kafka_options(kafka, checkpoint).items():
         writer = writer.option(k, v)
     return writer
+
+
+def fake_kafka_batch_fn(log_dir: str, default_topic: str, emitter=None):
+    """foreachBatch produce-callback for :func:`fake_kafka_sink` —
+    factored out so the contract is unit-testable on a plain batch
+    DataFrame, like ``upsert_batch_fn``."""
+
+    def produce(batch_df: DataFrame, batch_id: int) -> None:
+        records = kafka_records(batch_df, default_topic)
+        if emitter is not None:
+            records = records.persist()
+        records.write.mode("append").partitionBy("topic").json(log_dir)
+        if emitter is not None:
+            # per-topic submitted counters, reference parity
+            # (Stats::KafkaMsgSubmitted{topic}, kafka.rs:149-154); the
+            # collect is bounded by topic cardinality, same as the
+            # reference's one-buffer-per-destination map
+            for r in records.groupBy("topic").count().collect():
+                emitter.counter(f"kafka.submitted.{r['topic']}", r["count"])
+            records.unpersist()
+
+    return produce
+
+
+def fake_kafka_sink(
+    routed: DataFrame,
+    kafka: KafkaConfig,
+    checkpoint: str,
+    log_dir: str,
+    emitter=None,
+):
+    """Sandbox stand-in for the Kafka sink: the SAME record projection as
+    :func:`kafka_writer` (shared :func:`kafka_records`), produced into a
+    per-topic append log on disk (``<log_dir>/topic=<t>/*.json``, one
+    JSON line per record — a file-backed broker partition log).
+
+    No broker exists in this environment and the Spark distribution
+    carries no kafka-sql connector jar, so ``format("kafka")`` cannot
+    even load; this shim pins everything short of the wire bytes: topic
+    routing incl. the default-topic fallback, value encoding,
+    keylessness, at-least-once via checkpoint + append (a replayed batch
+    re-appends — exactly the duplicate semantics the real sink has), and
+    the per-topic submitted counters.  Option passthrough is pinned
+    separately by the ``kafka_options`` goldens; the remaining
+    unverifiable inch is librdkafka itself."""
+    return (
+        routed.writeStream.foreachBatch(
+            fake_kafka_batch_fn(log_dir, kafka.topic, emitter)
+        )
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
 
 
 def parquet_writer(

@@ -31,6 +31,28 @@ import bench  # noqa: E402  (HEADLINE + _prev_bench live there)
 
 UI_PORT = int(os.environ.get("SPARK_GRAFT_UI_PORT", "4050"))
 
+# Baseline rows for the sf10 relational/window decade (VERDICT r5 item
+# 2): queries NOT in bench.py's driver-facing HEADLINE (so its total
+# stays round-comparable) whose sf1 sec anchors bench_sf10's
+# ratio_vs_sf1.  Window functions over full orders/lineitem are the
+# single-partition-window risk class; set-ops and the gap-fill exercise
+# distinct/union exchanges; sessionize was sf1's slowest single query.
+EXTRA = [
+    "window_rank_dense_lag",
+    "window_value_functions",
+    "window_running_customer_spend",
+    "window_ntile_distribution",
+    "window_range_frame_rolling_revenue",
+    "set_intersect_union_nations",
+    "set_except_nations",
+    "sessionize_user_events",
+    "agg_cube_priority_status",
+    "pivot_status_by_priority",
+    "orders_above_customer_avg",
+    "q13_customer_order_distribution",
+    "scd2_user_state_history",
+]
+
 
 def _api(app_id: str, path: str):
     url = f"http://127.0.0.1:{UI_PORT}/api/v1/applications/{app_id}/{path}"
@@ -94,7 +116,7 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     results: dict[str, dict] = {}
     seen = set(_stage_metrics(app_id))
-    for name in bench.HEADLINE:
+    for name in bench.HEADLINE + EXTRA:
         fn = queries[name]
         best = None
         for _ in range(runs):

@@ -5,13 +5,12 @@ per-query shuffle and spill bytes.
 VERDICT r4 item 2: sf1 caught three scale bugs sf0.1 could not (knn cell
 saturation, winnowing recompute, prefix-filter shuffle blowup); this run
 buys the next decade for the families where risk concentrates — dedup,
-ANN/knn, winnowing, text pipelines, packing, and the event windows.
-TPC-H tables are deliberately absent (pure scans/joins whose linearity
-sf1 already demonstrated; generating 15 M orders would dominate the run
-for no new information).
+ANN/knn, winnowing, text pipelines, packing, and the event windows —
+plus, since r6 (VERDICT r5 item 2), the relational decade: TPC-H core
+joins/aggs over 60 M lineitem rows, the window-function families, and
+set-ops.
 
-    python scripts/gen_sf1.py --sf 10 --out testdata_sf10 \
-        --tables documents,embeddings,events          # once (~1 GB)
+    python scripts/gen_sf1.py --sf 10 --out testdata_sf10   # once (~2 GB)
     python scripts/bench_sf10.py                      # writes SCALE_sf10.json
 
 Output: BENCH-style JSON with per-query {sec, shuffle_write_mb,
@@ -59,6 +58,40 @@ SUBSET = [
     "window_tumbling_events",
     "window_session_events",
     "agg_approx_distinct_users_sketch_only",
+    # Relational/window decade (VERDICT r5 item 2) — runs once gen_sf1
+    # --sf 10 produced the full table set.  TPC-H core joins/aggs over
+    # 60 M lineitem, the window-function single-partition risk class,
+    # set-ops, and the event-table windows that were previously the only
+    # relational rows.
+    "q1_pricing_summary",
+    "q3_segment_revenue",
+    "q5_regional_revenue",
+    "q6_forecast_revenue",
+    "q9_product_profit",
+    "q10_returned_item_revenue",
+    "q13_customer_order_distribution",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers",
+    "topk_orders_global",
+    "agg_rollup_returnflag",
+    "agg_cube_priority_status",
+    "pivot_status_by_priority",
+    "orders_above_customer_avg",
+    "window_topk_orders_per_customer",
+    "window_rank_dense_lag",
+    "window_value_functions",
+    "window_running_customer_spend",
+    "window_ntile_distribution",
+    "window_range_frame_rolling_revenue",
+    "set_intersect_union_nations",
+    "set_except_nations",
+    "sessionize_user_events",
+    "scd2_user_state_history",
+    "asof_click_attribution",
+    "range_join_error_window_clicks",
+    "merge_exact_deep",
+    "syslog_parse_5424",
+    "hotdog_route_payload",
 ]
 
 

@@ -4,40 +4,79 @@ tractable there.
 
 The driver's correctness gate runs at sf0.01; the scale benches prove
 throughput but not answers.  This script closes that gap: same
-comparator (sorted columns, type-prefixed canonical values, exact
-match), 10x-100x the rows.
+canonicalization (sorted columns, %.10g floats, null sentinel), 10x-100x
+the rows.
+
+Two comparison modes:
+
+``--mode digest`` (default) — order-insensitive multiset digest:
+  per row, canonicalize (identical branch logic to the full comparator),
+  md5 the joined cells, and sum the 128-bit hashes mod the Mersenne
+  prime 2^127-1, alongside an exact row count.  The Spark side computes
+  partial digests INSIDE the engine via a mapInPandas kernel (one
+  Arrow-batched pass per partition; the driver receives one tiny row per
+  partition and combines), so driver memory is O(partitions), not
+  O(result).  The DuckDB side streams ``fetch_record_batch`` chunks
+  through the SAME canonicalization function — DuckDB is in-process, so
+  "in-engine" there means bounded-batch streaming, never a full
+  ``fetchdf`` materialization.  This retires the r5 harness failure mode
+  where 43 sf10 queries died in driver-side numpy/DuckDB allocation
+  (500 k-row ``toPandas()`` + 32 GB-capped oracle), not in either engine.
+
+  Why not a pure-SQL digest (``sum(xxhash64(cast(...)))`` in both
+  dialects)?  Float canonicalization parity: Java's Formatter ``%g``
+  (Spark ``format_string``) disagrees with C/Python ``%g`` (DuckDB
+  ``printf``) on precision/trailing-zero rules, which is exactly the
+  false-mismatch class the Python canonicalizer exists to avoid.  The
+  mapInPandas kernel keeps the hash computation distributed and
+  Arrow-batched while sharing one formatting code path with the oracle
+  side.
+
+``--mode full`` — the original comparator (full result through pandas,
+  sorted-row exact match).  ``--mode both`` runs the two side-by-side
+  and records any disagreement; used once at sf0.1 to prove the digest
+  equivalent on all 150 queries (DIGEST_EQUIVALENCE.json).
 
     python scripts/gen_sf1.py                     # once
     python scripts/verify_sf1.py                  # SCALE_sf1_correctness.json
 
-    python scripts/gen_sf1.py --sf 10 --out testdata_sf10 \
-        --tables documents,embeddings,events      # once
+    python scripts/gen_sf1.py --sf 10 --out testdata_sf10  # once (all tables)
     python scripts/verify_sf1.py --sf-dir testdata_sf10 --sf 10 \
         --out SCALE_sf10_correctness.json \
         --exclude dedup_winnowing_pairs,dedup_fuzzy_levenshtein
 
-Queries touching tables absent from the directory are recorded as
-``skipped_missing_table`` (the sf10 set carries only the
-superlinear-risk families' tables).  Queries whose DuckDB oracle was
-MEASURED intractably slow are excluded via --exclude with the
-measurement recorded in the committed artifact's notes — their
-semantics stay pinned at every smaller SF.
+Queries over tables absent from the directory are classified as
+``skipped_missing_table`` UP FRONT, from the table names referenced in
+the query's oracle SQL — never by pattern-matching runtime error text
+(the r5 approach could silently file a genuine failure as a skip).
+Queries whose DuckDB oracle was MEASURED intractably slow are excluded
+via --exclude with the measurement recorded in the committed artifact's
+notes — their semantics stay pinned at every smaller SF.
 """
 
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import math
 import os
+import re
 import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+M127 = (1 << 127) - 1  # Mersenne prime: digest sums live in Z/M127
+_NULL = "\x00N"        # canonical cell for SQL NULL / NaN
+_SEP = "\x1f"          # cell joiner; synthetic data carries no control chars
+
 
 def canon(df):
+    """Full-materialization canonicalizer (``--mode full``): sorted
+    columns, %.10g floats, sorted row tuples.  Unchanged from r1-r5 so
+    `both` mode proves the digest against the exact historical gate."""
     cols = sorted(df.columns)
     out = []
     for row in df[cols].itertuples(index=False):
@@ -53,8 +92,81 @@ def canon(df):
     return cols, sorted(out)
 
 
+def batch_digest(pdf, cols):
+    """(sum-of-row-hashes mod M127, row count) for one pandas batch.
+
+    Cell canonicalization is branch-for-branch the logic in
+    :func:`canon` (None/NaN -> sentinel, numpy scalar unwrap, %.10g for
+    floats, str otherwise), so digest equality <=> sorted-row equality
+    up to md5 collisions.  Runs inside Spark executors (mapInPandas)
+    and over DuckDB record batches alike."""
+    s = 0
+    n = 0
+    for row in pdf[cols].itertuples(index=False):
+        vals = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                vals.append(_NULL)
+            else:
+                if hasattr(v, "item"):
+                    v = v.item()
+                vals.append(f"{v:.10g}" if isinstance(v, float) else str(v))
+        h = hashlib.md5(_SEP.join(vals).encode("utf-8", "surrogatepass"))
+        s = (s + int.from_bytes(h.digest(), "big")) % M127
+        n += 1
+    return s, n
+
+
+def spark_digest(sdf):
+    """(sorted cols, count, digest) computed inside the engine: each
+    partition reduces to one (partial_sum, partial_n) row; the driver
+    combines P tiny rows.  O(Arrow batch) executor memory, O(partitions)
+    driver memory at any scale factor."""
+    import pandas as pd
+
+    cols = sorted(sdf.columns)
+
+    def kernel(batches):
+        s, n = 0, 0
+        for pdf in batches:
+            ps, pn = batch_digest(pdf, cols)
+            s = (s + ps) % M127
+            n += pn
+        yield pd.DataFrame({"part_sum": [str(s)], "part_n": [n]})
+
+    parts = sdf.mapInPandas(kernel, "part_sum string, part_n long").collect()
+    s, n = 0, 0
+    for r in parts:
+        s = (s + int(r["part_sum"])) % M127
+        n += r["part_n"]
+    return cols, n, s
+
+
+def duck_digest(con, sql, batch_rows=65536):
+    """Same digest over the oracle, streamed in Arrow record batches —
+    no full-result fetchdf, so the 32 GB DuckDB cap bounds the QUERY,
+    not query + result-frame + numpy copies."""
+    reader = con.execute(sql).fetch_record_batch(batch_rows)
+    cols = sorted(reader.schema.names)
+    s, n = 0, 0
+    for batch in reader:
+        pdf = batch.to_pandas()
+        ps, pn = batch_digest(pdf, cols)
+        s = (s + ps) % M127
+        n += pn
+    return cols, n, s
+
+
 ALL_TABLES = ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split()
+
+
+def oracle_table_deps(sql: str) -> set:
+    """Tables a query needs, decided from the oracle text up front
+    (word-boundary match against the registered view names).  Replaces
+    the r5 error-text pattern-match that could misfile a real failure
+    as skipped_missing_table."""
+    return {t for t in ALL_TABLES if re.search(rf"\b{t}\b", sql)}
 
 
 def main() -> None:
@@ -62,11 +174,15 @@ def main() -> None:
     ap.add_argument("--sf-dir", default=os.path.join(REPO, "testdata_sf1"))
     ap.add_argument("--sf", type=float, default=1.0)
     ap.add_argument("--out", default="SCALE_sf1_correctness.json")
+    ap.add_argument("--mode", choices=("digest", "full", "both"), default="digest")
+    ap.add_argument("--only", default="",
+                    help="comma-separated query names to restrict the sweep to")
     ap.add_argument("--exclude", default="",
                     help="comma-separated query names with measured-heavy oracles")
     args = ap.parse_args()
     sf_dir = args.sf_dir if os.path.isabs(args.sf_dir) else os.path.join(REPO, args.sf_dir)
     exclude = {n for n in args.exclude.split(",") if n}
+    only = {n for n in args.only.split(",") if n}
 
     import duckdb
     from pyspark.sql import SparkSession
@@ -84,7 +200,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     present = {t for t in ALL_TABLES if os.path.exists(f"{sf_dir}/{t}.parquet")}
-    missing = [t for t in ALL_TABLES if t not in present]
+    missing = {t for t in ALL_TABLES if t not in present}
 
     def fresh_con():
         """A NEW connection per query: DuckDB's buffer pool grows toward
@@ -94,7 +210,7 @@ def main() -> None:
         allocations).  Reconnecting releases the pool; the explicit
         limit keeps DuckDB + JVM + Arrow inside physical memory."""
         c = duckdb.connect()
-        c.execute("SET memory_limit='32GB'")
+        c.execute(f"SET memory_limit='{os.environ.get('SPARK_GRAFT_DUCK_MEM', '32GB')}'")
         for t in present:
             c.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -102,37 +218,49 @@ def main() -> None:
         return c
 
     qs, os_ = mod.queries(), mod.oracle_sql()
-    results, bad = {}, []
+    results, bad, disagree = {}, [], []
     n_skipped = 0
     for name in sorted(qs):
+        if only and name not in only:
+            continue
         if name not in os_:
             results[name] = {"status": "rows_only"}
             continue
         if name in exclude:
             results[name] = {"status": "excluded_heavy_oracle"}
             continue
+        deps = oracle_table_deps(os_[name])
+        if deps & missing:
+            results[name] = {"status": "skipped_missing_table",
+                             "needs": sorted(deps & missing)}
+            n_skipped += 1
+            continue
         t0 = time.time()
         print(f"... {name}", file=sys.stderr, flush=True)
         con = None
         try:
-            sdf = qs[name](spark, sf_dir).toPandas()
+            rec = {}
+            sdf = qs[name](spark, sf_dir)
             con = fresh_con()
-            odf = con.execute(os_[name]).fetchdf()
-            sc, sr = canon(sdf)
-            dc, dr = canon(odf)
-            ok = sc == dc and sr == dr
+            if args.mode in ("digest", "both"):
+                sc, sn, ss = spark_digest(sdf)
+                dc, dn, ds = duck_digest(con, os_[name])
+                ok = sc == dc and sn == dn and ss == ds
+                rec.update(rows=sn, oracle_rows=dn,
+                           cols_match=sc == dc, digest_match=ss == ds)
+            if args.mode in ("full", "both"):
+                fsc, fsr = canon(sdf.toPandas())
+                fdc, fdr = canon(con.execute(os_[name]).fetchdf())
+                full_ok = fsc == fdc and fsr == fdr
+                rec["full_status"] = "match" if full_ok else "MISMATCH"
+                if args.mode == "full":
+                    ok = full_ok
+                    rec["rows"] = len(fsr)
+                elif full_ok != ok:
+                    disagree.append(name)
+                    rec["MODE_DISAGREEMENT"] = True
         except Exception as e:
             msg = str(e)
-            # a query over a table the subset directory doesn't carry is
-            # out of scope, not a failure
-            if missing and any(
-                f"{t}.parquet" in msg or f"Table with name {t}" in msg
-                or f"{os.sep}{t}.parquet" in msg
-                for t in missing
-            ) or "PATH_NOT_FOUND" in msg:
-                results[name] = {"status": "skipped_missing_table"}
-                n_skipped += 1
-                continue
             results[name] = {"status": "error", "error": msg[:300]}
             bad.append(name)
             print(f"ERROR {name}: {msg[:200]}", file=sys.stderr)
@@ -140,25 +268,25 @@ def main() -> None:
         finally:
             if con is not None:
                 con.close()
-            # operators persist multi-consumer intermediates; a 149-query
+            # operators persist multi-consumer intermediates; a 150-query
             # session would otherwise accumulate every query's cache
             from hotdog_spark.operators import release_tracked_persists
 
             release_tracked_persists()
-        results[name] = {
-            "status": "match" if ok else "MISMATCH",
-            "rows": len(sr),
-            "sec": round(time.time() - t0, 1),
-        }
+        rec["status"] = "match" if ok else "MISMATCH"
+        rec["sec"] = round(time.time() - t0, 1)
+        results[name] = rec
         if not ok:
             bad.append(name)
             print(f"MISMATCH {name}", file=sys.stderr)
     n_match = sum(1 for r in results.values() if r["status"] == "match")
     payload = {
         "sf": args.sf,
+        "mode": args.mode,
         "checked": n_match + len(bad),
         "matched": n_match,
         "mismatched_or_error": bad,
+        "mode_disagreements": disagree,
         "excluded_heavy_oracle": len(exclude),
         "skipped_missing_table": n_skipped,
         "queries": results,

@@ -414,12 +414,81 @@ def test_sniff_media_meta_routes_formats(spark):
     assert got[2].format == "unknown" and got[2].width is None
 
 
-def test_frame_sample(spark, docs):
-    media = multimodal.media_from_text(docs, "text", "doc_id")
-    rows = multimodal.frame_sample_stub(media, every_n=10).collect()
-    frames_0 = sorted(r.frame_no for r in rows if r.media_id == 0)
-    # 43 bytes → 44 fake frames → samples 0,10,20,30,40
-    assert frames_0 == [0, 10, 20, 30, 40]
+def test_avi_golden_roundtrip():
+    # mux → demux round-trip, pure Python: offsets must slice the
+    # original blob back to the exact source frames
+    frames = [bytes([f * 3]) * (6 * 2 * 3) for f in range(5)]
+    blob = multimodal.synth_avi(frames, width=6, height=2, usec_per_frame=50_000)
+    hdr = multimodal.parse_avi_header(blob)
+    assert hdr == {
+        "format": "avi", "usec_per_frame": 50_000,
+        "total_frames": 5, "width": 6, "height": 2,
+    }
+    idx = list(multimodal.iter_avi_frames(blob))
+    assert [fno for fno, _, _ in idx] == [0, 1, 2, 3, 4]
+    for fno, off, sz in idx:
+        assert blob[off:off + sz] == frames[fno]
+    # closed-form layout the oracle relies on: fixed 232-byte prelude,
+    # constant stride for even-sized frames
+    assert idx[0][1] == 232
+    assert idx[1][1] - idx[0][1] == 8 + len(frames[0])
+
+
+def test_avi_odd_frame_padding_and_divert():
+    # word-aligned chunks: odd-sized frames get a pad byte the walker
+    # must skip; non-AVI payloads yield no frames (divert posture)
+    frames = [b"x" * 7, b"y" * 7]
+    blob = multimodal.synth_avi(frames, width=1, height=1)
+    idx = list(multimodal.iter_avi_frames(blob))
+    assert [(f, sz) for f, _, sz in idx] == [(0, 7), (1, 7)]
+    assert blob[idx[1][1]:idx[1][1] + 7] == b"y" * 7
+    assert list(multimodal.iter_avi_frames(b"RIFF\x00\x00\x00\x00WAVE")) == []
+    assert multimodal.parse_avi_header(multimodal.synth_wav(b"\x00\x00")) is None
+
+
+def test_frame_index_spark(spark, docs):
+    media = multimodal.synth_decodable_video(docs, "doc_id", "n_chars")
+    rows = multimodal.frame_index(media, every_n=1).collect()
+    n_chars = {r.doc_id: r.n_chars for r in docs.select("doc_id", "n_chars").collect()}
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    for mid, n in n_chars.items():
+        w, h, nf = (n % 8) * 2 + 2, n % 6 + 1, n % 12 + 2
+        got = sorted(by_id[mid], key=lambda r: r.frame_no)
+        assert [r.frame_no for r in got] == list(range(nf))
+        assert all(r.n_bytes == w * h * 3 for r in got)
+        assert got[0].byte_offset == 232
+    # sampling projection
+    sampled = multimodal.frame_sample(media, every_n=4).collect()
+    assert {r.frame_no for r in sampled} <= {0, 4, 8, 12}
+
+
+def test_winnowing_saturation_guard(spark):
+    import warnings
+
+    # 60 docs over a 3-word vocabulary: the 12-char gram space saturates
+    # (every doc shares most fingerprints), the sf10 quadratic-answer
+    # regime in miniature — the guard must warn, not silently join
+    sat = spark.createDataFrame(
+        [(i, "aa bb cc " * 20) for i in range(60)], ["doc_id", "text"]
+    )
+    with pytest.warns(UserWarning, match="SATURATED"):
+        textops.winnowing_pairs(sat, "text", "doc_id", k=12, w=4)
+    # rich corpus: mostly-unique fingerprints per doc — no warning
+    rich = spark.createDataFrame(
+        [(i, " ".join(f"w{i}x{j}q{i * j % 97}" for j in range(30)))
+         for i in range(30)],
+        ["doc_id", "text"],
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        textops.winnowing_pairs(rich, "text", "doc_id", k=12, w=4)
+    # guard off: no eager job, no warning even on the saturated corpus
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        textops.winnowing_pairs(sat, "text", "doc_id", k=12, w=4,
+                                saturation_warn_ratio=0)
 
 
 def test_language_id_heuristic(spark, docs):
