@@ -18,7 +18,7 @@ shuffle-on-key dataflow:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from hotdog_spark.operators import fan_out, track_persist
@@ -754,15 +754,19 @@ def lsh_pairs_from_index(spark, table_name: str) -> DataFrame:
     )
 
 
-def _hashed_shingle_sets(
+def _hashed_shingle_rows(
     df: DataFrame, text_col: str, id_col: str, k: int
 ) -> DataFrame:
-    r"""(id, ta, sz) where ``ta`` is the sorted distinct md5-int60 hashed
-    k-word-shingle set — the prefix-filter input, built in one Arrow
-    batch per partition.  The expression form (transform + concat_ws
-    per shingle, then conv(substring(md5))) is interpreted per element
-    by Catalyst; at sf10 the 25 M-shingle build alone cost ~20 s before
-    hashing.  Hash parity with the DuckDB oracle is by construction:
+    r"""(id, tok) rows — the per-doc DISTINCT md5-int60 hashed k-word
+    shingles, one row each, built in one Arrow batch per partition.  The
+    expression form (transform + concat_ws per shingle, then
+    conv(substring(md5))) is interpreted per element by Catalyst; at
+    sf10 the 25 M-shingle build alone cost ~20 s before hashing.  Rows,
+    not per-doc arrays (the r5 shape): the consumer's first move was
+    ``explode``, so emitting rows skips the Python sort + Arrow
+    list-column transfer + JVM explode round trip (r6 measured the
+    array shape + its downstream df-join at ~3× the sf0.1 constant).
+    Hash parity with the DuckDB oracle is by construction:
     ``int(md5(s).hexdigest()[:15], 16)`` ≡ the oracle's digit-by-digit
     hex expansion ≡ Spark's ``conv(substring(md5(s),1,15),16,10)``
     (spot-pinned in tests).  Tokenization parity matches the minhash
@@ -778,7 +782,7 @@ def _hashed_shingle_sets(
 
     def kernel(batches):
         for pdf in batches:
-            ids, tas, szs = [], [], []
+            ids, toks = [], []
             for did, text in zip(pdf["id"], pdf["txt"]):
                 if text is None:
                     continue
@@ -790,21 +794,21 @@ def _hashed_shingle_sets(
                         " ".join(toks_[i:i + k])
                         for i in range(len(toks_) - k + 1)
                     ]
-                ta = sorted({
+                for h in {
                     int(hashlib.md5(sh.encode("utf-8")).hexdigest()[:15], 16)
                     for sh in shingles
-                })
-                ids.append(did); tas.append(ta); szs.append(len(ta))
+                }:
+                    ids.append(did)
+                    toks.append(h)
             yield pd.DataFrame({
                 "id": pd.Series(ids, dtype="int64"),
-                "ta": tas,
-                "sz": pd.Series(szs, dtype="int64"),
+                "tok": pd.Series(toks, dtype="int64"),
             })
 
     staged = fan_out(df).select(
         F.col(id_col).alias("id"), F.col(text_col).alias("txt")
     )
-    return staged.mapInPandas(kernel, "id long, ta array<bigint>, sz long")
+    return staged.mapInPandas(kernel, "id long, tok long")
 
 
 def prefix_filter_jaccard_pairs(
@@ -828,10 +832,11 @@ def prefix_filter_jaccard_pairs(
     near-dups with prefix-sized shuffle volume.  The width is 5 (see the
     inline note: 3-word shingles saturated at sf1).
 
-    Plan: one element-frequency aggregate → rank join (AQE broadcasts
-    it when small) → per-doc rarity-sorted arrays → candidate join on
-    prefix elements only → exact Jaccard verification via
-    array_intersect on the carried sets.
+    Plan: hashed element rows (Arrow kernel) → document frequency as a
+    window over the element key (one exchange, no agg+join) → ONE
+    per-doc aggregate producing rarity order + verification set + size →
+    candidate join on prefix elements only → exact Jaccard verification
+    via array_intersect on sets joined back per pair.
     Returns (id_a, id_b, inter_n, union_n, jaccard) for pairs >= t.
     """
     # 5-WORD shingles: the element universe must outgrow the corpus for
@@ -849,41 +854,56 @@ def prefix_filter_jaccard_pairs(
     # merge two shingles IDENTICALLY in both engines (same md5), so
     # oracle parity is exact by construction; at 60 bits the expected
     # collision count stays ≪ 1 far beyond 10⁸ distinct shingles.
-    toks = _hashed_shingle_sets(df, text_col, id_col, k=5)
-    toks = track_persist(toks)
-    ex = toks.select("id", F.explode("ta").alias("tok"))
-    dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    rows = _hashed_shingle_rows(df, text_col, id_col, k=5)
     # NO global rank table: a row_number over all distinct elements would
     # be a single-reducer sort (a genuine 100 TB killer spotted in this
     # operator's own plan).  The prefix only needs each document's
     # elements ORDERED by (df, element) — any consistent total order —
-    # so sort per doc on the joined (df, tok) struct directly.
-    ordered = (
-        ex.join(dfreq, "tok")
-        .groupBy("id")
+    # so sort per doc on the (df, tok) struct directly.
+    #
+    # Document frequency rides a WINDOW over tok, not an aggregate +
+    # join: count(*) over (partition by tok) is ONE exchange on tok,
+    # where the r5 shape (groupBy(tok) agg → sort-merge join back)
+    # re-shuffled both the 2.5 M-row element table and its aggregate —
+    # r6 measured that join as the dominant sf0.1 cost and it scales
+    # with the full element count at sf10.
+    with_df = rows.select(
+        "id", "tok",
+        F.count(F.lit(1)).over(Window.partitionBy("tok")).alias("df"),
+    )
+    # ONE aggregate per doc yields the rarity order, the verification
+    # set AND its size — the r5 shape built (id, ta, sz) separately in
+    # the kernel and joined it back on id, an extra exchange carrying
+    # the full arrays.
+    docagg = (
+        with_df.groupBy("id")
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("df", "tok"))),
                 lambda s: s.getField("tok"),
-            ).alias("by_rank")
+            ).alias("by_rank"),
+            F.array_sort(F.collect_list("tok")).alias("ta"),
+            F.count(F.lit(1)).alias("sz"),
         )
     )
+    # persist: docagg feeds the prefix table AND both verification
+    # join-backs — without it the whole shingle → window → sort pipeline
+    # re-runs per consumer (the winnowing/minhash recompute lesson; at
+    # lake scale: materialize the prefix index).
+    docagg = track_persist(docagg)
     plen = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
-    # persist: pref feeds both self-join sides — without it the whole
-    # shingle → sort pipeline re-runs per side (the winnowing/minhash
-    # recompute lesson; at lake scale: materialize the prefix index).
-    # The candidate join carries ONLY (id, sz, ptok) — shipping the full
-    # shingle arrays through it was the other half of the 43 GB shuffle;
-    # arrays are joined back from the persisted toks table per PAIR, not
+    # The candidate join carries ONLY (id, sz, pos, ptok) — shipping the
+    # full shingle arrays through it was half of the r4 43 GB shuffle;
+    # arrays are joined back from the persisted docagg per PAIR, not
     # per candidate row.
-    pref = (
-        toks.join(ordered, "id")
-        .select(
-            "id", "sz",
-            F.posexplode(F.slice("by_rank", F.lit(1), plen)).alias("pos", "ptok"),
-        )
+    # NOT persisted: pref is one cheap posexplode over the PERSISTED
+    # docagg — caching it too (the r5 shape) added a full
+    # materialization barrier that cost more wall time than the two
+    # consumers' recompute of slice+posexplode from cache.
+    pref = docagg.select(
+        "id", "sz",
+        F.posexplode(F.slice("by_rank", F.lit(1), plen)).alias("pos", "ptok"),
     )
-    pref = track_persist(pref)
     a = pref.select(
         F.col("id").alias("id_a"), F.col("sz").alias("sz_a"),
         F.col("pos").alias("pa"), "ptok",
@@ -925,8 +945,8 @@ def prefix_filter_jaccard_pairs(
         )
         .select("id_a", "id_b", "sz_a", "sz_b")
     )
-    ta = toks.select(F.col("id").alias("id_a"), F.col("ta").alias("ta_a"))
-    tb = toks.select(F.col("id").alias("id_b"), F.col("ta").alias("ta_b"))
+    ta = docagg.select(F.col("id").alias("id_a"), F.col("ta").alias("ta_a"))
+    tb = docagg.select(F.col("id").alias("id_b"), F.col("ta").alias("ta_b"))
     verified = cand.join(ta, "id_a").join(tb, "id_b")
     inter = F.size(F.array_intersect("ta_a", "ta_b")).cast("bigint")
     out = verified.select(

@@ -66,11 +66,15 @@ def _stopword_hits(tokens: Column, words: list[str]) -> Column:
 
     Two exactly-equivalent forms (oracles unchanged either way),
     selected by HOTDOG_STOPWORD_IMPL for A/B measurement; the default is
-    the measured winner.  r5 swapped HOF → regexp on an unrecorded
-    claim; the r6 A/B (AB_TEXTOPS.json: sf0.1 AND sf10, median-of-3,
-    text_quality_score / text_language_id / text_clean_corpus_pipeline)
-    decides it with numbers — see that artifact for the standing
-    decision."""
+    the measured winner.  r5 swapped HOF → regexp claiming the HOF form
+    was "the dominant cost at sf10" — the r6 A/B (AB_TEXTOPS.json,
+    median-of-3 at sf0.1 AND sf10) REFUTES that: regexp's best sf10
+    ratio is 0.72× (language_id), nowhere near the ≥2× bar, and the
+    heaviest consumer (text_clean_corpus_pipeline) is WORSE under
+    regexp at both scales (1.50× at sf0.1 — the r5 bench regression —
+    and 1.06× at sf10).  Default reverted to HOF per the decision rule;
+    the regexp form stays for corpora where it measures better
+    (quality_score/language_id were mildly regexp-favorable)."""
     import os as _os
 
     impl = _os.environ.get("HOTDOG_STOPWORD_IMPL", _STOPWORD_DEFAULT)
@@ -78,8 +82,8 @@ def _stopword_hits(tokens: Column, words: list[str]) -> Column:
     return fn(tokens, words)
 
 
-# Measured winner (AB_TEXTOPS.json): set after the r6 A/B runs.
-_STOPWORD_DEFAULT = "regexp"
+# Measured winner (AB_TEXTOPS.json, r6): HOF — see _stopword_hits.
+_STOPWORD_DEFAULT = "hof"
 
 
 def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -491,9 +495,9 @@ def winnowing_pairs(
 
 def quality_expr(text: Column) -> Column:
     """The combined quality score as a single reusable expression.
-    Same flat-JVM forms as quality_score: regexp_count for punctuation,
-    concat_ws-length for Σ token lengths, lookahead-count stopword hits
-    — identical integers, no interpreted per-element lambdas."""
+    Same forms as quality_score: regexp_count for punctuation,
+    concat_ws-length for Σ token lengths, and the A/B-selected
+    _stopword_hits — identical integers either way."""
     toks = normalized_tokens(text)
     n_tok = F.size(toks)
     mean_tok_len = F.length(F.concat_ws("", toks)).cast("bigint").cast(

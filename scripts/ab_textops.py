@@ -67,15 +67,16 @@ def main() -> None:
                 times = []
                 for _ in range(args.reps):
                     t0 = time.time()
-                    # count() forces full evaluation of every column via
-                    # the aggregate's child projection? No — count prunes.
-                    # Use a cheap full-row consumer instead: agg over a
-                    # hash of all columns so no column is pruned.
+                    # Force full evaluation of every column: agg over a
+                    # hash of all columns so nothing is pruned.  The hash
+                    # is reduced mod a 30-bit prime before SUM — ANSI
+                    # mode makes a raw sum(xxhash64) overflow fatal.
                     df = qs[name](spark, sf_dir)
                     from pyspark.sql import functions as F
 
                     df.select(
-                        F.sum(F.xxhash64(*df.columns)).alias("h")
+                        F.sum(F.pmod(F.xxhash64(*df.columns),
+                                     F.lit(1_073_741_789))).alias("h")
                     ).collect()
                     times.append(time.time() - t0)
                     release_tracked_persists()
