@@ -726,6 +726,80 @@ def kmeans_quantized(
     return assign(cents), cents
 
 
+def semantic_dedup_exemplar(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 8,
+    iters: int = 3,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    cluster embeddings with k-means, then flag members whose cosine to
+    the cluster EXEMPLAR (the member nearest the centroid, ties on
+    lowest id) exceeds ``threshold`` as semantic duplicates of it.
+
+    Scale shape — the reason for the exemplar variant: the paper's
+    within-cluster all-pairs is O(Σ|c|²), quadratic unless k is scaled
+    to hold |c| constant; screening against one exemplar per cluster is
+    O(n) at ANY k.  Nothing here shuffles the corpus: k-means assignment
+    is a map-side projection against centroid literals
+    (:func:`kmeans_quantized`), the exemplar choice is one
+    groupBy(cluster) ``min(struct(d2, vid))`` emitting k tiny rows, the
+    exemplar vectors come back via a broadcast semi-lookup, and the
+    final score is another broadcast join + projection.  At 100 TB the
+    only aggregate state is k rows.
+
+    Determinism: quantized-integer dot products and norms; the single
+    float op chain (CAST → multiply → sqrt → divide) is identical in
+    both engines, so scores are bit-equal and the threshold compare
+    cannot flap.  ``threshold`` is the production dial (SemDeDup uses
+    ~0.95 on real encoder output; near-random synthetic embeddings need
+    a lower dial to exercise both branches — the registered query uses
+    0.15 and says so).
+
+    Returns (vec_id, cluster, exemplar_id, cos_exemplar,
+    is_semantic_dup) — one row per input vector.
+    """
+    assigned, _cents = kmeans_quantized(df, vec_col, id_col, k=k, iters=iters)
+    base = assigned.withColumn("n2", _norm2(F.col("q")))
+    ex_ids = (
+        base.groupBy("cluster")
+        .agg(F.min(F.struct("d2", "vid")).alias("m"))
+        .select("cluster", F.col("m.vid").alias("exemplar_id"))
+    )
+    exv = (
+        base.select(
+            F.col("vid").alias("exemplar_id"),
+            F.col("q").alias("ex_q"),
+            F.col("n2").alias("ex_n2"),
+        )
+        .join(broadcast(ex_ids), "exemplar_id")
+        .select("cluster", "exemplar_id", "ex_q", "ex_n2")
+    )
+    cos = F.when(
+        (F.col("n2") > 0) & (F.col("ex_n2") > 0),
+        _dot(F.col("q"), F.col("ex_q")).cast("double")
+        / F.sqrt((F.col("n2") * F.col("ex_n2")).cast("double")),
+    ).otherwise(F.lit(0.0))
+    scored = base.join(broadcast(exv), "cluster").select(
+        F.col("vid").alias("vec_id"),
+        F.col("cluster").cast("int").alias("cluster"),
+        "exemplar_id",
+        cos.alias("cos_exemplar"),
+    )
+    return scored.select(
+        "vec_id",
+        "cluster",
+        "exemplar_id",
+        "cos_exemplar",
+        (
+            (F.col("vec_id") != F.col("exemplar_id"))
+            & (F.col("cos_exemplar") >= F.lit(float(threshold)))
+        ).alias("is_semantic_dup"),
+    )
+
+
 def label_cohesion(df: DataFrame, vec_col: str, id_col: str, label_col: str) -> DataFrame:
     """Per-label embedding cohesion: each label's centroid (exact integer
     sums over quantized components) and the distribution of its members'

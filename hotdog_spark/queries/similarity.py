@@ -212,8 +212,10 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "bucket", "score", "rank")
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
-    """Unrolled Lloyd's k-means as one DuckDB statement.
+def _kmeans_cte(k: int = 8, iters: int = 3) -> str:
+    """Unrolled Lloyd's k-means as one DuckDB WITH-chain ending in
+    ``fin`` (vid, q, cid, d2) — shared by the kmeans and semantic-dedup
+    oracles below.
 
     Expressible as SQL precisely because kmeans_quantized is deterministic
     end-to-end: integer-quantized vectors, lowest-vid init, (d2, cid)
@@ -264,15 +266,60 @@ c{i + 1} AS (
         + ",\n".join(blocks)
         + f""",
 fin AS (
-  SELECT vid, cid, d2 FROM (
-    SELECT vid, cid, d2,
+  SELECT vid, q, cid, d2 FROM (
+    SELECT vid, q, cid, d2,
            ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
-    FROM (SELECT v.vid, c.cid, {d2} AS d2 FROM v, c{iters} c)
+    FROM (SELECT v.vid, v.q, c.cid, {d2} AS d2 FROM v, c{iters} c)
   ) WHERE rn = 1
-)
+)"""
+    )
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
+    return (
+        _kmeans_cte(k, iters)
+        + """
 SELECT CAST(cid AS INTEGER) AS cluster, COUNT(*) AS n_vectors,
        CAST(SUM(d2) AS BIGINT) AS inertia
 FROM fin GROUP BY cid"""
+    )
+
+
+def _semantic_dedup_oracle(k: int = 8, iters: int = 3, threshold: float = 0.15) -> str:
+    """SemDeDup exemplar screen on top of the shared k-means CTE chain:
+    exemplar = min (d2, vid) per cluster, cosine vs it from the same
+    quantized integers / identical float op chain as the Spark side."""
+    return (
+        _kmeans_cte(k, iters)
+        + f""",
+n2s AS (
+  SELECT vid, q, cid, d2,
+         list_sum(list_transform(q, x -> x * x)) AS n2
+  FROM fin
+),
+ex AS (
+  SELECT cid, vid AS exemplar_id FROM (
+    SELECT cid, vid,
+           ROW_NUMBER() OVER (PARTITION BY cid ORDER BY d2, vid) AS rn
+    FROM n2s
+  ) WHERE rn = 1
+),
+exv AS (
+  SELECT e.cid, e.exemplar_id, f.q AS ex_q, f.n2 AS ex_n2
+  FROM ex e JOIN n2s f ON f.vid = e.exemplar_id
+),
+scored AS (
+  SELECT f.vid AS vec_id, f.cid, x.exemplar_id,
+         CASE WHEN f.n2 > 0 AND x.ex_n2 > 0 THEN
+           CAST(list_sum(list_transform(list_zip(f.q, x.ex_q),
+                s -> s[1] * s[2])) AS DOUBLE)
+             / sqrt(CAST(f.n2 * x.ex_n2 AS DOUBLE))
+         ELSE 0.0 END AS cos_exemplar
+  FROM n2s f JOIN exv x ON f.cid = x.cid
+)
+SELECT vec_id, CAST(cid AS INTEGER) AS cluster, exemplar_id, cos_exemplar,
+       (vec_id != exemplar_id AND cos_exemplar >= {threshold}) AS is_semantic_dup
+FROM scored"""
     )
 
 
@@ -288,6 +335,25 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum("d2").alias("inertia"),
+    )
+
+
+@register("dedup_semantic_exemplar", oracle=_semantic_dedup_oracle())
+def dedup_semantic_exemplar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (public: Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embeddings, then flag members whose
+    cosine to the cluster exemplar (nearest-to-centroid member) clears
+    the threshold as semantic duplicates.  Exemplar screening keeps the
+    pair stage O(n) at any k — the paper's within-cluster all-pairs is
+    quadratic unless k scales with n.  The corpus is never shuffled:
+    map-side centroid assignment, a k-row exemplar aggregate, two
+    broadcast joins.  Threshold 0.15 here (not the production ~0.95)
+    because the synthetic embeddings are near-random — within-cluster
+    cos-to-exemplar straddles 0.15 (sf0.01: 260 dup / 240 kept), so the
+    low dial makes BOTH output branches real."""
+    emb = table(spark, sf_dir, "embeddings")
+    return ops.semantic_dedup_exemplar(
+        emb, "embedding", "vec_id", k=8, iters=3, threshold=0.15
     )
 
 

@@ -840,6 +840,36 @@ def test_kmeans_deterministic_and_converging(spark):
     assert i3 <= i1
 
 
+def test_semantic_dedup_exemplar_invariants(spark):
+    """SemDeDup exemplar screen: one row per vector; each cluster's
+    exemplar is its own exemplar with cos 1.0 and is never flagged;
+    flags are exactly (cos >= threshold) for non-exemplars; and the
+    output is partitioning-independent."""
+    from hotdog_spark.operators.similarity import semantic_dedup_exemplar
+    from hotdog_spark.sources.batch import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = semantic_dedup_exemplar(
+        emb, "embedding", "vec_id", k=4, iters=2, threshold=0.15
+    )
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    by_vid = {r.vec_id: r for r in rows}
+    exemplars = {r.exemplar_id for r in rows}
+    for ex in exemplars:
+        r = by_vid[ex]
+        assert r.exemplar_id == ex and not r.is_semantic_dup
+        assert abs(r.cos_exemplar - 1.0) < 1e-12
+    for r in rows:
+        expected = r.vec_id != r.exemplar_id and r.cos_exemplar >= 0.15
+        assert r.is_semantic_dup == expected
+
+    out2 = semantic_dedup_exemplar(
+        emb.repartition(7), "embedding", "vec_id", k=4, iters=2, threshold=0.15
+    )
+    assert {tuple(r) for r in out2.collect()} == {tuple(r) for r in rows}
+
+
 def test_kmeans_centroids_feed_ivf(spark):
     """The trained-model hand-off: kmeans_quantized centroids plug into
     ivf_topk as the cell structure; every probe gets ranked neighbors and
