@@ -67,6 +67,67 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_lsh_recall_report",
+    oracle=f"""
+    WITH sample AS (
+      SELECT doc_id, text FROM documents
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 256
+    ), toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM sample
+    ), sets AS (
+      SELECT doc_id, list_distinct(
+        CASE WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+             ELSE [array_to_string(t[i:i+4], ' ')
+                   for i in generate_series(1, len(t)-4)] END) AS sh
+      FROM toks
+    ), truth AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    ), ex AS (
+      SELECT doc_id, unnest(sh) AS shingle FROM sets
+    ), sigs AS (
+      SELECT doc_id, band, MIN(substring(md5(shingle), 2 * band + 1, 15)) AS sig
+      FROM ex, (SELECT unnest(generate_series(0, 7)) AS band) b
+      GROUP BY doc_id, band
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sigs a JOIN sigs b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ), hits AS (
+      SELECT t.id_a FROM truth t JOIN cand c
+        ON t.id_a = c.id_a AND t.id_b = c.id_b
+    )
+    SELECT (SELECT COUNT(*) FROM sample) AS n_eval_docs,
+           (SELECT COUNT(*) FROM truth) AS n_truth_pairs,
+           (SELECT COUNT(*) FROM cand) AS n_lsh_candidates,
+           (SELECT COUNT(*) FROM hits) AS n_hits,
+           CASE WHEN (SELECT COUNT(*) FROM truth) > 0 THEN
+             CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+               / (SELECT COUNT(*) FROM truth) END AS recall,
+           CASE WHEN (SELECT COUNT(*) FROM cand) > 0 THEN
+             CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+               / (SELECT COUNT(*) FROM cand) END AS candidate_precision
+    """,
+)
+def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-config eval: recall@jaccard≥0.5 and candidate precision of
+    the 8-band/5-word-shingle MinHash-LSH against exact set Jaccard on a
+    256-doc deterministic md5 sample (bounded all-pairs FOREVER — the
+    quadratic stage never sees the corpus).  The dedup analog of
+    ann_recall_report: the number that justifies a bands/k dial before
+    running it on 100 TB.  Distinct shingle sets make the sample's
+    banding identical to the full-corpus run restricted to it, so
+    recall is unbiased over sampled pairs (variance caveat in the
+    operator docstring)."""
+    return ops.lsh_recall_report(
+        table(spark, sf_dir, "documents"), "text", "doc_id",
+        sample_n=256, bands=8, k=5, threshold=0.5,
+    )
+
+
 def _simhash_oracle() -> str:
     sums = []
     for j in range(16):
