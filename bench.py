@@ -118,6 +118,8 @@ HEADLINE = [
     "pack_sharded_bins",           # (lang, shard)-parallel packing
     "dedup_prefix_filter_jaccard", # PPJoin rare-prefix set-similarity join
     "multimodal_audio_pcm_chunks", # WAV synth → real PCM decode → frame-aligned chunk stats
+    "dedup_semantic_exemplar",     # SemDeDup: kmeans + O(n) exemplar screen
+    "dedup_lsh_recall_report",     # LSH recall/precision vs exact-Jaccard sample
 ]
 
 
