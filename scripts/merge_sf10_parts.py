@@ -1,0 +1,45 @@
+"""Merge per-batch sf10 sweep partials into SCALE_sf10_correctness.json.
+
+Each /tmp/sf10_part_*.json is a verify_sf1.py --only output covering a
+disjoint slice of the registry.  The merge unions their per-query
+records and recomputes the summary counters, so the committed artifact
+is always a valid (possibly still-growing) superset while batches run.
+"""
+import glob
+import json
+
+merged: dict = {}
+for p in sorted(glob.glob("/tmp/sf10_part_*.json")):
+    with open(p) as f:
+        part = json.load(f)
+    merged.update(part.get("queries", {}))
+
+statuses = [v.get("status") for v in merged.values()]
+out = {
+    "sf": 10.0,
+    "mode": "digest",
+    "checked": sum(s in ("match", "MISMATCH", "error") for s in statuses),
+    "matched": statuses.count("match"),
+    "mismatched_or_error": sorted(
+        k for k, v in merged.items() if v.get("status") in ("MISMATCH", "error")
+    ),
+    "excluded_heavy_oracle": sorted(
+        k for k, v in merged.items() if v.get("status") == "excluded_heavy_oracle"
+    ),
+    "rows_only": sorted(
+        k for k, v in merged.items() if v.get("status") == "rows_only"
+    ),
+    "notes": (
+        "Batched digest-mode sweep (scripts/run_sf10_sweep.sh); excludes are "
+        "measured-intractable DuckDB oracles: dedup_fuzzy_levenshtein "
+        "(blocking-join Levenshtein rechecks balloon at 500k docs) and "
+        "dedup_winnowing_pairs (gram-space saturation: the 53x answer growth "
+        "documented in SCALE_sf10.json makes the oracle's pair join explode). "
+        "Both remain hash-verified at sf1 in SCALE_sf1_correctness.json."
+    ),
+    "queries": {k: merged[k] for k in sorted(merged)},
+}
+with open("/root/repo/SCALE_sf10_correctness.json", "w") as f:
+    json.dump(out, f, indent=1)
+print(f"merged {len(merged)} queries: {out['matched']} matched, "
+      f"{len(out['mismatched_or_error'])} bad")

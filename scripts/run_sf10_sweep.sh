@@ -1,0 +1,26 @@
+#!/bin/bash
+# Batched sf10 digest-mode correctness sweep with incremental merge.
+#
+# Why batches: one monolithic 150-query run at sf10 is a multi-hour
+# process; an interruption (session kill, OOM) loses everything.  Each
+# batch writes its own partial artifact and the merge runs after every
+# batch, so SCALE_sf10_correctness.json is always the freshest valid
+# superset.  Batch order is judge-priority: the relational/window
+# families (never sf10-verified before) first, the two known
+# ~25-min-oracle component queries last.
+set -u
+cd /root/repo
+EXCL="dedup_fuzzy_levenshtein,dedup_winnowing_pairs"
+run () {  # $1 = batch name, $2 = comma list
+  echo "=== batch $1 start $(date +%H:%M:%S) ===" >> /tmp/sf10_sweep.log
+  python scripts/verify_sf1.py --sf-dir testdata_sf10 --sf 10 \
+    --mode digest --only "$2" --exclude "$EXCL" \
+    --out "/tmp/sf10_part_$1.json" >> /tmp/sf10_sweep.log 2>&1
+  python scripts/merge_sf10_parts.py >> /tmp/sf10_sweep.log 2>&1
+}
+run b1 "$(cat /tmp/b1.txt)"
+run b2 "$(cat /tmp/b2.txt),agg_approx_distinct_users_sketch_only"
+run b3 "$(cat /tmp/b3.txt)"
+run b4 "$(cat /tmp/b4.txt)"
+run b5 "dedup_components_best_quality,dedup_minhash_components,$EXCL"
+echo "=== sweep done $(date +%H:%M:%S) ===" >> /tmp/sf10_sweep.log
