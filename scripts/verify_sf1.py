@@ -189,16 +189,38 @@ def main() -> None:
 
     import __spark_entry__ as mod
 
-    spark = (
-        SparkSession.builder.master(f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
-    )
-    spark.sparkContext.setLogLevel("ERROR")
+    def make_spark():
+        s = (
+            SparkSession.builder.master(
+                f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
+            )
+            .config("spark.sql.shuffle.partitions", "32")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+        s.sparkContext.setLogLevel("ERROR")
+        return s
+
+    def gateway_dead(exc: Exception) -> bool:
+        """One OOM'd query must not doom the rest of a 150-query sweep:
+        when the local-mode JVM dies, every later Py4J call fails with a
+        connection error.  Detect that class and restart the session."""
+        msg = f"{type(exc).__name__}: {exc}"
+        return any(
+            s in msg
+            for s in (
+                "Connection refused",
+                "Py4JNetworkError",
+                "Answer from Java side is empty",
+                "Java gateway process exited",
+                "Py4JError",
+            )
+        )
+
+    spark = make_spark()
     present = {t for t in ALL_TABLES if os.path.exists(f"{sf_dir}/{t}.parquet")}
     missing = {t for t in ALL_TABLES if t not in present}
 
@@ -237,42 +259,73 @@ def main() -> None:
             continue
         t0 = time.time()
         print(f"... {name}", file=sys.stderr, flush=True)
-        con = None
-        try:
-            rec = {}
-            sdf = qs[name](spark, sf_dir)
-            con = fresh_con()
-            if args.mode in ("digest", "both"):
-                sc, sn, ss = spark_digest(sdf)
-                dc, dn, ds = duck_digest(con, os_[name])
-                ok = sc == dc and sn == dn and ss == ds
-                rec.update(rows=sn, oracle_rows=dn,
-                           cols_match=sc == dc, digest_match=ss == ds)
-            if args.mode in ("full", "both"):
-                fsc, fsr = canon(sdf.toPandas())
-                fdc, fdr = canon(con.execute(os_[name]).fetchdf())
-                full_ok = fsc == fdc and fsr == fdr
-                rec["full_status"] = "match" if full_ok else "MISMATCH"
-                if args.mode == "full":
-                    ok = full_ok
-                    rec["rows"] = len(fsr)
-                elif full_ok != ok:
-                    disagree.append(name)
-                    rec["MODE_DISAGREEMENT"] = True
-        except Exception as e:
-            msg = str(e)
+        err = None
+        for attempt in (1, 2):
+            con = None
+            try:
+                rec = {}
+                sdf = qs[name](spark, sf_dir)
+                con = fresh_con()
+                if args.mode in ("digest", "both"):
+                    sc, sn, ss = spark_digest(sdf)
+                    dc, dn, ds = duck_digest(con, os_[name])
+                    ok = sc == dc and sn == dn and ss == ds
+                    rec.update(rows=sn, oracle_rows=dn,
+                               cols_match=sc == dc, digest_match=ss == ds)
+                if args.mode in ("full", "both"):
+                    fsc, fsr = canon(sdf.toPandas())
+                    fdc, fdr = canon(con.execute(os_[name]).fetchdf())
+                    full_ok = fsc == fdc and fsr == fdr
+                    rec["full_status"] = "match" if full_ok else "MISMATCH"
+                    if args.mode == "full":
+                        ok = full_ok
+                        rec["rows"] = len(fsr)
+                    elif full_ok != ok:
+                        disagree.append(name)
+                        rec["MODE_DISAGREEMENT"] = True
+                err = None
+                break
+            except Exception as e:
+                err = e
+                if gateway_dead(e) and attempt == 1:
+                    # the JVM died (heap OOM, typically); restart and
+                    # retry this one query on a fresh session so the
+                    # remainder of the sweep isn't burned
+                    print(f"RESTARTING Spark after gateway death on {name}",
+                          file=sys.stderr, flush=True)
+                    try:
+                        spark.stop()
+                    except Exception:
+                        pass
+                    spark = make_spark()
+                    continue
+                break
+            finally:
+                if con is not None:
+                    con.close()
+                # operators persist multi-consumer intermediates; a
+                # 150-query session would otherwise accumulate every
+                # query's cache (guarded: unpersist needs a live JVM)
+                try:
+                    from hotdog_spark.operators import release_tracked_persists
+
+                    release_tracked_persists()
+                except Exception:
+                    pass
+        if err is not None:
+            msg = str(err)
             results[name] = {"status": "error", "error": msg[:300]}
             bad.append(name)
             print(f"ERROR {name}: {msg[:200]}", file=sys.stderr)
+            if gateway_dead(err):
+                # second strike on a fresh session: record and move on,
+                # but make sure the next query starts against a live JVM
+                try:
+                    spark.stop()
+                except Exception:
+                    pass
+                spark = make_spark()
             continue
-        finally:
-            if con is not None:
-                con.close()
-            # operators persist multi-consumer intermediates; a 150-query
-            # session would otherwise accumulate every query's cache
-            from hotdog_spark.operators import release_tracked_persists
-
-            release_tracked_persists()
         rec["status"] = "match" if ok else "MISMATCH"
         rec["sec"] = round(time.time() - t0, 1)
         results[name] = rec
