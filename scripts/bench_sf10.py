@@ -160,13 +160,23 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     results: dict[str, dict] = {}
     seen = set(_stage_metrics(app_id))
+    import warnings
+
     for name in SUBSET:
         fn = queries[name]
         best = None
+        caught: list = []
         try:
             for _ in range(runs):
                 t0 = time.perf_counter()
-                fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                # record operator-emitted UserWarnings (e.g. the winnowing
+                # saturation guard, VERDICT r5 item 5) into the artifact so
+                # the "warns at sf10" claim is evidenced, not asserted
+                with warnings.catch_warnings(record=True) as w:
+                    warnings.simplefilter("always")
+                    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+                    caught = [str(x.message)[:300] for x in w
+                              if issubclass(x.category, UserWarning)]
                 el = time.perf_counter() - t0
                 best = el if best is None else min(best, el)
                 release_tracked_persists()
@@ -187,6 +197,8 @@ def main() -> None:
         }
         if name in sf1 and sf1[name]:
             entry["ratio_vs_sf1"] = round(best / sf1[name], 2)
+        if caught:
+            entry["operator_warnings"] = caught
         results[name] = entry
         print(f"  {name}: {entry}", file=sys.stderr)
 
