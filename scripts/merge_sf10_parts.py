@@ -34,8 +34,13 @@ out = {
         "measured-intractable DuckDB oracles: dedup_fuzzy_levenshtein "
         "(blocking-join Levenshtein rechecks balloon at 500k docs) and "
         "dedup_winnowing_pairs (gram-space saturation: the 53x answer growth "
-        "documented in SCALE_sf10.json makes the oracle's pair join explode). "
-        "Both remain hash-verified at sf1 in SCALE_sf1_correctness.json."
+        "documented in SCALE_sf10.json makes the oracle's pair join explode); "
+        "dedup_minhash_components and dedup_components_best_quality (their "
+        "oracle's RECURSIVE transitive-closure CTE grows with "
+        "sum(component_size^2): measured 17+ min / 36.7 GB RSS at 500k docs "
+        "without completing — the ENGINE side is linear min-label "
+        "propagation and ran fine; per-query notes carry the measurement). "
+        "All four remain hash-verified at sf1 in SCALE_sf1_correctness.json."
         + (
             "  NOTE: remaining 'error' rows are ENVIRONMENTAL, not engine "
             "failures — batch b3 ran while the pytest presnapshot gate's "
