@@ -145,7 +145,7 @@ def spark_digest(sdf):
 def duck_digest(con, sql, batch_rows=65536):
     """Same digest over the oracle, streamed in Arrow record batches —
     no full-result fetchdf, so the 32 GB DuckDB cap bounds the QUERY,
-    not query + result-frame + numpy copies."""
+    not query + query + result-frame + numpy copies."""
     reader = con.execute(sql).fetch_record_batch(batch_rows)
     cols = sorted(reader.schema.names)
     s, n = 0, 0
@@ -155,6 +155,50 @@ def duck_digest(con, sql, batch_rows=65536):
         s = (s + ps) % M127
         n += pn
     return cols, n, s
+
+
+def duck_digest_isolated(sf_dir, present, sql, mem):
+    """duck_digest in a CHILD process.  Round-6 sf10 finding: one
+    OOM-ing oracle (dedup_prefix_filter_jaccard's PPJoin SQL) poisons
+    the PARENT process — after DuckDB's std::bad_alloc, every later
+    ``duckdb.connect()`` in the same process fails instantly on 8-byte
+    allocations (the died instance's pool is never returned to the
+    process heap), which burned all 43 queries of batch b3 twice.
+    Fresh-connection-per-query cannot fix that; a subprocess boundary
+    makes the blast radius exactly one query by construction.  ~1 s
+    spawn overhead per query, noise against sf10 oracle runtimes."""
+    import subprocess
+
+    payload = json.dumps({
+        "sf_dir": sf_dir, "tables": sorted(present), "sql": sql, "mem": mem,
+    })
+    prog = (
+        "import sys, json\n"
+        "sys.path.insert(0, " + repr(REPO) + ")\n"
+        "sys.path.insert(0, " + repr(os.path.join(REPO, "scripts")) + ")\n"
+        "from verify_sf1 import duck_digest\n"
+        "import duckdb\n"
+        "cfg = json.loads(sys.stdin.read())\n"
+        "con = duckdb.connect()\n"
+        "con.execute(\"SET memory_limit='%s'\" % cfg['mem'])\n"
+        "for t in cfg['tables']:\n"
+        "    con.execute(\"CREATE VIEW %s AS SELECT * FROM "
+        "read_parquet('%s/%s.parquet')\" % (t, cfg['sf_dir'], t))\n"
+        "cols, n, s = duck_digest(con, cfg['sql'])\n"
+        "print(json.dumps({'cols': cols, 'n': n, 's': str(s)}))\n"
+    )
+    r = subprocess.run(
+        [sys.executable, "-c", prog], input=payload, capture_output=True,
+        text=True, timeout=3600,
+    )
+    if r.returncode != 0:
+        tail = (r.stderr or "").strip().splitlines()
+        raise RuntimeError(
+            "oracle subprocess failed (rc %s): %s"
+            % (r.returncode, " | ".join(tail[-3:])[:280])
+        )
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    return out["cols"], out["n"], int(out["s"])
 
 
 ALL_TABLES = ("region nation customer supplier part orders lineitem "
@@ -265,14 +309,17 @@ def main() -> None:
             try:
                 rec = {}
                 sdf = qs[name](spark, sf_dir)
-                con = fresh_con()
                 if args.mode in ("digest", "both"):
                     sc, sn, ss = spark_digest(sdf)
-                    dc, dn, ds = duck_digest(con, os_[name])
+                    dc, dn, ds = duck_digest_isolated(
+                        sf_dir, present, os_[name],
+                        os.environ.get("SPARK_GRAFT_DUCK_MEM", "32GB"),
+                    )
                     ok = sc == dc and sn == dn and ss == ds
                     rec.update(rows=sn, oracle_rows=dn,
                                cols_match=sc == dc, digest_match=ss == ds)
                 if args.mode in ("full", "both"):
+                    con = fresh_con()
                     fsc, fsr = canon(sdf.toPandas())
                     fdc, fdr = canon(con.execute(os_[name]).fetchdf())
                     full_ok = fsc == fdc and fsr == fdr
