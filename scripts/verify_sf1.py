@@ -181,6 +181,9 @@ def duck_digest_isolated(sf_dir, present, sql, mem):
         "cfg = json.loads(sys.stdin.read())\n"
         "con = duckdb.connect()\n"
         "con.execute(\"SET memory_limit='%s'\" % cfg['mem'])\n"
+        # slow oracles draw a \r progress bar on stdout that corrupts
+        # the result line (measured: 'Extra data' JSON errors)
+        "con.execute(\"SET enable_progress_bar=false\")\n"
         "for t in cfg['tables']:\n"
         "    con.execute(\"CREATE VIEW %s AS SELECT * FROM "
         "read_parquet('%s/%s.parquet')\" % (t, cfg['sf_dir'], t))\n"
@@ -197,7 +200,12 @@ def duck_digest_isolated(sf_dir, present, sql, mem):
             "oracle subprocess failed (rc %s): %s"
             % (r.returncode, " | ".join(tail[-3:])[:280])
         )
-    out = json.loads(r.stdout.strip().splitlines()[-1])
+    lines = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(
+            "oracle subprocess produced no result line: %r" % r.stdout[-200:]
+        )
+    out = json.loads(lines[-1])
     return out["cols"], out["n"], int(out["s"])
 
 
