@@ -339,6 +339,7 @@ def winnowing_pairs(
     k: int = 20, w: int = WINNOW_W,
     max_df: int = 50, min_shared: int = 3,
     saturation_warn_ratio: float = 4.0,
+    pair_mass_warn_per_doc: float = 20.0,
 ) -> DataFrame:
     """Winnowing overlap detection (MOSS stage 2): find document pairs
     sharing >= ``min_shared`` winnowing fingerprints — the join MOSS runs
@@ -419,22 +420,62 @@ def winnowing_pairs(
     if saturation_warn_ratio > 0:
         import warnings
 
-        stats = fps.agg(
-            F.countDistinct("fp").alias("d"),
-            F.countDistinct("id").alias("n"),
+        # TWO saturation signals, because they catch different regimes
+        # (sf10 finding, VERDICT r5 item 5 follow-up):
+        #  1. distinct-fp : doc ratio — collapses when the gram space is
+        #     exhausted (tiny vocab, short grams).  In that regime most
+        #     fps exceed max_df, so the answer is EITHER quadratic or
+        #     fully capped-away; both deserve a warning.
+        #  2. candidate-pair mass — sum of C(df, 2) over the fps that
+        #     will actually join (2 <= df <= max_df), per document.
+        #     This is the literal candidate volume of the downstream
+        #     self-join, the quantity that exploded 53x at sf10 while
+        #     the ratio signal stayed ABOVE its threshold (measured:
+        #     the sf10 corpus keeps >= 4 distinct fps per doc yet
+        #     carries ~784 candidates per doc).  An estimate from the
+        #     same per-fp df aggregate the pipeline computes anyway.
+        # Both reduce over the persisted fp table: one groupBy(fp)
+        # count (map-side combinable) + one countDistinct(id) — O(1)
+        # driver rows each, guard-only cost, disabled by
+        # saturation_warn_ratio=0.
+        per_fp = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("dfc"))
+        stats = per_fp.agg(
+            F.count(F.lit(1)).alias("d"),
+            F.sum(
+                F.when(
+                    (F.col("dfc") >= 2) & (F.col("dfc") <= max_df),
+                    F.col("dfc").cast("double")
+                    * (F.col("dfc") - 1).cast("double") / 2.0,
+                ).otherwise(0.0)
+            ).alias("pair_mass"),
         ).collect()[0]
-        if stats["n"] and stats["d"] / stats["n"] < saturation_warn_ratio:
+        n_docs = fps.agg(F.countDistinct("id").alias("n")).collect()[0]["n"]
+        dials = (
+            "  Dials: widen gram width k (fewer coincidental matches), "
+            "lower max_df (only rarer fingerprints pair), or raise "
+            "min_shared."
+        )
+        if n_docs and stats["d"] / n_docs < saturation_warn_ratio:
             warnings.warn(
                 "winnowing_pairs: fingerprint space is SATURATED — "
                 f"{stats['d']:,} distinct fingerprints across "
-                f"{stats['n']:,} documents "
-                f"(ratio {stats['d'] / stats['n']:.2f} < "
+                f"{n_docs:,} documents "
+                f"(ratio {stats['d'] / n_docs:.2f} < "
                 f"{saturation_warn_ratio}); unrelated documents will "
                 "genuinely share >= min_shared fingerprints and the "
                 "answer (and its shuffle) grows quadratically with the "
-                "corpus.  Dials: widen gram width k (fewer coincidental "
-                "matches), lower max_df (only rarer fingerprints pair), "
-                "or raise min_shared.",
+                "corpus." + dials,
+                stacklevel=2,
+            )
+        elif n_docs and (stats["pair_mass"] or 0.0) / n_docs > pair_mass_warn_per_doc:
+            warnings.warn(
+                "winnowing_pairs: candidate-pair mass is SATURATED — the "
+                f"eligible fingerprints generate ~{stats['pair_mass']:,.0f} "
+                f"candidate pairs for {n_docs:,} documents "
+                f"({stats['pair_mass'] / n_docs:,.1f} per doc > "
+                f"{pair_mass_warn_per_doc}); the answer (and its shuffle) "
+                "is growing quadratically with the corpus even though "
+                "per-doc fingerprints look diverse." + dials,
                 stacklevel=2,
             )
     # _mins is array_distinct per doc, so count(*) per id IS n_fp — the

@@ -491,6 +491,24 @@ def test_winnowing_saturation_guard(spark):
                                 saturation_warn_ratio=0)
 
 
+def test_winnowing_pair_mass_guard(spark):
+    # The sf10 regime in miniature: per-doc fingerprints look DIVERSE
+    # (ratio signal above threshold) but mid-frequency fingerprints
+    # carry a quadratic candidate mass — 5 clusters of 10 identical
+    # docs, each cluster's text rich and distinct, so every fingerprint
+    # has df=10 (eligible, <= max_df) and contributes C(10,2)=45
+    # candidate pairs.  The ratio guard alone missed exactly this at
+    # sf10 (53x answer growth, no warning).
+    rows = [
+        (g * 10 + i,
+         " ".join(f"g{g}tok{j}w{(j * (g + 3)) % 13}" for j in range(120)))
+        for g in range(5) for i in range(10)
+    ]
+    clustered = spark.createDataFrame(rows, ["doc_id", "text"])
+    with pytest.warns(UserWarning, match="candidate-pair mass"):
+        textops.winnowing_pairs(clustered, "text", "doc_id", k=12, w=4)
+
+
 def test_language_id_heuristic(spark, docs):
     preds = {r.doc_id: r.pred_lang for r in textops.language_id(docs, "text", "doc_id").collect()}
     assert preds[0] == "en"
