@@ -226,6 +226,50 @@ def rebalance_to_min_group(
     )
 
 
+def rebalance_temperature_sqrt(
+    df: DataFrame, key_col: str, group_col: str
+) -> DataFrame:
+    """Temperature-weighted data-mix rebalancing (T = 2, i.e. target
+    share ∝ count^(1/2)) — the multilingual-training compromise between
+    the natural mix (head sources drown the tail) and the uniform mix of
+    :func:`rebalance_to_min_group` (tail sources force away most head
+    data).  Sampling sources proportional to p^α with α = 1/2 is the
+    standard temperature fix (e.g. multilingual BERT / XLM-R data
+    sampling); this is its deterministic, downsample-only form: the
+    per-group keep-rate that realises share ∝ √count without ever
+    upsampling is rate_g = √(min_count / count_g) (the smallest group
+    keeps everything, a 100×-larger group keeps 1/10 — not 1/100 as the
+    uniform mix would).
+
+    Cross-engine determinism: rate_g is computed as
+    ``floor(16⁴ · sqrt(min/cnt))`` — one IEEE division and one IEEE
+    sqrt (both correctly rounded, so bit-identical in Spark and DuckDB)
+    scaled by a power of two (exact) — and applied through the same
+    md5-prefix threshold as :func:`md5_sample`.  Same scale shape as
+    :func:`rebalance_to_min_group`: one tiny count aggregate broadcast
+    onto a pure filter; the corpus is never shuffled.
+    """
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    mn = counts.agg(F.min("_cnt").alias("_min"))
+    rates = counts.crossJoin(F.broadcast(mn)).select(
+        group_col,
+        F.col("_cnt"),
+        F.floor(
+            F.lit(_SPACE)
+            * F.sqrt(F.col("_min").cast("double") / F.col("_cnt").cast("double"))
+        ).cast("long").alias("_th"),
+    )
+    keep = (F.col("_th") >= _SPACE) | (
+        _prefix(F.col(key_col)) < F.format_string(f"%0{_PREFIX_LEN}x", F.col("_th"))
+    )
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(keep)
+        .drop("_th")
+        .withColumnRenamed("_cnt", "n_before")
+    )
+
+
 def zorder_key(x: Column, y: Column, bits: int = 10) -> Column:
     """Morton (Z-order) interleaving of the low ``bits`` bits of two
     integer keys — the multi-dimensional clustering key behind

@@ -345,3 +345,38 @@ def pack_sharded_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
     )
+
+
+@register(
+    "rebalance_temperature_mix",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang
+    ), m AS (SELECT MIN(cnt) AS mn FROM counts),
+    r AS (
+      SELECT lang, cnt,
+             CAST(FLOOR(65536 * sqrt(CAST(mn AS DOUBLE) / CAST(cnt AS DOUBLE)))
+                  AS BIGINT) AS th
+      FROM counts, m
+    )
+    SELECT d.lang, r.cnt AS n_before, COUNT(*) AS n_kept
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE r.th >= 65536
+       OR substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < printf('%04x', r.th)
+    GROUP BY d.lang, r.cnt
+    """,
+)
+def rebalance_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted (T=2: share ∝ √count) language-mix rebalance (the actual XLM-R use case; the synthetic corpus is lang-skewed — en 43% — while sources are uniform, so this query exercises non-trivial keep-rates) —
+    the multilingual-training middle ground between the natural mix and
+    `rebalance_source_mix`'s uniform mix.  Keep-rate √(min/cnt) per
+    source via one IEEE div + sqrt (correctly rounded, bit-identical
+    cross-engine) scaled by 2¹⁶; md5-threshold application, corpus never
+    shuffled (operators/sampling.py:rebalance_temperature_sqrt)."""
+    from hotdog_spark.operators.sampling import rebalance_temperature_sqrt
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    kept = rebalance_temperature_sqrt(docs, "doc_id", "lang")
+    return kept.groupBy("lang", "n_before").agg(
+        F.count(F.lit(1)).alias("n_kept")
+    )

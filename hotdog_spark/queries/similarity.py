@@ -556,3 +556,50 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("l_nid").alias("n_hits"),
         (F.count("l_nid").cast("double") / F.lit(3.0)).alias("recall_at_3"),
     )
+
+
+@register(
+    "decontaminate_semantic_cosine",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, {_QUANT} AS qv,
+             list_sum(list_transform({_QUANT}, x -> x * x)) AS n2
+      FROM embeddings
+    ), b AS (
+      SELECT vec_id AS bench_id, qv AS qb, n2 AS n2b FROM n
+      WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '028f' AND n2 > 0
+    ), t AS (
+      SELECT vec_id AS train_id, qv, n2 FROM n
+      WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) >= '028f' AND n2 > 0
+    ), best AS (
+      SELECT t.train_id,
+             max(struct_pack(
+               s := list_inner_product(t.qv, b.qb)
+                    / sqrt(CAST(t.n2 * b.n2b AS DOUBLE)),
+               nb := -b.bench_id)) AS m
+      FROM t, b GROUP BY t.train_id
+    )
+    SELECT train_id, CAST(-(m.nb) AS BIGINT) AS bench_id, m.s AS max_cosine
+    FROM best WHERE m.s >= CAST(0.30 AS DOUBLE)
+    """,
+)
+def decontaminate_semantic_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark-leakage screen: every training vector
+    whose max cosine to the (md5-split, content-deterministic, 1%%)
+    held-out set is >= 0.30, with its best-matching benchmark id — the
+    semantic complement of `decontaminate_ngram_overlap` (paraphrases
+    share no n-grams but sit next to the benchmark in embedding space).
+    The benchmark matrix is O(eval-suite) and ships in the task closure;
+    the corpus is scored map-side in one vectorized BLAS kernel — zero
+    corpus shuffle (operators/decontam.py:decontaminate_semantic).
+    Oracle notes: `list_inner_product` over the integer-milli lists is a
+    DOUBLE accumulation of products < 2^53 (exact, order-free) — 17x
+    faster than the list_zip form, measured; the argmax with
+    (score desc, bench_id asc) tie-break is a streaming struct-max
+    aggregate (no 396M-row window sort at sf10)."""
+    from hotdog_spark.operators.decontam import decontaminate_semantic
+
+    emb = table(spark, sf_dir, "embeddings")
+    return decontaminate_semantic(
+        emb, "vec_id", "embedding", test_frac=0.01, threshold=0.30
+    )

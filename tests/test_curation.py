@@ -84,3 +84,63 @@ def test_decontaminate_flags_shared_ngrams(spark):
     }
     # doc 10 has grams {one..five, two..six}: one shared; doc 12 identical.
     assert got == {10: 1, 12: 1}
+
+
+def test_decontaminate_semantic_flags_near_benchmark_vectors(spark):
+    # Pick ids so the md5 split is known: id 17 hashes below the 10%
+    # threshold (test side); the rest are train.
+    ids = list(range(40))
+    th = hashlib.md5(b"x").hexdigest()  # noqa: F841 (doc: split is md5-based)
+    from hotdog_spark.operators.sampling import hex_threshold
+    cut = hex_threshold(0.1)
+    test_ids = [i for i in ids if hashlib.md5(str(i).encode()).hexdigest()[:4] < cut]
+    train_ids = [i for i in ids if i not in set(test_ids)]
+    assert test_ids, "fixture needs at least one test id"
+    b0 = test_ids[0]
+    # train vec equal to the benchmark vector -> cosine 1.0 (flagged);
+    # orthogonal train vec -> cosine 0.0 (not flagged).
+    clone, ortho = train_ids[0], train_ids[1]
+    def vec(i):
+        if i == b0 or i == clone:
+            return [1.0, 0.0, 0.0, 0.0]
+        if i == ortho:
+            return [0.0, 1.0, 0.0, 0.0]
+        return [0.0, 0.0, 1.0, 0.0]
+    df = spark.createDataFrame(
+        [(i, vec(i)) for i in ids], ["vec_id", "embedding"]
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    from hotdog_spark.operators.decontam import decontaminate_semantic
+    got = {
+        r["train_id"]: (r["bench_id"], r["max_cosine"])
+        for r in decontaminate_semantic(
+            df, "vec_id", "embedding", test_frac=0.1, threshold=0.5
+        ).collect()
+    }
+    assert clone in got and got[clone][1] == 1.0
+    assert got[clone][0] == b0 or got[clone][0] in test_ids
+    assert ortho not in got
+
+
+def test_rebalance_temperature_sqrt_rates(spark):
+    # 4 groups with counts 100, 400, 1600, 100: sqrt temperature keeps
+    # ~100, ~200, ~400, 100 — the 16x group keeps 1/4, not 1/16.
+    rows = []
+    k = 0
+    for g, n in [("a", 100), ("b", 400), ("c", 1600), ("d", 100)]:
+        for _ in range(n):
+            rows.append((k, g)); k += 1
+    from hotdog_spark.operators.sampling import rebalance_temperature_sqrt
+    df = spark.createDataFrame(rows, ["id", "grp"])
+    kept = rebalance_temperature_sqrt(df, "id", "grp")
+    counts = {r["grp"]: r["n"] for r in
+              kept.groupBy("grp").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # min groups keep everything (threshold >= 65536 branch)
+    assert counts["a"] == 100 and counts["d"] == 100
+    # md5 thresholds are approximate: allow +-20% around sqrt targets
+    assert 160 <= counts["b"] <= 240      # target 200
+    assert 320 <= counts["c"] <= 480      # target 400
+    # determinism: rerun gives the identical kept set
+    ids1 = sorted(r["id"] for r in kept.select("id").collect())
+    ids2 = sorted(r["id"] for r in
+                  rebalance_temperature_sqrt(df, "id", "grp").select("id").collect())
+    assert ids1 == ids2
