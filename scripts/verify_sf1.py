@@ -145,7 +145,22 @@ def spark_digest(sdf):
 def duck_digest(con, sql, batch_rows=65536):
     """Same digest over the oracle, streamed in Arrow record batches —
     no full-result fetchdf, so the 32 GB DuckDB cap bounds the QUERY,
-    not query + query + result-frame + numpy copies."""
+    not query + query + result-frame + numpy copies.
+
+    Spill-to-disk: an in-memory ``duckdb.connect()`` has NO
+    temp_directory, so DuckDB's larger-than-memory operators are
+    silently disabled and any join/aggregate that crosses memory_limit
+    hard-OOMs instead of spilling (round-6 sf10 finding: the PPJoin
+    oracle died at 32 GB solo).  Point temp_directory at a repo-local
+    scratch dir so the cap becomes a working-set bound, not a query
+    death sentence."""
+    try:
+        tmp = os.path.join(REPO, ".tmp")
+        os.makedirs(tmp, exist_ok=True)
+        con.execute(f"SET temp_directory='{tmp}'")
+        con.execute("SET max_temp_directory_size='60GiB'")
+    except Exception:
+        pass  # older DuckDB without the setting: behave as before
     reader = con.execute(sql).fetch_record_batch(batch_rows)
     cols = sorted(reader.schema.names)
     s, n = 0, 0
