@@ -593,7 +593,8 @@ def date_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
     "string_regexp_extract_all",
     oracle="""
     SELECT doc_id,
-           array_to_string(regexp_extract_all(text, '[a-z]{5,}'), ',') AS long_words,
+           COALESCE(array_to_string(regexp_extract_all(text, '[a-z]{5,}'), ','), '')
+             AS long_words,
            len(regexp_extract_all(text, '[a-z]{5,}')) AS n_long
     FROM documents WHERE doc_id % 10 = 0
     """,
@@ -601,7 +602,14 @@ def date_functions_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
 def string_regexp_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """regexp_extract_all: every 5+-letter word per document, joined to a
     string for engine-neutral comparison — the multi-match extraction the
-    single-group regexp_extract can't express."""
+    single-group regexp_extract can't express.
+
+    Oracle note (sf10-caught): DuckDB's ``array_to_string([], ',')``
+    returns NULL while Spark's ``array_join(array(), ',')`` returns ''.
+    A document with zero 5+-letter words (first seen at sf10,
+    doc_id 465840) hits that corner, so the oracle COALESCEs to '' —
+    ``text`` itself is non-null in every corpus, so the coalesce can
+    only fire on the empty-match case."""
     d = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
     matches = F.expr(r"regexp_extract_all(text, '[a-z]{5,}', 0)")
     return d.select(
