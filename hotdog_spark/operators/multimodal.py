@@ -1009,3 +1009,119 @@ def audio_chunks_pcm(df: DataFrame, chunk_frames: int = 100) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.select("media_id", "content").mapInPandas(kernel, PCM_CHUNK_SCHEMA)
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("ahash_hi", LongType()),
+        StructField("ahash_lo", LongType()),
+    ]
+)
+
+
+def image_ahash(df: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual AVERAGE-HASH (aHash) over DECODED image pixels — the
+    classic near-duplicate image fingerprint: downsample to a
+    ``grid``×``grid`` brightness grid and emit one bit per cell
+    (brighter than the image mean or not), so re-encoded / resized
+    copies of the same picture collide on the same 64-bit hash.
+
+    Every step is EXACT INTEGER arithmetic so an oracle can reproduce
+    the hash bit-for-bit without decoding:
+
+    - gray(x, y) = R + G + B (un-normalized integer sum; alpha ignored,
+      single-channel images use the channel ×3),
+    - pixel (x, y) belongs to cell (i, j) = ((grid·y)//h, (grid·x)//w),
+    - bit(i, j) = 1  iff  cell_sum · (w·h) > total_sum · cell_n
+      (cross-multiplied integers — no division, no floats; empty cells
+      when w or h < grid contribute 0),
+    - the 64 bits are emitted as TWO sub-2^32 BIGINT halves
+      (``ahash_hi`` = bits 32..63, ``ahash_lo`` = bits 0..31) so neither
+      engine ever touches the int64 sign bit (DuckDB errors on BIGINT
+      overflow; Spark wraps — split halves sidestep both).
+
+    Decode is the package's real stdlib PNG path (:func:`decode_png` —
+    inflate + all five unfilters); undecodable rows are diverted (no
+    output row — corrupt-record posture, /root/reference/src/sink/
+    parquet.rs:254-285).  Arrow-batched mapInPandas, one output row per
+    image: memory is bounded by batch size and the hash table downstream
+    group-by is 2^64-sparse — at 100 TB the dedup reduces to a keyed
+    aggregate on an 8-byte-equivalent key, the same shape as exact-hash
+    dedup."""
+    from hotdog_spark.dist import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "width", "height", "ahash_hi", "ahash_lo",
+            )}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                dec = decode_png(bytes(blob) if blob is not None else b"")
+                if dec is None:
+                    continue  # divert, never fatal
+                w, h, ch = dec["width"], dec["height"], dec["channels"]
+                a = np.frombuffer(dec["pixels"], dtype=np.uint8)
+                a = a.reshape(h, w, ch).astype(np.int64)
+                if ch >= 3:
+                    gray = a[:, :, 0] + a[:, :, 1] + a[:, :, 2]
+                else:
+                    gray = a[:, :, 0] * 3
+                jj = (grid * np.arange(w)) // w
+                ii = (grid * np.arange(h)) // h
+                idx = (ii[:, None] * grid + jj[None, :]).ravel()
+                flat = gray.ravel()
+                # bincount weights are float64 but values stay integral
+                # and < 2^53 (765 · w · h), so the cast back is exact.
+                cs = np.bincount(idx, weights=flat, minlength=grid * grid)
+                cs = cs.astype(np.int64)
+                cn = np.bincount(idx, minlength=grid * grid).astype(np.int64)
+                total = int(flat.sum())
+                bits = (cs * (w * h)) > (total * cn)
+                lo = hi = 0
+                for k in range(min(32, grid * grid)):
+                    if bits[k]:
+                        lo |= 1 << k
+                for k in range(32, grid * grid):
+                    if bits[k]:
+                        hi |= 1 << (k - 32)
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["ahash_hi"].append(hi)
+                rows["ahash_lo"].append(lo)
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "content").mapInPandas(kernel, AHASH_SCHEMA)
+
+
+def image_ahash_dedup(df: DataFrame, grid: int = 8) -> DataFrame:
+    """aHash-keyed image dedup: hash every decodable image
+    (:func:`image_ahash`), group identical hashes, and mark every
+    non-canonical member (canonical = smallest media_id — the same
+    deterministic choice the exact-dedup operators make).
+
+    Plan shape at scale: one mapInPandas projection (decode + hash), one
+    keyed aggregate on the two hash halves, one join of the per-image
+    rows against the (tiny relative to the corpus) group table — AQE
+    broadcasts it when it fits.  No pairwise comparisons anywhere: like
+    exact dedup, collisions ARE the candidate groups."""
+    hashes = image_ahash(df, grid=grid)
+    groups = hashes.groupBy("ahash_hi", "ahash_lo").agg(
+        F.count(F.lit(1)).alias("group_n"),
+        F.min("media_id").alias("canonical_id"),
+    )
+    return hashes.join(groups, ["ahash_hi", "ahash_lo"]).select(
+        "media_id",
+        "ahash_hi",
+        "ahash_lo",
+        "group_n",
+        "canonical_id",
+        (F.col("media_id") != F.col("canonical_id")).cast("long").alias("is_dup"),
+    )

@@ -293,3 +293,87 @@ def multimodal_audio_pcm_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
     media = synth_decodable_media(docs, "doc_id", "n_chars")
     return audio_chunks_pcm(media, chunk_frames=100)
+
+
+@register(
+    "dedup_image_ahash",
+    oracle="""
+    WITH png AS (
+      SELECT doc_id, n_chars % 64 + 1 AS w, n_chars % 48 + 1 AS h
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    g AS (
+      SELECT doc_id, w, h, x.x AS x,
+             (doc_id*31 + x.x) % 256 + (doc_id*31 + 7 + x.x) % 256
+               + (doc_id*31 + 14 + x.x) % 256 AS gray,
+             (8 * x.x) // w AS j
+      FROM png, LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) x
+    ),
+    tot AS (
+      SELECT doc_id, CAST(SUM(gray) AS BIGINT) AS rs FROM g GROUP BY doc_id
+    ),
+    colcell AS (
+      SELECT doc_id, w, j, CAST(SUM(gray) AS BIGINT) AS cs,
+             CAST(COUNT(*) AS BIGINT) AS cn
+      FROM g GROUP BY doc_id, w, j
+    ),
+    colbit AS (
+      -- General bit rule cell_sum*(w*h) > total_sum*cell_n collapses to
+      -- cs*w > rs*cn because the synth pixels are y-independent:
+      -- cell_sum = cs*ch_i, total_sum = rs*h, cell_n = cn*ch_i.
+      SELECT c.doc_id, c.j,
+             CASE WHEN c.cs * c.w > t.rs * c.cn THEN 1 ELSE 0 END AS bj
+      FROM colcell c JOIN tot t ON c.doc_id = t.doc_id
+    ),
+    rowsi AS (
+      SELECT doc_id, DISTINCT_I.i AS i FROM (
+        SELECT DISTINCT doc_id, (8 * y.y) // h AS i
+        FROM png, LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) y
+      ) DISTINCT_I
+    ),
+    bits AS (
+      SELECT cb.doc_id, r.i, cb.j, cb.bj AS bit
+      FROM colbit cb JOIN rowsi r ON cb.doc_id = r.doc_id
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN i*8 + j < 32
+                  THEN bit * (CAST(1 AS BIGINT) << (i*8 + j))
+                  ELSE 0 END) AS BIGINT) AS ahash_lo,
+             CAST(SUM(CASE WHEN i*8 + j >= 32
+                  THEN bit * (CAST(1 AS BIGINT) << (i*8 + j - 32))
+                  ELSE 0 END) AS BIGINT) AS ahash_hi
+      FROM bits GROUP BY doc_id
+    ),
+    grp AS (
+      SELECT ahash_hi, ahash_lo, CAST(COUNT(*) AS BIGINT) AS group_n,
+             MIN(doc_id) AS canonical_id
+      FROM hashes GROUP BY ahash_hi, ahash_lo
+    )
+    SELECT h.doc_id AS media_id, h.ahash_hi, h.ahash_lo,
+           g2.group_n, g2.canonical_id,
+           CAST(CASE WHEN h.doc_id <> g2.canonical_id THEN 1 ELSE 0 END
+                AS BIGINT) AS is_dup
+    FROM hashes h
+    JOIN grp g2 ON h.ahash_hi = g2.ahash_hi AND h.ahash_lo = g2.ahash_lo
+    """,
+)
+def dedup_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE dedup end-to-end: synthesize real RGBA PNGs
+    (odd ids — the same closed-form pixels as multimodal_decode_stats),
+    DECODE them (inflate + all five unfilters), compute the classic
+    8×8 average-hash with exact-integer bit rules, and group identical
+    hashes into duplicate sets (canonical = min media_id).  The oracle
+    reproduces every hash bit arithmetically from the closed-form pixel
+    formula — the Spark side only matches if the zlib round-trip, the
+    unfiltering, the grid binning and the bit packing are all exact.
+    The synthetic pixels are y-independent, so each image has ≤8
+    effective bits and collisions genuinely occur: the dedup path
+    (group sizes > 1, is_dup flags) is exercised, not vacuous.
+
+    Scale: decode+hash is one Arrow-batched projection; dedup is one
+    keyed aggregate + one join against the group table (AQE broadcasts
+    it when small) — the exact-dedup plan shape, no pairwise work."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    media = ops.synth_decodable_media(docs, "doc_id", "n_chars")
+    return ops.image_ahash_dedup(media, grid=8)

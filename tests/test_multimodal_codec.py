@@ -182,3 +182,84 @@ def test_audio_chunks_pcm_sample_aligned(spark):
     assert rows[2].sum_val == 0 and rows[2].peak_abs == 60
     assert rows[2].sum_sq == 2 * 3600
     assert all(r.media_id == 1 for r in rows.values())
+
+
+def _reference_ahash(pixels: bytes, w: int, h: int, ch: int, grid: int = 8):
+    """Independent pure-Python aHash: nested loops, no numpy — pins the
+    vectorized kernel's binning and bit packing."""
+    cell_sum = [[0] * grid for _ in range(grid)]
+    cell_n = [[0] * grid for _ in range(grid)]
+    total = 0
+    for y in range(h):
+        for x in range(w):
+            base = (y * w + x) * ch
+            if ch >= 3:
+                g = pixels[base] + pixels[base + 1] + pixels[base + 2]
+            else:
+                g = pixels[base] * 3
+            i, j = (grid * y) // h, (grid * x) // w
+            cell_sum[i][j] += g
+            cell_n[i][j] += 1
+            total += g
+    lo = hi = 0
+    for i in range(grid):
+        for j in range(grid):
+            if cell_sum[i][j] * (w * h) > total * cell_n[i][j]:
+                k = i * grid + j
+                if k < 32:
+                    lo |= 1 << k
+                else:
+                    hi |= 1 << (k - 32)
+    return hi, lo
+
+
+def test_image_ahash_matches_reference(spark):
+    """The Spark aHash kernel (decode → numpy binning → bit pack) must
+    equal the loop-reference hash on images that exercise uneven grid
+    cells (w, h not multiples of 8) and sub-grid sizes (w < 8)."""
+    import pandas as pd
+
+    from hotdog_spark.operators.multimodal import image_ahash
+
+    cases = [(13, 9, "a"), (64, 48, "b"), (5, 3, "c"), (8, 8, "d"), (1, 1, "e")]
+    rows = []
+    expected = {}
+    for n, (w, h, seed) in enumerate(cases):
+        pix = _pseudo_pixels(seed, w * h * 4)
+        rows.append((n, synth_png(w, h, 8, 6, pixels=pix)))
+        expected[n] = _reference_ahash(pix, w, h, 4)
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "content"])
+    )
+    got = {
+        r["media_id"]: (r["ahash_hi"], r["ahash_lo"])
+        for r in image_ahash(df).collect()
+    }
+    assert got == expected
+
+
+def test_image_ahash_dedup_groups(spark):
+    """Identical pixel content under different encodings (filter cycles
+    differ with height) must collide; the canonical is the min id and
+    every other member is flagged."""
+    import pandas as pd
+
+    from hotdog_spark.operators.multimodal import image_ahash_dedup
+
+    pix = _pseudo_pixels("dup", 16 * 8 * 4)
+    # Same image twice (ids 7, 3) + one distinct image (id 5).
+    rows = [
+        (7, synth_png(16, 8, 8, 6, pixels=pix)),
+        (3, synth_png(16, 8, 8, 6, pixels=pix)),
+        (5, synth_png(16, 8, 8, 6, pixels=_pseudo_pixels("other", 16 * 8 * 4))),
+        (9, b"not a png"),  # diverted, no row
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "content"])
+    )
+    out = {r["media_id"]: r.asDict() for r in image_ahash_dedup(df).collect()}
+    assert set(out) == {3, 5, 7}
+    assert out[3]["group_n"] == 2 and out[7]["group_n"] == 2
+    assert out[3]["canonical_id"] == 3 and out[7]["canonical_id"] == 3
+    assert out[3]["is_dup"] == 0 and out[7]["is_dup"] == 1
+    assert out[5]["group_n"] == 1 and out[5]["is_dup"] == 0
