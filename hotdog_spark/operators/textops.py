@@ -854,3 +854,72 @@ def bm25_rational_topk(
     top = scored.orderBy(F.col("score").desc(), F.col("id")).limit(topk)
     w = Window.orderBy(F.col("score").desc(), F.col("id"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+def lm_bigram_familiarity(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    rare_denom: int = 200,
+) -> DataFrame:
+    """Corpus-trained bigram language-model FAMILIARITY score (the
+    CCNet-style "does this document look like the rest of the corpus"
+    quality signal, kept transcendental-free for cross-engine parity):
+    train MLE bigram conditional probabilities p(w2|w1) =
+    c(w1,w2)/c(w1·) over the WHOLE corpus, then score every document by
+
+    - ``n_bigrams``  — adjacent-token pairs in the document,
+    - ``mean_p``     — arithmetic mean of its bigram probabilities
+      (each p is ONE exactly-rounded IEEE division; the per-doc sum of
+      ~10² doubles carries ~1e-14 relative order-noise, far below the
+      comparator's 10-significant-digit canon — no logs anywhere, so no
+      libm divergence between the JVM and DuckDB),
+    - ``n_rare`` / ``rare_frac`` — transitions rarer than
+      1/``rare_denom`` of their context, decided by the EXACT integer
+      cross-multiplication c(w1,w2)·rare_denom < c(w1·).
+
+    Documents scoring low (small mean_p, high rare_frac) are the
+    unfamiliar/garbled tail a curation pipeline drops or down-weights.
+
+    Plan at scale: one explode over the corpus (the token stream a
+    tokenizer pass reads anyway), two keyed aggregates for the model
+    (bigram types are vocabulary-bounded, not corpus-bounded), two
+    joins to score — AQE broadcasts the model tables when they fit; at
+    web scale you would add a min-count floor so the bigram table stays
+    memory-resident (the classic LM cutoff — the join keys and shapes
+    are unchanged).  The exploded stream is persisted once and feeds
+    model-build and scoring, so the corpus is tokenized exactly once.
+    """
+    toks = normalized_tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("t")).filter(F.size("t") >= 2)
+    bg = track_persist(
+        base.select(
+            F.col(id_col),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("b"),
+        ).select(id_col, "b.w1", "b.w2")
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    cc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("ctx"))
+    scored = (
+        bg.join(cb, ["w1", "w2"])
+        .join(cc, ["w1"])
+        .select(
+            F.col(id_col),
+            (F.col("cnt").cast("double") / F.col("ctx").cast("double")).alias("p"),
+            (F.col("cnt") * F.lit(rare_denom) < F.col("ctx"))
+            .cast("long")
+            .alias("rare"),
+        )
+    )
+    n = F.count(F.lit(1))
+    return scored.groupBy(id_col).agg(
+        n.alias("n_bigrams"),
+        (F.sum("p") / n.cast("double")).alias("mean_p"),
+        F.sum("rare").alias("n_rare"),
+        (F.sum("rare").cast("double") / n.cast("double")).alias("rare_frac"),
+    )

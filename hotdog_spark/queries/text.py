@@ -681,3 +681,46 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)).cast("double")
         ).alias("novelty_ratio"),
     )
+
+
+@register(
+    "quality_lm_bigram",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), bg AS (
+      SELECT doc_id, t[i.i] AS w1, t[i.i + 1] AS w2
+      FROM t, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) i
+      WHERE len(t) >= 2
+    ), cb AS (
+      SELECT w1, w2, COUNT(*) AS cnt FROM bg GROUP BY w1, w2
+    ), cc AS (
+      SELECT w1, COUNT(*) AS ctx FROM bg GROUP BY w1
+    ), scored AS (
+      SELECT g.doc_id,
+             CAST(b.cnt AS DOUBLE) / CAST(c.ctx AS DOUBLE) AS p,
+             CASE WHEN b.cnt * 200 < c.ctx THEN 1 ELSE 0 END AS rare
+      FROM bg g
+      JOIN cb b ON g.w1 = b.w1 AND g.w2 = b.w2
+      JOIN cc c ON g.w1 = c.w1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           SUM(p) / CAST(COUNT(*) AS DOUBLE) AS mean_p,
+           CAST(SUM(rare) AS BIGINT) AS n_rare,
+           CAST(SUM(rare) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rare_frac
+    FROM scored GROUP BY doc_id
+    """,
+)
+def quality_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM familiarity scoring (CCNet-style corpus quality signal,
+    transcendental-free): train MLE p(w2|w1) over the corpus, score each
+    document by mean bigram probability and rare-transition fraction.
+    Rarity is an exact integer cross-multiplication (cnt·200 < ctx); the
+    only floats are exactly-rounded single divisions and one short sum.
+    See :func:`hotdog_spark.operators.textops.lm_bigram_familiarity` for
+    the 100 TB posture (vocabulary-bounded model tables, min-count
+    floor)."""
+    return ops.lm_bigram_familiarity(
+        table(spark, sf_dir, "documents"), "text", "doc_id", rare_denom=200
+    )

@@ -1163,3 +1163,34 @@ def test_label_cohesion_orders_classes_by_spread(spark):
     assert got[0].n_vecs == got[1].n_vecs == 4
     assert got[0].sum_qd2 < got[1].sum_qd2
     assert got[0].max_qd2 < got[1].max_qd2
+
+
+def test_lm_bigram_familiarity_hand_computed(spark):
+    """Corpus 'a b a b' + 'a b a c' + 'x y': model counts are
+    c(a,b)=3 c(b,a)=2 c(a,c)=1 c(x,y)=1, contexts c(a.)=4 c(b.)=2
+    c(x.)=1; every probability and rarity flag is hand-checkable."""
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b a c"), (3, "x y"), (4, "solo")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in textops.lm_bigram_familiarity(
+            df, "text", "doc_id", rare_denom=3
+        ).collect()
+    }
+    # doc 4 has one token -> no bigrams -> no row
+    assert set(out) == {1, 2, 3}
+    # doc 1: (a,b) p=3/4, (b,a) p=2/2, (a,b) p=3/4 -> mean (0.75+1+0.75)/3
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["mean_p"] == pytest.approx((0.75 + 1.0 + 0.75) / 3)
+    # rare under denom=3: cnt*3 < ctx -> (a,b): 9<4 no; (b,a): 6<2 no
+    assert out[1]["n_rare"] == 0
+    # doc 2: (a,b) 3/4, (b,a) 2/2, (a,c) 1/4; (a,c): 3<4 -> rare
+    assert out[2]["n_bigrams"] == 3
+    assert out[2]["mean_p"] == pytest.approx((0.75 + 1.0 + 0.25) / 3)
+    assert out[2]["n_rare"] == 1
+    assert out[2]["rare_frac"] == pytest.approx(1 / 3)
+    # doc 3: (x,y) p=1/1, not rare (3 < 1 false)
+    assert out[3]["mean_p"] == pytest.approx(1.0)
+    assert out[3]["n_rare"] == 0
