@@ -724,3 +724,45 @@ def quality_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.lm_bigram_familiarity(
         table(spark, sf_dir, "documents"), "text", "doc_id", rare_denom=200
     )
+
+
+@register("bpe_train_merges")
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING over the corpus (Sennrich et al. 2016):
+    learn 20 merges from the word-frequency table and return the ordered
+    merge table (rank, left, right, weighted pair count).  rows-only by
+    design: the training loop is iterative argmax-and-rewrite — the same
+    class as the k-means trainer — and has no single-statement SQL
+    equivalent; correctness is pinned by a differential unit test
+    against a loop-reference implementation (tests/test_bpe.py) plus
+    hand-checked merges on the classic corpus.  Scale posture: the
+    corpus is scanned ONCE (token-count aggregate); every iteration
+    runs on the vocabulary-bounded (word, cnt, syms) table and drives
+    exactly one row to the driver (the argmax)."""
+    from hotdog_spark.operators import bpe
+
+    merges = bpe.bpe_train(
+        table(spark, sf_dir, "documents"), "text", n_merges=20
+    )
+    rows = [
+        (i, a, b, pc) for i, (a, b, pc) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "rank long, left string, right string, pair_count long"
+    )
+
+
+@register("bpe_encode_stats")
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train 20 BPE merges, then ENCODE every document with the learned
+    table (merge list travels in the kernel closure — broadcast-dim
+    pattern) and emit exact integer stats: words, token characters, BPE
+    tokens, merges applied.  rows-only: the encoding depends on the
+    trained merge table (see bpe_train_merges); the arithmetic law
+    n_merges_applied = n_chars_tok + n_words - n_bpe_tokens is asserted
+    in tests and makes silent encode drift detectable."""
+    from hotdog_spark.operators import bpe
+
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, "text", n_merges=20)
+    return bpe.bpe_encode_stats(docs, "text", "doc_id", merges)

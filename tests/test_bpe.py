@@ -1,0 +1,102 @@
+"""BPE trainer/encoder tests: a pure-Python loop reference (the
+Sennrich et al. 2016 algorithm verbatim) pins the distributed trainer
+differentially, the classic paper corpus pins it by hand, and the
+encode stats are checked against their arithmetic law."""
+
+from collections import Counter
+
+import pandas as pd
+import pytest
+
+from hotdog_spark.operators.bpe import (
+    EOW,
+    _merge_once,
+    bpe_encode_stats,
+    bpe_train,
+)
+
+
+def _ref_train(wordcounts: dict[str, int], n_merges: int, min_pc: int = 2):
+    vocab = {w: list(w) + [EOW] for w in wordcounts}
+    merges = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for w, c in wordcounts.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pc:
+            break
+        merges.append((a, b, cnt))
+        for w in vocab:
+            vocab[w] = _merge_once(vocab[w], a, b)
+    return merges
+
+
+def test_merge_once_overlaps_resolve_left_first():
+    assert _merge_once(["a", "a", "a"], "a", "a") == ["aa", "a"]
+    assert _merge_once(["x", "a", "b", "a", "b"], "a", "b") == ["x", "ab", "ab"]
+    assert _merge_once(["a"], "a", "a") == ["a"]
+
+
+def test_bpe_train_classic_corpus(spark):
+    """The Sennrich paper's corpus: low×5, lower×2, newest×6, widest×3.
+    First merges must be (e,s)→es then (es,t)→est (count 9 each) — the
+    published walkthrough — and the whole table must equal the loop
+    reference."""
+    wc = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    rows = []
+    did = 0
+    for w, c in wc.items():
+        for _ in range(c):
+            rows.append((did, w))
+            did += 1
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = bpe_train(df, "text", n_merges=8)
+    assert got == _ref_train(wc, 8)
+    assert got[0] == ("e", "s", 9)
+    assert got[1] == ("es", "t", 9)
+
+
+def test_bpe_train_differential_random_corpus(spark):
+    """Multi-word documents with repeated words: the distributed trainer
+    (explode → weighted pair aggregate → argmax → kernel rewrite) must
+    equal the reference on a corpus where ties and full-word collapses
+    both occur."""
+    docs = [
+        (1, "aa aa ab ba"),
+        (2, "aa ab ab cc"),
+        (3, "ba ba aa dd dd dd"),
+        (4, "e e e e"),
+    ]
+    wc: Counter = Counter()
+    for _, t in docs:
+        wc.update(t.split())
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = bpe_train(df, "text", n_merges=10)
+    assert got == _ref_train(dict(wc), 10)
+
+
+def test_bpe_encode_stats_law_and_values(spark):
+    """n_merges_applied == n_chars_tok + n_words - n_bpe_tokens always;
+    with merges [(l,o),(lo,w)] the word 'low' encodes to [low? no —
+    'low' → l o w </w> → lo w </w> → low </w>] = 2 tokens."""
+    df = spark.createDataFrame(
+        pd.DataFrame([(1, "low low lower"), (2, "wide")],
+                     columns=["doc_id", "text"])
+    )
+    merges = [("l", "o", 7), ("lo", "w", 7)]
+    out = {r["doc_id"]: r.asDict()
+           for r in bpe_encode_stats(df, "text", "doc_id", merges).collect()}
+    # doc 1: 'low'→[low,</w>]=2, ×2; 'lower'→[low,e,r,</w>]=4
+    assert out[1]["n_words"] == 3
+    assert out[1]["n_chars_tok"] == 11
+    assert out[1]["n_bpe_tokens"] == 2 + 2 + 4
+    # doc 2: no merge applies → 4 chars + EOW
+    assert out[2]["n_bpe_tokens"] == 5
+    for r in out.values():
+        assert (r["n_merges_applied"]
+                == r["n_chars_tok"] + r["n_words"] - r["n_bpe_tokens"])
