@@ -919,7 +919,16 @@ def lm_bigram_familiarity(
     n = F.count(F.lit(1))
     return scored.groupBy(id_col).agg(
         n.alias("n_bigrams"),
+        # mean_p is a float SUM: per-doc it carries ~1e-14 relative
+        # accumulation-order noise, which at corpus scale WILL flip the
+        # 10th significant digit for ~1-in-10^4 documents (measured: the
+        # sf10 digest mismatched on exactly this column).  min/max of
+        # exactly-rounded single divisions are order-independent, so
+        # cross-engine comparisons should use those + the integer rare
+        # counters; mean_p stays for users with that caveat.
         (F.sum("p") / n.cast("double")).alias("mean_p"),
+        F.min("p").alias("min_p"),
+        F.max("p").alias("max_p"),
         F.sum("rare").alias("n_rare"),
         (F.sum("rare").cast("double") / n.cast("double")).alias("rare_frac"),
     )

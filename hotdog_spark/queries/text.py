@@ -706,7 +706,8 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           SUM(p) / CAST(COUNT(*) AS DOUBLE) AS mean_p,
+           MIN(p) AS min_p,
+           MAX(p) AS max_p,
            CAST(SUM(rare) AS BIGINT) AS n_rare,
            CAST(SUM(rare) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS rare_frac
     FROM scored GROUP BY doc_id
@@ -715,15 +716,19 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quality_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM familiarity scoring (CCNet-style corpus quality signal,
     transcendental-free): train MLE p(w2|w1) over the corpus, score each
-    document by mean bigram probability and rare-transition fraction.
+    document by min/max bigram probability and rare-transition fraction.
     Rarity is an exact integer cross-multiplication (cnt·200 < ctx); the
-    only floats are exactly-rounded single divisions and one short sum.
-    See :func:`hotdog_spark.operators.textops.lm_bigram_familiarity` for
-    the 100 TB posture (vocabulary-bounded model tables, min-count
-    floor)."""
+    emitted floats are exactly-rounded single divisions plus MIN/MAX —
+    all accumulation-order-independent.  The operator's mean_p column is
+    deliberately NOT emitted here: a per-doc float SUM flips the 10th
+    significant digit for ~1-in-10^4 docs at scale (the sf10 digest
+    caught exactly that), so the cross-engine contract sticks to
+    order-independent columns.  See :func:`hotdog_spark.operators.
+    textops.lm_bigram_familiarity` for the 100 TB posture
+    (vocabulary-bounded model tables, min-count floor)."""
     return ops.lm_bigram_familiarity(
         table(spark, sf_dir, "documents"), "text", "doc_id", rare_denom=200
-    )
+    ).select("doc_id", "n_bigrams", "min_p", "max_p", "n_rare", "rare_frac")
 
 
 @register("bpe_train_merges")
