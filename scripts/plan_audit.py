@@ -57,6 +57,8 @@ AUDIT = [
     ("embedding_quantize_int8_report", "SQ8 audit: 2 aggs + 64-row calib broadcast"),
     ("asof_forward_next_purchase", "as-of forward: union-and-carry single keyed sort"),
     ("dq_constraint_report", "DQ gate: bcast anti-join FKs + single-agg checks"),
+    ("dedup_image_ahash", "aHash dedup: decode projection + hash-group, no pairs"),
+    ("quality_lm_bigram", "bigram LM: one explode, vocab-bounded model joins"),
 ]
 
 
