@@ -288,3 +288,111 @@ def zorder_key(x: Column, y: Column, bits: int = 10) -> Column:
         term = xb + yb
         acc = term if acc is None else acc + term
     return acc
+
+
+def importance_weights_hashed_ngrams(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_pred: Column,
+    buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance weighting with hashed bigram features (Xie
+    et al. 2023, "Data Selection for Language Models via Importance
+    Resampling" — the public formulation), kept INTEGER-EXACT so both
+    engines agree bit-for-bit:
+
+    - features: word bigrams hashed into ``buckets`` buckets (md5 → one
+      4-hex-digit int → pmod — the simhash bucketing pattern),
+    - target model: bucket counts over the rows where ``target_pred``
+      holds; source model: bucket counts over the whole corpus,
+    - per document, ``target_mass`` = Σ target-count of its hashed
+      grams and ``source_mass`` = Σ source-count (exact BIGINT sums —
+      the rational stand-in for DSIR's log-ratio: monotone in "does
+      this doc's feature mass look like the target", no logs so no libm
+      divergence),
+    - ``weight`` = (target_mass/T) / (source_mass/S) as ONE double
+      division of exact integers (T, S = total feature mass of each
+      model), and ``selected`` = the exact integer cross-multiplication
+      target_mass·S > source_mass·T (importance weight > 1 — the doc is
+      more target-like than the average source doc).
+
+    Plan at scale: one bigram explode (persisted, feeds both models and
+    the scoring join), two bucket-count aggregates that are
+    BUCKET-bounded (1024 rows — broadcast by construction, never a
+    shuffle of the corpus), one scalar-totals cross join (1 row), and
+    one per-doc aggregate.  The corpus is never shuffled on anything
+    wider than its own doc key."""
+    from hotdog_spark.operators import track_persist
+    from hotdog_spark.operators.dedup import normalized_tokens
+
+    toks = normalized_tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col), target_pred.alias("is_target"), toks.alias("t")
+    ).filter(F.size("t") >= 2)
+    grams = track_persist(
+        base.select(
+            id_col,
+            "is_target",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(t) - 2),"
+                    " i -> concat(t[i], ' ', t[i + 1]))"
+                )
+            ).alias("g"),
+        ).withColumn(
+            "bucket",
+            F.pmod(
+                F.conv(F.substring(F.md5(F.col("g")), 1, 4), 16, 10).cast("int"),
+                F.lit(buckets),
+            ),
+        ).drop("g")
+    )
+    source = grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("s_cnt"))
+    target = (
+        grams.filter(F.col("is_target"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("t_cnt"))
+    )
+    model = F.broadcast(
+        source.join(target, "bucket", "left").select(
+            "bucket",
+            "s_cnt",
+            F.coalesce("t_cnt", F.lit(0)).alias("t_cnt"),
+        )
+    )
+    totals = F.broadcast(
+        model.agg(
+            F.sum("s_cnt").alias("s_tot"), F.sum("t_cnt").alias("t_tot")
+        )
+    )
+    per_doc = (
+        grams.join(model, "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("t_cnt").alias("target_mass"),
+            F.sum("s_cnt").alias("source_mass"),
+        )
+    )
+    # weight as (tm/sm)·(S/T): every op is an exactly-rounded IEEE
+    # double op in a FIXED order, so both engines produce the same bits
+    # — and no int64 product that would overflow at 100 TB feature
+    # masses.  selected cross-multiplies in DECIMAL so the exact flag
+    # survives any corpus size (long·long wraps in Spark, errors in
+    # DuckDB; decimal(18,0)² fits decimal(37,0) in both).
+    dec = "decimal(18,0)"
+    return per_doc.crossJoin(totals).select(
+        id_col,
+        "n_grams",
+        "target_mass",
+        "source_mass",
+        (
+            (F.col("target_mass").cast("double") / F.col("source_mass").cast("double"))
+            * (F.col("s_tot").cast("double") / F.col("t_tot").cast("double"))
+        ).alias("weight"),
+        (
+            F.col("target_mass").cast(dec) * F.col("s_tot").cast(dec)
+            > F.col("source_mass").cast(dec) * F.col("t_tot").cast(dec)
+        ).cast("long").alias("selected"),
+    )

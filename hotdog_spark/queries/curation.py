@@ -380,3 +380,63 @@ def rebalance_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang", "n_before").agg(
         F.count(F.lit(1)).alias("n_kept")
     )
+
+
+@register(
+    "curation_importance_weights",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id, lang = 'en' AS is_target,
+             list_transform(generate_series(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i + 1]) AS gs
+      FROM (SELECT doc_id, lang, {_TOKS} AS t FROM documents)
+      WHERE len(t) >= 2
+    ), g AS (
+      SELECT doc_id, is_target,
+             CAST(list_sum(list_transform(generate_series(1, 4), i ->
+               CAST(strpos('0123456789abcdef', substring(md5(gg.g), i, 1)) - 1
+                    AS BIGINT) * CAST(pow(16, 4 - i) AS BIGINT))) % 1024
+                  AS INT) AS bucket
+      FROM b, LATERAL (SELECT unnest(gs) AS g) gg
+    ), src AS (
+      SELECT bucket, COUNT(*) AS s_cnt FROM g GROUP BY bucket
+    ), tgt AS (
+      SELECT bucket, COUNT(*) AS t_cnt FROM g WHERE is_target GROUP BY bucket
+    ), model AS (
+      SELECT s.bucket, s.s_cnt, COALESCE(t.t_cnt, 0) AS t_cnt
+      FROM src s LEFT JOIN tgt t ON s.bucket = t.bucket
+    ), tot AS (
+      SELECT CAST(SUM(s_cnt) AS BIGINT) AS s_tot,
+             CAST(SUM(t_cnt) AS BIGINT) AS t_tot FROM model
+    ), pd AS (
+      SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(SUM(m.t_cnt) AS BIGINT) AS target_mass,
+             CAST(SUM(m.s_cnt) AS BIGINT) AS source_mass
+      FROM g JOIN model m ON g.bucket = m.bucket GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_grams, target_mass, source_mass,
+           (CAST(target_mass AS DOUBLE) / CAST(source_mass AS DOUBLE))
+             * (CAST(s_tot AS DOUBLE) / CAST(t_tot AS DOUBLE)) AS weight,
+           CAST(CASE WHEN CAST(target_mass AS HUGEINT) * CAST(s_tot AS HUGEINT)
+                        > CAST(source_mass AS HUGEINT) * CAST(t_tot AS HUGEINT)
+                THEN 1 ELSE 0 END AS BIGINT) AS selected
+    FROM pd, tot
+    """,
+)
+def curation_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (hashed bigram features, target =
+    the 'en' slice, source = the whole corpus) with integer-exact
+    scoring: per-doc target/source feature masses are exact BIGINT sums,
+    the selection flag is a decimal/hugeint cross-multiplication, and
+    the weight is a fixed-order chain of exactly-rounded double ops —
+    no logs, no order-dependent float sums (columns chosen to the same
+    standard the sf10 digest enforced on quality_lm_bigram).  See
+    :func:`hotdog_spark.operators.sampling.importance_weights_hashed_ngrams`
+    for the scale posture (bucket-bounded model tables broadcast by
+    construction; the corpus is never shuffled on a feature key)."""
+    from hotdog_spark.operators.sampling import importance_weights_hashed_ngrams
+
+    docs = table(spark, sf_dir, "documents")
+    return importance_weights_hashed_ngrams(
+        docs, "text", "doc_id", target_pred=F.col("lang") == "en", buckets=1024
+    )

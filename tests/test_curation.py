@@ -144,3 +144,59 @@ def test_rebalance_temperature_sqrt_rates(spark):
     ids2 = sorted(r["id"] for r in
                   rebalance_temperature_sqrt(df, "id", "grp").select("id").collect())
     assert ids1 == ids2
+
+
+def test_importance_weights_hashed_ngrams_differential(spark):
+    """The Spark DSIR-style scorer must equal a pure-Python reference
+    (md5 bucketing, integer masses, weight algebra) on a mixed-language
+    corpus; docs made of target-side bigrams must be selected."""
+    import hashlib
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.sampling import importance_weights_hashed_ngrams
+
+    docs = [
+        (1, "en", "the cat sat on the mat"),
+        (2, "en", "the cat ran"),
+        (3, "de", "der hund lief schnell weg"),
+        (4, "de", "the cat sat"),   # de-labeled but target-like content
+        (5, "en", "x"),             # single token -> no row
+    ]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:4], 16) % 1024
+
+    per_doc_buckets = {}
+    src, tgt = Counter(), Counter()
+    for did, lang, text in docs:
+        toks = text.split()
+        if len(toks) < 2:
+            continue
+        bs = [bucket(f"{a} {b}") for a, b in zip(toks, toks[1:])]
+        per_doc_buckets[did] = bs
+        src.update(bs)
+        if lang == "en":
+            tgt.update(bs)
+    s_tot, t_tot = sum(src.values()), sum(tgt.values())
+
+    df = spark.createDataFrame(docs, ["doc_id", "lang", "text"])
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in importance_weights_hashed_ngrams(
+            df, "text", "doc_id", target_pred=F.col("lang") == "en"
+        ).collect()
+    }
+    assert set(out) == set(per_doc_buckets)
+    for did, bs in per_doc_buckets.items():
+        tm = sum(tgt[b] for b in bs)
+        sm = sum(src[b] for b in bs)
+        r = out[did]
+        assert r["n_grams"] == len(bs)
+        assert r["target_mass"] == tm and r["source_mass"] == sm
+        assert r["weight"] == (tm / sm) * (s_tot / t_tot)
+        assert r["selected"] == int(tm * s_tot > sm * t_tot)
+    # doc 4 shares every bigram with the en docs -> more target-like
+    # than the de doc 3
+    assert out[4]["weight"] > out[3]["weight"]
