@@ -181,14 +181,41 @@ def synth_png(
         if bit_depth != 8 or len(pixels) != width * height * ch:
             raise ValueError("pixels must be 8-bit row-major w*h*channels bytes")
         stride = width * ch
-        raw_rows = [pixels[y * stride:(y + 1) * stride] for y in range(height)]
+        # Vectorized encode-side filtering: unlike decode, every filter
+        # type reads only RAW bytes (current row + prior row), so all
+        # five are expressible as shifted-array arithmetic — including
+        # Paeth, whose predictor select is two nested wheres.  Byte-exact
+        # with the loop reference (_filter_row, kept as the decode-test
+        # twin); pinned by the golden-bytes and round-trip tests.
+        # sf1-measured: the per-byte Python loop here was ~half the
+        # synth+decode cost of every PNG-bearing query.
+        import numpy as np
+
+        a = np.frombuffer(pixels, dtype=np.uint8).reshape(height, stride)
+        raw = a.astype(np.int16)
+        left = np.zeros_like(raw)
+        left[:, ch:] = raw[:, :-ch]
+        up = np.zeros_like(raw)
+        up[1:] = raw[:-1]
+        ul = np.zeros_like(raw)
+        ul[1:, ch:] = raw[:-1, :-ch]
+        p = left + up - ul
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+        paeth = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+        )
+        preds = (
+            np.zeros_like(raw),      # 0: none
+            left,                    # 1: sub
+            up,                      # 2: up
+            (left + up) // 2,        # 3: average
+            paeth,                   # 4: paeth
+        )
         scan = bytearray()
-        prior = bytes(stride)
-        for y, row in enumerate(raw_rows):
+        for y in range(height):
             ftype = y % 5
             scan.append(ftype)
-            scan += _filter_row(ftype, row, prior, ch)
-            prior = row
+            scan += ((raw[y] - preds[ftype][y]) % 256).astype(np.uint8).tobytes()
         chunks.append((b"IDAT", zlib.compress(bytes(scan))))
     chunks.append((b"IEND", b""))
     out = bytearray(_PNG_MAGIC)
@@ -241,16 +268,36 @@ def decode_png(content: bytes) -> dict | None:
     stride = w * ch
     if len(scan) != h * (1 + stride):
         return None
+    # Row unfiltering: filters 0 (none), 2 (up) and 1 (sub — a per-lane
+    # prefix sum: out[i] = filt[i] + out[i-bpp], so each of the bpp byte
+    # lanes is an independent cumsum mod 256) vectorize with numpy;
+    # 3 (average) and 4 (Paeth) reference already-reconstructed bytes of
+    # the same row through a nonlinear predictor, so they stay on the
+    # loop reference (_unfilter_row).  Byte-exact either way — pinned by
+    # the round-trip and golden-bytes tests.
+    import numpy as np
+
     pixels = bytearray()
-    prior = bytes(stride)
+    prior_a = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
         off = y * (1 + stride)
         ftype = scan[off]
         if ftype > 4:
             return None
-        row = _unfilter_row(ftype, scan[off + 1:off + 1 + stride], prior, ch)
-        pixels += row
-        prior = row
+        filt = scan[off + 1:off + 1 + stride]
+        if ftype == 0:
+            row_a = np.frombuffer(filt, dtype=np.uint8)
+        elif ftype == 2:
+            row_a = np.frombuffer(filt, dtype=np.uint8) + prior_a  # uint8 wraps
+        elif ftype == 1:
+            f = np.frombuffer(filt, dtype=np.uint8).reshape(-1, ch)
+            row_a = np.cumsum(f, axis=0, dtype=np.int64).astype(np.uint8).reshape(-1)
+        else:
+            row_a = np.frombuffer(
+                _unfilter_row(ftype, filt, prior_a.tobytes(), ch), dtype=np.uint8
+            )
+        pixels += row_a.tobytes()
+        prior_a = row_a
     return {"width": w, "height": h, "channels": ch, "pixels": bytes(pixels)}
 
 
@@ -736,11 +783,17 @@ def synth_decodable_media(df: DataFrame, id_col: str, len_col: str) -> DataFrame
     (row sum × h).  Row filters cycle 0→4, so decoding exercises every
     unfilter path."""
     from hotdog_spark.dist import ensure_shipped
+    from hotdog_spark.operators import fan_out
 
     ensure_shipped(df.sparkSession)
+    # Synth + the codec stages downstream are CPU-bound Python over a
+    # compact parquet input (one or two splits at bench SFs): fan out so
+    # the work uses every core.  No-op on naturally multi-partition
+    # inputs at scale.
+    df = fan_out(df)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct
+        import numpy as np
 
         for pdf in batches:
             ids, blobs = [], []
@@ -748,18 +801,16 @@ def synth_decodable_media(df: DataFrame, id_col: str, len_col: str) -> DataFrame
                 mid, n = int(mid), int(n)
                 if mid % 2 == 0:
                     cnt = n % 512 + 16
-                    pcm = b"".join(
-                        struct.pack("<h", ((mid * 13 + i * 7) % 4096) - 2048)
-                        for i in range(cnt)
-                    )
+                    samples = (
+                        (mid * 13 + np.arange(cnt, dtype=np.int64) * 7) % 4096
+                    ) - 2048
+                    pcm = samples.astype("<i2").tobytes()
                     blob = synth_wav(pcm, sample_rate=16000, channels=1, bits=16)
                 else:
                     w, h = n % 64 + 1, n % 48 + 1
-                    row = bytes(
-                        (mid * 31 + c * 7 + x) % 256
-                        for x in range(w)
-                        for c in range(4)
-                    )
+                    xs = np.repeat(np.arange(w, dtype=np.int64), 4)
+                    cs = np.tile(np.arange(4, dtype=np.int64), w)
+                    row = ((mid * 31 + cs * 7 + xs) % 256).astype(np.uint8).tobytes()
                     blob = synth_png(w, h, 8, 6, pixels=row * h)
                 ids.append(mid)
                 blobs.append(blob)

@@ -417,6 +417,19 @@ def winnowing_pairs(
     # already-persisted fp table (two counts, map-side combinable, O(1)
     # driver rows) — the only eager step in the operator, and it shares
     # the persisted scan every downstream consumer reuses anyway.
+    # per-fp document frequencies and per-doc sizes are needed by BOTH
+    # the guard (eager, below) and the pair pipeline (lazy: `eligible`
+    # filters per_fp, the result joins back onto `sizes`) — persist the
+    # two skinny aggregates so the guard's eager pass doubles as their
+    # materialization instead of re-scanning fps twice (sf0.1-measured:
+    # the guard's standalone aggregates cost ~0.5 s, most of the r5→r6
+    # winnowing bench delta).
+    per_fp = track_persist(fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")))
+    # _mins is array_distinct per doc, so count(*) per id IS n_fp — the
+    # PRE-cap fingerprint count, same as size(_mins)
+    sizes = track_persist(
+        fps.groupBy("id").agg(F.count("*").cast("bigint").alias("n_fp"))
+    )
     if saturation_warn_ratio > 0:
         import warnings
 
@@ -432,24 +445,22 @@ def winnowing_pairs(
         #     self-join, the quantity that exploded 53x at sf10 while
         #     the ratio signal stayed ABOVE its threshold (measured:
         #     the sf10 corpus keeps >= 4 distinct fps per doc yet
-        #     carries ~784 candidates per doc).  An estimate from the
-        #     same per-fp df aggregate the pipeline computes anyway.
-        # Both reduce over the persisted fp table: one groupBy(fp)
-        # count (map-side combinable) + one countDistinct(id) — O(1)
-        # driver rows each, guard-only cost, disabled by
-        # saturation_warn_ratio=0.
-        per_fp = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("dfc"))
+        #     carries ~784 candidates per doc).  Computed from the SAME
+        #     persisted per-fp df aggregate the pipeline's eligibility
+        #     filter reads — guard-only cost is two O(1)-driver-row
+        #     reductions over already-persisted tables, disabled by
+        #     saturation_warn_ratio=0.
         stats = per_fp.agg(
             F.count(F.lit(1)).alias("d"),
             F.sum(
                 F.when(
-                    (F.col("dfc") >= 2) & (F.col("dfc") <= max_df),
-                    F.col("dfc").cast("double")
-                    * (F.col("dfc") - 1).cast("double") / 2.0,
+                    (F.col("_df") >= 2) & (F.col("_df") <= max_df),
+                    F.col("_df").cast("double")
+                    * (F.col("_df") - 1).cast("double") / 2.0,
                 ).otherwise(0.0)
             ).alias("pair_mass"),
         ).collect()[0]
-        n_docs = fps.agg(F.countDistinct("id").alias("n")).collect()[0]["n"]
+        n_docs = sizes.count()
         dials = (
             "  Dials: widen gram width k (fewer coincidental matches), "
             "lower max_df (only rarer fingerprints pair), or raise "
@@ -478,9 +489,6 @@ def winnowing_pairs(
                 "per-doc fingerprints look diverse." + dials,
                 stacklevel=2,
             )
-    # _mins is array_distinct per doc, so count(*) per id IS n_fp — the
-    # PRE-cap fingerprint count, same as size(_mins)
-    sizes = fps.groupBy("id").agg(F.count("*").cast("bigint").alias("n_fp"))
     # COUNT FIRST, COLLECT SECOND (sf10-measured): collecting id-lists
     # and then filtering on size materializes the FULL list for every
     # ubiquitous fingerprint before the cap can apply — at sf10 that
@@ -489,13 +497,10 @@ def winnowing_pairs(
     # (counts, never lists), the eligible-fp filter (2 ≤ df ≤ max_df)
     # applies before any list exists, and the fp-keyed join + groupBy
     # reuse one partitioning, so every collected list is ≤ max_df
-    # elements by construction.
-    eligible = (
-        fps.groupBy("fp")
-        .agg(F.count("*").alias("_df"))
-        .filter((F.col("_df") >= 2) & (F.col("_df") <= max_df))
-        .select("fp")
-    )
+    # elements by construction.  per_fp is the persisted guard aggregate.
+    eligible = per_fp.filter(
+        (F.col("_df") >= 2) & (F.col("_df") <= max_df)
+    ).select("fp")
     grouped = (
         fps.join(eligible, "fp")
         .groupBy("fp")
