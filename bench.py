@@ -120,6 +120,9 @@ HEADLINE = [
     "multimodal_audio_pcm_chunks", # WAV synth → real PCM decode → frame-aligned chunk stats
     "dedup_semantic_exemplar",     # SemDeDup: kmeans + O(n) exemplar screen
     "dedup_lsh_recall_report",     # LSH recall/precision vs exact-Jaccard sample
+    "dedup_image_ahash",           # PNG decode → 8x8 aHash → hash-group dedup
+    "quality_lm_bigram",           # corpus bigram LM familiarity scoring
+    "curation_importance_weights", # DSIR-style hashed-ngram importance weights
 ]
 
 

@@ -58,6 +58,9 @@ SUBSET = [
     "window_tumbling_events",
     "window_session_events",
     "agg_approx_distinct_users_sketch_only",
+    "dedup_image_ahash",
+    "quality_lm_bigram",
+    "curation_importance_weights",
     # Relational/window decade (VERDICT r5 item 2) — runs once gen_sf1
     # --sf 10 produced the full table set.  TPC-H core joins/aggs over
     # 60 M lineitem, the window-function single-partition risk class,
