@@ -59,6 +59,7 @@ AUDIT = [
     ("dq_constraint_report", "DQ gate: bcast anti-join FKs + single-agg checks"),
     ("dedup_image_ahash", "aHash dedup: decode projection + hash-group, no pairs"),
     ("quality_lm_bigram", "bigram LM: one explode, vocab-bounded model joins"),
+    ("curation_importance_weights", "DSIR: 1024-row bucket models broadcast"),
 ]
 
 
