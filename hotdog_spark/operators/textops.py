@@ -895,21 +895,43 @@ def lm_bigram_familiarity(
     are unchanged).  The exploded stream is persisted once and feeds
     model-build and scoring, so the corpus is tokenized exactly once.
     """
-    toks = normalized_tokens(F.col(text_col))
-    base = df.select(F.col(id_col), toks.alias("t")).filter(F.size("t") >= 2)
-    bg = track_persist(
-        base.select(
-            F.col(id_col),
-            F.explode(
-                F.expr(
-                    "transform(sequence(0, size(t) - 2),"
-                    " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
-                )
-            ).alias("b"),
-        ).select(id_col, "b.w1", "b.w2")
-    )
+    bg = track_persist(bigram_stream(df, text_col, id_col))
     cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
     cc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("ctx"))
+    return lm_bigram_score(bg, cb, cc, id_col, rare_denom=rare_denom)
+
+
+def bigram_stream(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, w1, w2) adjacent-token pairs — the shared front of LM
+    training and scoring.  Pure projection + generator: runs unchanged
+    under Structured Streaming."""
+    toks = normalized_tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("t")).filter(F.size("t") >= 2)
+    return base.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(t) - 2),"
+                " i -> struct(t[i] AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("b"),
+    ).select(id_col, "b.w1", "b.w2")
+
+
+def lm_bigram_score(
+    bg: DataFrame,
+    cb: DataFrame,
+    cc: DataFrame,
+    id_col: str,
+    rare_denom: int = 200,
+) -> DataFrame:
+    """Score a bigram stream against a PREBUILT model (``cb`` =
+    (w1, w2, cnt) bigram counts, ``cc`` = (w1, ctx) context counts).
+    Factored out of :func:`lm_bigram_familiarity` so the production
+    shape works too: train the model in batch, score live documents via
+    STREAM-STATIC joins (both joins and the per-doc aggregate run
+    unchanged under Structured Streaming with the model as the static
+    side — see tests/test_streaming.py::test_streaming_lm_scoring)."""
     scored = (
         bg.join(cb, ["w1", "w2"])
         .join(cc, ["w1"])

@@ -1408,3 +1408,56 @@ def test_upsert_parquet_sink_builds_current_state(spark, tmp_path):
         for r in latest_snapshot(df, ["k"], "ts", "seq").collect()
     }
     assert got == want == {1: (11.0, 3), 2: (21.0, 5), 3: (30.0, 4)}
+
+
+def test_streaming_lm_scoring(spark, tmp_path):
+    """The production LM-quality shape: model TRAINED IN BATCH (bigram +
+    context counts), live documents scored via STREAM-STATIC joins + a
+    streaming aggregate — lm_bigram_score runs unchanged with the model
+    as the static side, and its complete-mode result equals the batch
+    operator's on the same data."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.textops import (
+        bigram_stream,
+        lm_bigram_familiarity,
+        lm_bigram_score,
+    )
+
+    rows = [(1, "a b a b"), (2, "a b a c"), (3, "x y")]
+    batch = spark.createDataFrame(rows, ["doc_id", "text"])
+    bg = bigram_stream(batch, "text", "doc_id")
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    cc = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("ctx")).collect()
+    cb_df = spark.createDataFrame(cb)
+    cc_df = spark.createDataFrame(cc)
+
+    src = str(tmp_path / "lm_docs")
+    batch.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    scored = lm_bigram_score(
+        bigram_stream(stream, "text", "doc_id"), cb_df, cc_df, "doc_id",
+        rare_denom=3,
+    )
+    q = (
+        scored.writeStream.format("memory")
+        .queryName("lm_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "lm_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in spark.sql("SELECT * FROM lm_sink").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r["doc_id"]: r.asDict()
+        for r in lm_bigram_familiarity(
+            batch, "text", "doc_id", rare_denom=3
+        ).collect()
+    }
+    assert got == want
