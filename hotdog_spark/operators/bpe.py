@@ -172,6 +172,24 @@ def bpe_encode_stats(
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Word-level memo (the standard BPE encode cache): encoding is a
+        # pure function of the word, and corpora have vocabulary-bounded
+        # distinct words, so each worker encodes each word ONCE instead
+        # of once per occurrence — the difference between O(tokens) and
+        # O(vocab) merge-loop work per partition.
+        memo: dict[str, int] = {}
+
+        def n_syms(w: str) -> int:
+            got = memo.get(w)
+            if got is None:
+                syms = list(w) + [EOW]
+                for a, b in ranked:
+                    if len(syms) < 2:
+                        break
+                    syms = _merge_once(syms, a, b)
+                got = memo[w] = len(syms)
+            return got
+
         for pdf in batches:
             rows = {k: [] for k in (
                 id_col, "n_words", "n_chars_tok", "n_bpe_tokens",
@@ -180,14 +198,7 @@ def bpe_encode_stats(
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 words = (text or "").strip().lower().split()
                 n_chars = sum(len(w) for w in words)
-                n_bpe = 0
-                for w in words:
-                    syms = list(w) + [EOW]
-                    for a, b in ranked:
-                        if len(syms) < 2:
-                            break
-                        syms = _merge_once(syms, a, b)
-                    n_bpe += len(syms)
+                n_bpe = sum(n_syms(w) for w in words)
                 base_syms = n_chars + len(words)  # chars + one EOW per word
                 rows[id_col].append(did)
                 rows["n_words"].append(len(words))

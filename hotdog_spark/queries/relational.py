@@ -461,10 +461,36 @@ def agg_rollup_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE via re-aggregation from the finest level — same move as
+    agg_rollup_returnflag (see its docstring for the measurement):
+    Spark's .cube() Expand would push every fact row through the
+    partial aggregate 4× (one per grouping set); count is algebraic, so
+    the (priority, status) level re-aggregates exactly into the three
+    coarser levels over a handful of rows."""
+    from hotdog_spark.operators import track_persist
+
     o = table(spark, sf_dir, "orders")
+    finest = track_persist(
+        o.groupBy("o_orderpriority", "o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+    )
+    by_p = finest.groupBy("o_orderpriority").agg(F.sum("n").alias("n")).select(
+        "o_orderpriority", F.lit(None).cast("string").alias("o_orderstatus"), "n"
+    )
+    by_s = finest.groupBy("o_orderstatus").agg(F.sum("n").alias("n")).select(
+        F.lit(None).cast("string").alias("o_orderpriority"), "o_orderstatus", "n"
+    )
+    total = finest.agg(F.sum("n").alias("n")).select(
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        "n",
+    )
     return (
-        o.cube("o_orderpriority", "o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n"))
+        finest.select("o_orderpriority", "o_orderstatus", "n")
+        .unionByName(by_p)
+        .unionByName(by_s)
+        .unionByName(total)
         .select(
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
