@@ -396,3 +396,30 @@ def test_aqe_splits_skewed_join(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_importance_weights_model_joins_are_broadcast(spark):
+    """DSIR scoring: both model joins (bucket counts) and the totals
+    cross join must be broadcast — the corpus-side gram stream is never
+    shuffled on a feature key, and no nested-loop join sneaks in for the
+    1-row totals."""
+    plan = _plan(spark, "curation_importance_weights")
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan  # totals ride a broadcast NL join
+
+
+def test_image_ahash_dedup_has_no_pairwise_join(spark):
+    """aHash dedup must be hash-group + join-back: no cartesian/nested
+    loop anywhere, exactly the exact-dedup plan class."""
+    plan = _plan(spark, "dedup_image_ahash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rollup_reaggregation_has_no_expand(spark):
+    """agg_rollup_returnflag/agg_cube_priority_status are re-aggregated
+    from the finest level: the Expand operator (which replicates every
+    fact row once per grouping set) must be absent."""
+    for name in ("agg_rollup_returnflag", "agg_cube_priority_status"):
+        assert "Expand" not in _plan(spark, name), name
