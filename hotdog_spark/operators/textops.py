@@ -959,3 +959,61 @@ def lm_bigram_score(
         F.sum("rare").alias("n_rare"),
         (F.sum("rare").cast("double") / n.cast("double")).alias("rare_frac"),
     )
+
+
+def _token_bucket_py(tok: str, buckets: int) -> int:
+    """Driver-side twin of the index's token→bucket hash (md5 leading
+    4 hex digits mod buckets) — used to decide WHICH partitions a query
+    needs before any scan happens."""
+    import hashlib
+
+    return int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:4], 16) % buckets
+
+
+def materialize_inverted_index(
+    df: DataFrame, text_col: str, id_col: str, path: str, buckets: int = 64
+) -> None:
+    """Materialize a token INVERTED INDEX partitioned by token-hash
+    bucket — the search-engine counterpart of ``materialize_minhash_index``
+    (dedup) and ``materialize_ivf_index`` (ANN): postings are
+    (tok, id, tf) rows, laid out so a term query scans ONLY the
+    partitions its terms hash into (parquet partition pruning, asserted
+    in tests/test_plans.py) instead of the corpus.
+
+    Bucketing by hash rather than raw token keeps the directory count
+    fixed (``buckets``) at any vocabulary size — a million-term corpus
+    still writes 64 directories — while lookups stay exact: the bucket
+    prunes the scan, the residual ``tok IN (…)`` filter (pushed to
+    parquet row groups) does the rest."""
+    from hotdog_spark.operators import fan_out
+    from hotdog_spark.operators.dedup import normalized_tokens
+
+    toks = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(normalized_tokens(F.col(text_col))).alias("tok"),
+    ).filter(F.col("tok") != "")
+    postings = toks.groupBy("tok", "id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    postings.withColumn(
+        "bucket",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("int"),
+            F.lit(buckets),
+        ),
+    ).write.partitionBy("bucket").mode("overwrite").parquet(path)
+
+
+def search_terms_from_index(
+    spark, path: str, terms: list[str], buckets: int = 64
+) -> DataFrame:
+    """Exact posting lookup from a materialized inverted index: computes
+    the query terms' buckets DRIVER-SIDE (same md5 law as the writer),
+    so the scan carries a ``bucket IN (…)`` partition filter — only the
+    matching directories are read — plus the pushed ``tok IN (…)``
+    residual.  Returns (tok, id, tf) postings."""
+    want = sorted({_token_bucket_py(t, buckets) for t in terms})
+    idx = spark.read.parquet(path)
+    return idx.filter(idx.bucket.isin(want)).filter(
+        idx.tok.isin(list(terms))
+    ).select("tok", "id", "tf")

@@ -423,3 +423,47 @@ def test_rollup_reaggregation_has_no_expand(spark):
     fact row once per grouping set) must be absent."""
     for name in ("agg_rollup_returnflag", "agg_cube_priority_status"):
         assert "Expand" not in _plan(spark, name), name
+
+
+def test_inverted_index_search_prunes_partitions(spark, tmp_path):
+    """A materialized inverted index (partitionBy token-hash bucket)
+    turns term search into a partition-pruned scan — PartitionFilters on
+    `bucket`, postings identical to the direct (unmaterialized)
+    computation.  Completes the index-materialization family: MinHash
+    (dedup), IVF (ANN), inverted (search)."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.dedup import normalized_tokens
+    from hotdog_spark.operators.textops import (
+        materialize_inverted_index,
+        search_terms_from_index,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffles data across the cluster"),
+            (2, "the cluster runs spark"),
+            (3, "ducks like water"),
+            (4, "spark spark spark"),
+        ],
+        ["doc_id", "text"],
+    )
+    path = str(tmp_path / "inv_idx")
+    materialize_inverted_index(docs, "text", "doc_id", path, buckets=16)
+    got_df = search_terms_from_index(spark, path, ["spark", "water"], buckets=16)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "bucket" in plan.split("PartitionFilters")[1][:160]
+    got = {(r.tok, r.id, r.tf) for r in got_df.collect()}
+    direct = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            F.explode(normalized_tokens(F.col("text"))).alias("tok"),
+        )
+        .filter(F.col("tok").isin(["spark", "water"]))
+        .groupBy("tok", "id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    expected = {(r.tok, r.id, r.tf) for r in direct.collect()}
+    assert got == expected
+    assert ("spark", 4, 3) in got  # tf is a real term frequency
