@@ -665,7 +665,15 @@ def kmeans_quantized(
     Returns (assignments DataFrame (vid, cluster, d2), final centroids
     as [(cluster_id, quantized_vector), ...]).
     """
-    base = with_quantized(df, vec_col, id_col)
+    from hotdog_spark.operators import track_persist
+
+    # Persist the quantized working set once: every Lloyd iteration (and
+    # the final assignment the caller consumes) re-reads it, so without
+    # this the parquet scan + quantization re-runs iters+2 times.  Same
+    # posture as MLlib's KMeans, which caches its input for exactly this
+    # reason; at 100 TB the cache is MEMORY_AND_DISK per-partition and
+    # the alternative is iters+2 full corpus re-scans.
+    base = track_persist(with_quantized(df, vec_col, id_col))
     cents = [
         (i, list(r["q"]))
         for i, r in enumerate(
@@ -698,28 +706,39 @@ def kmeans_quantized(
             best.getField("d2").alias("d2"),
         )
 
+    dim = len(cents[0][1])
     for _ in range(iters):
         assigned = assign(cents)
-        # new centroid = floor(exact rational mean) per component, via the
-        # integer identity floor(s/n) = (s - pmod(s, n)) / n: the numerator
-        # is exactly divisible, so the decimal division is exact (no
-        # HALF_UP drift at any cluster size — plain floor(sum/n) rounds
-        # the quotient at scale ~6 first, which flips means within 5e-7
-        # below an integer once clusters pass ~2e6 rows).  Exact while
-        # |quotient| < 1e32 (decimal(38) minus the division scale).
-        dim = len(cents[0][1])
-
-        def floor_mean(i: int):
-            s = F.sum(F.element_at("q", i + 1).cast("decimal(38,0)"))
-            n = F.count(F.lit(1))
-            return ((s - F.pmod(s, n)) / n).cast("bigint").alias(f"c{i}")
-
-        new_rows = (
-            assigned.groupBy("cluster")
-            .agg(*[floor_mean(i) for i in range(dim)])
+        # new centroid = floor(exact rational mean) per component.  The
+        # sums come back as (cluster, dim) cells from ONE plain decimal
+        # aggregate — a 64-column agg of decimal sum+pmod expressions
+        # measured ~1.4 s/iteration in pure plan/codegen overhead at ANY
+        # data size; the skinny cell form is a trivially codegen'd
+        # single-sum plan with map-side combine (k×dim rows shuffled).
+        # The floor itself runs driver-side on k×dim Python ints:
+        # Python's // IS floor division over exact arbitrary-precision
+        # integers, identical to the pmod identity
+        # floor(s/n) = (s - pmod(s, n)) / n at every magnitude — no
+        # decimal-scale cap, no HALF_UP drift.
+        cell_rows = (
+            assigned.select(
+                "cluster", F.posexplode("q").alias("dim", "qv")
+            )
+            .groupBy("cluster", "dim")
+            .agg(
+                F.sum(F.col("qv").cast("decimal(38,0)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
             .collect()
         )
-        by_cluster = {r["cluster"]: [r[f"c{i}"] for i in range(dim)] for r in new_rows}
+        sums: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for r in cell_rows:
+            sums.setdefault(r["cluster"], [0] * dim)[r["dim"]] = int(r["s"])
+            counts[r["cluster"]] = int(r["n"])
+        by_cluster = {
+            cid: [s // counts[cid] for s in svec] for cid, svec in sums.items()
+        }
         # empty clusters keep their previous centroid
         cents = [(cid, by_cluster.get(cid, qc)) for cid, qc in cents]
 
@@ -761,8 +780,13 @@ def semantic_dedup_exemplar(
     Returns (vec_id, cluster, exemplar_id, cos_exemplar,
     is_semantic_dup) — one row per input vector.
     """
+    from hotdog_spark.operators import track_persist
+
     assigned, _cents = kmeans_quantized(df, vec_col, id_col, k=k, iters=iters)
-    base = assigned.withColumn("n2", _norm2(F.col("q")))
+    # The assignment feeds three consumers (exemplar argmin, exemplar
+    # vector lookup, final scoring join); persist it so the centroid
+    # argmin projection runs once, not three times.
+    base = track_persist(assigned.withColumn("n2", _norm2(F.col("q"))))
     ex_ids = (
         base.groupBy("cluster")
         .agg(F.min(F.struct("d2", "vid")).alias("m"))
