@@ -48,6 +48,7 @@ def _load_modules() -> None:
         curation,
         dedup,
         functional,
+        graph,
         hotdog,
         multimodal,
         relational,
