@@ -448,3 +448,50 @@ def incremental_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFra
         inc.aggregate_state(delta, ["event_type", "hr"], F.col("vq")),
     )
     return inc.finalize_state(state)
+
+
+@register(
+    "quantile_exact_multipass_price",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS value
+      FROM lineitem WHERE l_extendedprice IS NOT NULL
+    ), o AS (
+      SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn FROM v
+    ), n AS (SELECT COUNT(*) AS n FROM v
+    ), r AS (
+      SELECT 'p50' AS q_label,
+             GREATEST(1, CAST(CEIL(0.50 * (SELECT n FROM n)) AS BIGINT)) AS target_rank
+      UNION ALL
+      SELECT 'p95', GREATEST(1, CAST(CEIL(0.95 * (SELECT n FROM n)) AS BIGINT))
+      UNION ALL
+      SELECT 'p99', GREATEST(1, CAST(CEIL(0.99 * (SELECT n FROM n)) AS BIGINT))
+    )
+    SELECT r.q_label, r.target_rank, o.value
+    FROM r JOIN o ON o.rn = r.target_rank
+    """,
+)
+def quantile_exact_multipass_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT p50/p95/p99 of l_extendedprice (in cents) with NO global
+    sort: iterative histogram refinement — each round is one map-side
+    combinable aggregate binning the candidate range into 1024 equal
+    buckets, the driver locates the target rank's bucket (O(buckets)
+    state) and recurses into it; all three quantiles share each scan
+    via an array-explode classification.  2-3 rounds for a money
+    domain vs the full range-partitioned shuffle a sort-based exact
+    quantile costs, and vs percentile_approx's error bars.  The oracle
+    is the brute-force ROW_NUMBER rank selection — same type-1
+    semantics (rank = ceil(q*n), duplicates counted), exact match
+    required."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.quantiles import exact_quantiles_df
+
+    li = table(spark, sf_dir, "lineitem").select(
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    return exact_quantiles_df(
+        spark, li, "cents", [0.50, 0.95, 0.99], ["p50", "p95", "p99"]
+    )
