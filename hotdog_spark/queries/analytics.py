@@ -495,3 +495,85 @@ def quantile_exact_multipass_price(spark: SparkSession, sf_dir: str) -> DataFram
     return exact_quantiles_df(
         spark, li, "cents", [0.50, 0.95, 0.99], ["p50", "p95", "p99"]
     )
+
+
+@register(
+    "seq_frequent_event_bigrams",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type AS a,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS b
+      FROM events
+    ), tr AS (
+      SELECT user_id, a, b FROM ordered WHERE b IS NOT NULL
+    ), pair AS (
+      SELECT a, b, COUNT(*) AS n_transitions,
+             COUNT(DISTINCT user_id) AS n_users
+      FROM tr GROUP BY a, b
+    ), marg AS (
+      SELECT a AS t, COUNT(*) AS n_out FROM tr GROUP BY a
+    ), marg_in AS (
+      SELECT b AS t, COUNT(*) AS n_in FROM tr GROUP BY b
+    ), tot AS (SELECT COUNT(*) AS n FROM tr)
+    SELECT p.a AS prev_type, p.b AS next_type,
+           p.n_transitions, p.n_users,
+           CAST(p.n_transitions * (SELECT n FROM tot) AS DOUBLE)
+             / CAST(mo.n_out * mi.n_in AS DOUBLE) AS lift
+    FROM pair p
+    JOIN marg mo ON mo.t = p.a
+    JOIN marg_in mi ON mi.t = p.b
+    WHERE p.n_transitions >= 5
+    """,
+)
+def seq_frequent_event_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining, support-2 stage: per-user consecutive
+    event-type transitions (deterministic order: ts, event_id tiebreak),
+    their support (occurrences + distinct users) and LIFT vs the
+    independence assumption — the Markov-transition / next-event-model
+    input and the classic first stage of PrefixSpan-style mining, with
+    min-support pruning (>=5) applied before anything downstream.
+
+    Scale shape: one user-keyed window sort (the same shuffle
+    sessionization pays — at 100 TB this rides a bucketed-by-user
+    layout), then ONE keyed aggregate over transition rows; margins are
+    type-cardinality-sized and broadcast back.  Lift is a single IEEE
+    division of exact bigint products, so it is bit-identical
+    cross-engine."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    from hotdog_spark.operators import track_persist
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = track_persist(
+        e.select(
+            "user_id",
+            F.col("event_type").alias("a"),
+            F.lead("event_type").over(w).alias("b"),
+        ).filter(F.col("b").isNotNull())
+    )
+    pair = tr.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    marg_out = tr.groupBy("a").agg(F.count(F.lit(1)).alias("n_out"))
+    marg_in = tr.groupBy("b").agg(F.count(F.lit(1)).alias("n_in"))
+    total = tr.count()
+    return (
+        pair.join(broadcast(marg_out), "a")
+        .join(broadcast(marg_in), "b")
+        .filter(F.col("n_transitions") >= 5)
+        .select(
+            F.col("a").alias("prev_type"),
+            F.col("b").alias("next_type"),
+            "n_transitions",
+            "n_users",
+            (
+                (F.col("n_transitions") * F.lit(total)).cast("double")
+                / (F.col("n_out") * F.col("n_in")).cast("double")
+            ).alias("lift"),
+        )
+    )
