@@ -123,6 +123,10 @@ HEADLINE = [
     "dedup_image_ahash",           # PNG decode → 8x8 aHash → hash-group dedup
     "quality_lm_bigram",           # corpus bigram LM familiarity scoring
     "curation_importance_weights", # DSIR-style hashed-ngram importance weights
+    "graph_pagerank_lsh",          # integer-exact Pregel PageRank over LSH graph
+    "incremental_hourly_event_rollup",  # mergeable-state view maintenance
+    "quantile_exact_multipass_price",   # exact quantiles, no global sort
+    "seq_frequent_event_bigrams",  # transition support+lift sequence mining
 ]
 
 

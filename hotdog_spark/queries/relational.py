@@ -1139,3 +1139,93 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         fk_orders.unionAll(fk_lineitem).unionAll(qty_range)
         .unionAll(price_pos).unionAll(pk_unique).unionAll(seg_domain)
     )
+
+
+@register(
+    "stats_join_key_profile",
+    oracle="""
+    WITH sides AS (
+      SELECT 'orders.o_custkey' AS side, o_custkey AS k FROM orders
+      UNION ALL
+      SELECT 'lineitem.l_orderkey', l_orderkey FROM lineitem
+    ), per_key AS (
+      SELECT side, k, COUNT(*) AS n FROM sides GROUP BY side, k
+    ), stats AS (
+      SELECT side,
+             COUNT(*) AS ndv,
+             SUM(n) AS n_rows,
+             MAX(n) AS max_group,
+             CAST(SUM(n * n) AS BIGINT) AS sum_sq_group
+      FROM per_key GROUP BY side
+    ), hot AS (
+      SELECT side, MAX(n) AS hot_n,
+             MIN(k) FILTER (WHERE is_hot) AS hot_key
+      FROM (
+        SELECT side, k, n,
+               n = MAX(n) OVER (PARTITION BY side) AS is_hot
+        FROM per_key
+      ) GROUP BY side
+    )
+    SELECT s.side, s.ndv, s.n_rows, s.max_group,
+           CAST(s.n_rows AS DOUBLE) / s.ndv AS avg_group,
+           CAST(s.sum_sq_group AS DOUBLE) / s.n_rows AS expected_probe_amp,
+           h.hot_key,
+           CAST(s.max_group * s.ndv AS DOUBLE) / s.n_rows AS skew_factor
+    FROM stats s JOIN hot h USING (side)
+    """,
+)
+def stats_join_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-planning statistics for the two fact-side join keys — the
+    report that decides broadcast vs shuffle vs salting BEFORE a 100 TB
+    join runs: NDV (exact), row count, max/avg group size, the hottest
+    key (lowest key among ties, deterministic), expected probe
+    amplification E[group size of a random row] = sum(n_i^2)/N (what a
+    shuffle join actually pays under skew), and skew_factor =
+    max_group/avg_group.  skew_factor >> 1 is the salting trigger;
+    sum(n^2) is the join-output estimator for self/fk joins.
+
+    Scale shape: one map-side-combinable (side, key) count, then a
+    side-keyed rollup of the tiny per-key table — classic two-level
+    aggregation; nothing data-sized reaches the driver.  Floats are
+    single divisions of exact bigints, bit-identical cross-engine."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    o = table(spark, sf_dir, "orders").select(
+        F.lit("orders.o_custkey").alias("side"), F.col("o_custkey").alias("k")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem.l_orderkey").alias("side"), F.col("l_orderkey").alias("k")
+    )
+    per_key = (
+        o.unionByName(li).groupBy("side", "k").agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("side")
+    hot = (
+        per_key.withColumn("is_hot", F.col("n") == F.max("n").over(w))
+        .groupBy("side")
+        .agg(F.min(F.when(F.col("is_hot"), F.col("k"))).alias("hot_key"))
+    )
+    stats = per_key.groupBy("side").agg(
+        F.count(F.lit(1)).alias("ndv"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_group"),
+        F.sum(F.col("n") * F.col("n")).alias("sum_sq_group"),
+    )
+    return stats.join(hot, "side").select(
+        "side",
+        "ndv",
+        "n_rows",
+        "max_group",
+        (F.col("n_rows").cast("double") / F.col("ndv").cast("double")).alias(
+            "avg_group"
+        ),
+        (
+            F.col("sum_sq_group").cast("double") / F.col("n_rows").cast("double")
+        ).alias("expected_probe_amp"),
+        "hot_key",
+        (
+            (F.col("max_group") * F.col("ndv")).cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("skew_factor"),
+    )

@@ -116,7 +116,14 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     results: dict[str, dict] = {}
     seen = set(_stage_metrics(app_id))
-    for name in bench.HEADLINE + EXTRA:
+    names = bench.HEADLINE + EXTRA
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c — re-bench just those queries and
+    # MERGE into the existing artifact (totals recomputed over the
+    # merged set), so adding N queries doesn't cost a full re-run.
+    only = {n for n in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if n}
+    if only:
+        names = [n for n in names if n in only]
+    for name in names:
         fn = queries[name]
         best = None
         for _ in range(runs):
@@ -141,6 +148,12 @@ def main() -> None:
         results[name] = entry
         print(f"  {name}: {entry}", file=sys.stderr)
 
+    out = os.path.join(REPO, "SCALE_sf1.json")
+    if only and os.path.exists(out):
+        with open(out) as f:
+            merged = json.load(f).get("queries", {})
+        merged.update(results)
+        results = merged
     total = round(sum(r["sec"] for r in results.values()), 3)
     superlinear = sorted(
         n for n, r in results.items() if r.get("ratio_vs_sf01", 0) > 10

@@ -95,6 +95,12 @@ SUBSET = [
     "merge_exact_deep",
     "syslog_parse_5424",
     "hotdog_route_payload",
+    # Round-6 continuation families
+    "graph_pagerank_lsh",
+    "graph_degree_distribution_lsh",
+    "incremental_hourly_event_rollup",
+    "quantile_exact_multipass_price",
+    "seq_frequent_event_bigrams",
 ]
 
 
@@ -165,7 +171,13 @@ def main() -> None:
     seen = set(_stage_metrics(app_id))
     import warnings
 
-    for name in SUBSET:
+    names = SUBSET
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c — bench just those and merge into the
+    # existing artifact (totals recomputed over the merged set).
+    only = {n for n in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if n}
+    if only:
+        names = [n for n in names if n in only]
+    for name in names:
         fn = queries[name]
         best = None
         caught: list = []
@@ -205,6 +217,12 @@ def main() -> None:
         results[name] = entry
         print(f"  {name}: {entry}", file=sys.stderr)
 
+    out_path = os.path.join(REPO, "SCALE_sf10.json")
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            merged = json.load(f).get("queries", {})
+        merged.update(results)
+        results = merged
     ok = {n: r for n, r in results.items() if "sec" in r}
     total = round(sum(r["sec"] for r in ok.values()), 3)
     superlinear = sorted(
@@ -221,7 +239,7 @@ def main() -> None:
         "superlinear_queries": superlinear,
         "errors": sorted(n for n, r in results.items() if "error" in r),
         "total_spill_disk_mb": round(
-            sum(r["spill_disk_mb"] for r in ok.values()), 1
+            sum(r.get("spill_disk_mb", 0) for r in ok.values()), 1
         ),
     }
     out = os.path.join(REPO, "SCALE_sf10.json")
