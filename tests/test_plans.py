@@ -467,3 +467,48 @@ def test_inverted_index_search_prunes_partitions(spark, tmp_path):
     expected = {(r.tok, r.id, r.tf) for r in direct.collect()}
     assert got == expected
     assert ("spark", 4, 3) in got  # tf is a real term frequency
+
+
+def test_pagerank_iterations_have_no_cartesian_or_python(spark):
+    """Each Pregel iteration must stay an equi-join + hash aggregate:
+    no nested-loop/cartesian anywhere, no Python eval nodes, and the
+    per-iteration rank joins must be sort-merge or hash joins on the
+    vertex id."""
+    plan = _plan(spark, "graph_pagerank_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_stats_profile_scans_prune_to_key_columns(spark):
+    """The join-key profiler reads two wide tables but needs ONE column
+    from each — the scan must prune to exactly the key column."""
+    plan = _plan(spark, "stats_join_key_profile")
+    for scan_schema in [
+        seg.split("ReadSchema:")[1].split("\n")[0]
+        for seg in plan.split("FileScan parquet")[1:]
+    ]:
+        assert ("o_custkey" in scan_schema) ^ ("l_orderkey" in scan_schema)
+        # no other column survives pruning
+        assert scan_schema.count(":") <= 2  # struct<col:type>
+
+
+def test_incremental_rollup_is_two_scans_two_aggs_no_python(spark):
+    """Slice aggregation + merge must stay JVM-side hash aggregates;
+    the cutoff filters must reach the parquet scan."""
+    plan = _plan(spark, "incremental_hourly_event_rollup")
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters: [IsNotNull(ts)" in plan or "PushedFilters: [" in plan
+
+
+def test_seq_bigrams_single_window_then_hash_aggs(spark):
+    """One user-keyed window sort computed ONCE (its three consumers —
+    pair counts and the two margins — must read the persisted
+    transition table, not recompute the window), margins broadcast
+    back, no self-join of transition rows."""
+    plan = _plan(spark, "seq_frequent_event_bigrams")
+    assert plan.count("InMemoryTableScan") >= 3
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
