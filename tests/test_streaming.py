@@ -1461,3 +1461,61 @@ def test_streaming_lm_scoring(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_incremental_view_state_parity(spark, tmp_path):
+    """The incremental-view state algebra is EXACTLY Spark streaming's
+    aggregation-state model: a streaming complete-mode aggregation over
+    arriving batches must equal aggregate_state over the union, and
+    merging per-batch states gives the same answer.  One view
+    definition, three maintenance paths (full rebuild, batch merge,
+    stream), all bit-equal."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators import incremental as inc
+
+    src = str(tmp_path / "ev")
+    b1 = [("a", 1), ("a", 5), ("b", -3)]
+    b2 = [("a", 2), ("c", 100)]
+    spark.createDataFrame(b1, ["k", "v"]).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    agg = stream.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("v").alias("sum_value_q"),
+        F.min("v").alias("min_value_q"),
+        F.max("v").alias("max_value_q"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("inc_view_sink")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "inc_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch arrives as a new file: streaming state absorbs it
+        spark.createDataFrame(b2, ["k", "v"]).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        q.processAllAvailable()
+        streamed = sorted(
+            tuple(r) for r in spark.sql("SELECT * FROM inc_view_sink").collect()
+        )
+    finally:
+        q.stop()
+
+    full = inc.aggregate_state(
+        spark.createDataFrame(b1 + b2, ["k", "v"]), ["k"], F.col("v")
+    )
+    merged = inc.merge_states(
+        inc.aggregate_state(spark.createDataFrame(b1, ["k", "v"]), ["k"], F.col("v")),
+        inc.aggregate_state(spark.createDataFrame(b2, ["k", "v"]), ["k"], F.col("v")),
+    )
+    want = sorted(tuple(r) for r in full.collect())
+    assert streamed == want
+    assert sorted(tuple(r) for r in merged.collect()) == want
