@@ -1229,3 +1229,119 @@ def stats_join_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_rows").cast("double")
         ).alias("skew_factor"),
     )
+
+
+@register(
+    "stats_numeric_correlations",
+    oracle="""
+    WITH q AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 10000 AS x2,
+             CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) AS x3,
+             CAST(CAST(l_tax AS DECIMAL(18,2)) * 100 AS BIGINT) AS x4
+      FROM lineitem
+    ), m AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(x1) AS DECIMAL(38,0)) AS s1, CAST(SUM(x2) AS DECIMAL(38,0)) AS s2,
+             CAST(SUM(x3) AS DECIMAL(38,0)) AS s3, CAST(SUM(x4) AS DECIMAL(38,0)) AS s4,
+             CAST(SUM(x1*x1) AS DECIMAL(38,0)) AS s11, CAST(SUM(x2*x2) AS DECIMAL(38,0)) AS s22,
+             CAST(SUM(x3*x3) AS DECIMAL(38,0)) AS s33, CAST(SUM(x4*x4) AS DECIMAL(38,0)) AS s44,
+             CAST(SUM(x1*x2) AS DECIMAL(38,0)) AS s12, CAST(SUM(x1*x3) AS DECIMAL(38,0)) AS s13,
+             CAST(SUM(x1*x4) AS DECIMAL(38,0)) AS s14, CAST(SUM(x2*x3) AS DECIMAL(38,0)) AS s23,
+             CAST(SUM(x2*x4) AS DECIMAL(38,0)) AS s24, CAST(SUM(x3*x4) AS DECIMAL(38,0)) AS s34
+      FROM q
+    )
+    SELECT pair, CAST(n AS BIGINT) AS n_rows,
+           CAST(num AS DOUBLE)
+             / (sqrt(CAST(d1 AS DOUBLE)) * sqrt(CAST(d2 AS DOUBLE))) AS corr
+    FROM (
+      SELECT 'quantity~price_h' AS pair, n, n*s12 - s1*s2 AS num,
+             n*s11 - s1*s1 AS d1, n*s22 - s2*s2 AS d2 FROM m
+      UNION ALL
+      SELECT 'quantity~discount_pc', n, n*s13 - s1*s3, n*s11 - s1*s1, n*s33 - s3*s3 FROM m
+      UNION ALL
+      SELECT 'quantity~tax_pc', n, n*s14 - s1*s4, n*s11 - s1*s1, n*s44 - s4*s4 FROM m
+      UNION ALL
+      SELECT 'price_h~discount_pc', n, n*s23 - s2*s3, n*s22 - s2*s2, n*s33 - s3*s3 FROM m
+      UNION ALL
+      SELECT 'price_h~tax_pc', n, n*s24 - s2*s4, n*s22 - s2*s2, n*s44 - s4*s4 FROM m
+      UNION ALL
+      SELECT 'discount_pc~tax_pc', n, n*s34 - s3*s4, n*s33 - s3*s3, n*s44 - s4*s4 FROM m
+    )
+    """,
+)
+def stats_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the four lineitem measures from
+    EXACT integer moments in ONE pass — the multivariate profiling step
+    (feature redundancy / leakage detection) done the way a 100 TB
+    engine must: 14 map-side-combinable integer sums (no per-pair
+    passes, no sampling), then corr assembled per pair as a fixed
+    5-op IEEE chain (cast, sqrt, sqrt, multiply, divide) over
+    decimal-exact determinant terms, so every digit matches the oracle.
+    Units are chosen to bound the moments (price floored to
+    hundred-dollar units, discount/tax in percent-hundredths) — sums of
+    squares stay < 1e15 even at 6e8 rows.  The 6 output rows are
+    exploded from the single moment row, keeping the whole computation
+    in-plan."""
+    from pyspark.sql import functions as F
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        # via exact cents then integer floor-div: a direct double->bigint
+        # cast ROUNDS in DuckDB but TRUNCATES in Spark (measured: one
+        # flipped unit moved corr by 1e-6) — the decimal path is the
+        # engine-agnostic quantizer
+        F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 10000"
+        ).alias("x2"),
+        (F.col("l_discount").cast("decimal(18,2)") * 100).cast("bigint").alias("x3"),
+        (F.col("l_tax").cast("decimal(18,2)") * 100).cast("bigint").alias("x4"),
+    )
+    d38 = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).cast(d38).alias("n")]
+    for i in range(1, 5):
+        aggs.append(F.sum(F.col(f"x{i}")).cast(d38).alias(f"s{i}"))
+    for i in range(1, 5):
+        for j in range(i, 5):
+            aggs.append(
+                F.sum(F.col(f"x{i}") * F.col(f"x{j}")).cast(d38).alias(f"s{i}{j}")
+            )
+    m = table_m = li.agg(*aggs)
+    pairs = [
+        ("quantity~price_h", 1, 2),
+        ("quantity~discount_pc", 1, 3),
+        ("quantity~tax_pc", 1, 4),
+        ("price_h~discount_pc", 2, 3),
+        ("price_h~tax_pc", 2, 4),
+        ("discount_pc~tax_pc", 3, 4),
+    ]
+    n = F.col("n")
+
+    def s(i, j=None):
+        return F.col(f"s{i}") if j is None else F.col(f"s{min(i,j)}{max(i,j)}")
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("pair"),
+                (n * s(i, j) - s(i) * s(j)).alias("num"),
+                (n * s(i, i) - s(i) * s(i)).alias("d1"),
+                (n * s(j, j) - s(j) * s(j)).alias("d2"),
+            )
+            for name, i, j in pairs
+        ]
+    )
+    return (
+        m.select(n.cast("bigint").alias("n_rows"), F.explode(rows).alias("e"))
+        .select(
+            F.col("e.pair").alias("pair"),
+            "n_rows",
+            (
+                F.col("e.num").cast("double")
+                / (
+                    F.sqrt(F.col("e.d1").cast("double"))
+                    * F.sqrt(F.col("e.d2").cast("double"))
+                )
+            ).alias("corr"),
+        )
+    )

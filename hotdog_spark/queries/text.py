@@ -771,3 +771,79 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     merges = bpe.bpe_train(docs, "text", n_merges=20)
     return bpe.bpe_encode_stats(docs, "text", "doc_id", merges)
+
+
+@register(
+    "chunk_documents_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ), sized AS (
+      SELECT doc_id, t, len(t) AS n,
+             CASE WHEN len(t) <= 64 THEN 1
+                  ELSE 1 + (len(t) - 64 + 47) // 48 END AS n_chunks
+      FROM toks
+    ), chunks AS (
+      SELECT doc_id, n,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_no,
+             t
+      FROM sized
+    )
+    SELECT doc_id, chunk_no,
+           chunk_no * 48 AS start_tok,
+           LEAST(CAST(64 AS BIGINT), n - chunk_no * 48) AS n_tokens,
+           md5(array_to_string(t[chunk_no * 48 + 1 : chunk_no * 48 + 64], ' '))
+             AS chunk_md5
+    FROM chunks
+    """,
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/context-window chunking: 64-token windows with stride 48
+    (16-token overlap), emitted as (doc_id, chunk_no, start_tok,
+    n_tokens, chunk_md5) — the sliding-window segmentation an embedding
+    or packing stage consumes.  Chunk count = 1 + ceil((n-64)/48) (one
+    chunk for short docs; the final chunk may be partial, and its
+    n_tokens says so).  Pure projection + bounded explode (≤ n/48 + 1
+    rows per doc), zero shuffle, zero Python — the 100 TB shape for
+    corpus re-segmentation.  Fingerprints (md5 of the re-joined window)
+    rather than chunk text keep output rows narrow; the text itself is
+    a slice away when needed."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.dedup import normalized_tokens
+
+    CHUNK, STRIDE = 64, 48
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", normalized_tokens(F.col("text")).alias("t")
+    )
+    sized = d.select(
+        "doc_id",
+        "t",
+        F.size("t").alias("n"),
+        F.when(F.size("t") <= CHUNK, F.lit(1))
+        .otherwise(
+            F.lit(1)
+            + F.expr(f"(size(t) - {CHUNK} + {STRIDE - 1}) div {STRIDE}")
+        )
+        .alias("n_chunks"),
+    )
+    ch = sized.select(
+        "doc_id",
+        "n",
+        "t",
+        F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias("chunk_no"),
+    )
+    return ch.select(
+        "doc_id",
+        F.col("chunk_no").cast("bigint").alias("chunk_no"),
+        (F.col("chunk_no") * STRIDE).cast("bigint").alias("start_tok"),
+        F.least(
+            F.lit(CHUNK).cast("bigint"),
+            (F.col("n") - F.col("chunk_no") * STRIDE).cast("bigint"),
+        ).alias("n_tokens"),
+        F.md5(
+            F.concat_ws(
+                " ", F.slice(F.col("t"), F.col("chunk_no") * STRIDE + 1, CHUNK)
+            )
+        ).alias("chunk_md5"),
+    )

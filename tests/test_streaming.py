@@ -1519,3 +1519,53 @@ def test_streaming_incremental_view_state_parity(spark, tmp_path):
     want = sorted(tuple(r) for r in full.collect())
     assert streamed == want
     assert sorted(tuple(r) for r in merged.collect()) == want
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Exact dedup under streaming ingest: dropDuplicatesWithinWatermark
+    keys on the content hash, so re-delivered payloads inside the
+    watermark window emit once — the streaming twin of dedup_exact, with
+    BOUNDED state (keys expire with the watermark, unlike
+    dropDuplicates' forever-state)."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "dupsrc")
+    rows1 = [("2024-01-01 00:00:01", "hello world"),
+             ("2024-01-01 00:00:02", "unique one")]
+    rows2 = [("2024-01-01 00:00:03", "hello world"),   # dup content, in-window
+             ("2024-01-01 00:00:04", "unique two")]
+    df1 = spark.createDataFrame(rows1, ["ts_s", "text"]).select(
+        F.col("ts_s").cast("timestamp").alias("ts"), "text"
+    )
+    df1.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("content_hash", F.md5("text"))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_stream_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ddw_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        df2 = spark.createDataFrame(rows2, ["ts_s", "text"]).select(
+            F.col("ts_s").cast("timestamp").alias("ts"), "text"
+        )
+        df2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        texts = sorted(
+            r.text for r in spark.sql("SELECT * FROM dedup_stream_sink").collect()
+        )
+    finally:
+        q.stop()
+    # the re-delivered "hello world" must appear exactly once
+    assert texts == ["hello world", "unique one", "unique two"]
