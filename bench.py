@@ -127,6 +127,10 @@ HEADLINE = [
     "incremental_hourly_event_rollup",  # mergeable-state view maintenance
     "quantile_exact_multipass_price",   # exact quantiles, no global sort
     "seq_frequent_event_bigrams",  # transition support+lift sequence mining
+    "stats_numeric_correlations",  # one-pass exact-moment correlation matrix
+    "chunk_documents_overlap",     # RAG sliding-window chunking
+    "stats_join_key_profile",      # pre-join NDV/skew planner report
+    "basket_part_pairs",           # within-order co-occurrence self-join
 ]
 
 

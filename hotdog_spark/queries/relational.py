@@ -1345,3 +1345,122 @@ def stats_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("corr"),
         )
     )
+
+
+@register(
+    "basket_part_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ), pairs AS (
+      SELECT a.pk AS part_a, b.pk AS part_b
+      FROM items a JOIN items b ON a.ok = b.ok AND a.pk < b.pk
+    )
+    SELECT part_a, part_b, COUNT(*) AS n_orders
+    FROM pairs GROUP BY part_a, part_b
+    HAVING COUNT(*) >= 2
+    """,
+)
+def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence (the support-2 itemset stage): part
+    pairs ordered together in >= 2 orders.  The pair generation is a
+    WITHIN-ORDER self-join — fanout bounded by order size (TPC-H max 7
+    lines), so pair volume is <= C(7,2) * |orders|, linear in data, and
+    the join key (l_orderkey) is the natural co-location key: with
+    lineitem bucketed by orderkey this is a zero-exchange join.  The
+    classic a-priori first step, NOT an all-pairs over the part
+    catalog."""
+    from pyspark.sql import functions as F
+
+    items = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    b = items.select(F.col("ok"), F.col("pk").alias("pk_b"))
+    return (
+        items.join(b, "ok")
+        .filter(F.col("pk") < F.col("pk_b"))
+        .groupBy(F.col("pk").alias("part_a"), F.col("pk_b").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
+@register(
+    "stats_revenue_trend_by_nation",
+    oracle="""
+    WITH monthly AS (
+      SELECT c_nationkey AS nation,
+             (EXTRACT(YEAR FROM o_orderdate) - 1995) * 12
+               + EXTRACT(MONTH FROM o_orderdate) - 1 AS x,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), m AS (
+      SELECT nation, CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy
+      FROM monthly GROUP BY nation
+    )
+    SELECT nation, CAST(n AS BIGINT) AS n_months,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_cents_per_month,
+           CAST(sy * sxx - sx * sxy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept_cents
+    FROM m WHERE n * sxx - sx * sx > 0
+    """,
+)
+def stats_revenue_trend_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend: OLS slope/intercept of monthly revenue
+    over the month index, assembled from EXACT integer moments (month
+    index, cent-quantized revenue) — the grouped-regression pattern for
+    'which segments are growing' over arbitrary group counts in two
+    keyed aggregates, no per-group iteration.  Each output float is one
+    IEEE division of decimal-exact terms.  Months with no orders are
+    absent (trend over observed months, stated contract).  Scale shape:
+    monthly cells = nations x months (tiny), moments ride a second
+    nation-keyed aggregate; the broadcast customer join is the only
+    data-sized operation."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    monthly = (
+        o.join(broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            (
+                (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+            ).alias("x"),
+        )
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+            ).alias("y")
+        )
+    )
+    d38 = "decimal(38,0)"
+    m = monthly.groupBy("nation").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast(d38).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast(d38).alias("sxy"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.filter(det > 0).select(
+        "nation",
+        F.col("n").cast("bigint").alias("n_months"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / det.cast("double")
+        ).alias("slope_cents_per_month"),
+        (
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).cast("double")
+            / det.cast("double")
+        ).alias("intercept_cents"),
+    )

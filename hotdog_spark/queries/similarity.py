@@ -603,3 +603,85 @@ def decontaminate_semantic_cosine(spark: SparkSession, sf_dir: str) -> DataFrame
     return decontaminate_semantic(
         emb, "vec_id", "embedding", test_frac=0.01, threshold=0.30
     )
+
+
+def _pca_oracle(iters: int = 8) -> str:
+    """Unrolled power iteration over the exact integer covariance,
+    HUGEINT throughout; every normalization divides non-negative
+    magnitudes only (symmetric truncation — engine-agnostic)."""
+    vs = 1_000_000
+    blocks = [
+        f"""ex AS MATERIALIZED (
+  SELECT vec_id AS rid, generate_subscripts({_QUANT}, 1) - 1 AS dim,
+         CAST(unnest({_QUANT}) AS HUGEINT) AS x
+  FROM embeddings
+), nrow AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM embeddings
+), sums AS (
+  SELECT dim, SUM(x) AS s FROM ex GROUP BY dim
+), cells AS MATERIALIZED (
+  SELECT a.dim AS i, b.dim AS j, SUM(a.x * b.x) AS s_ij
+  FROM ex a JOIN ex b ON a.rid = b.rid AND a.dim <= b.dim
+  GROUP BY 1, 2
+), covu AS (
+  SELECT c.i, c.j,
+         (SELECT n FROM nrow) * c.s_ij - sa.s * sb.s AS c
+  FROM cells c JOIN sums sa ON sa.dim = c.i JOIN sums sb ON sb.dim = c.j
+), covf AS MATERIALIZED (
+  SELECT i, j, c FROM covu
+  UNION ALL
+  SELECT j, i, c FROM covu WHERE i < j
+), dims AS (SELECT DISTINCT i AS dim FROM covf
+), v0 AS (SELECT dim, CAST({vs} AS HUGEINT) AS v FROM dims)"""
+    ]
+    for k in range(iters):
+        blocks.append(
+            f"""w{k} AS MATERIALIZED (
+  SELECT covf.i AS dim, SUM(covf.c * v.v) AS w
+  FROM covf JOIN v{k} v ON covf.j = v.dim GROUP BY 1
+),
+m{k} AS (SELECT MAX(ABS(w)) AS m FROM w{k}),
+v{k + 1} AS MATERIALIZED (
+  SELECT dim,
+         CASE WHEN w >= 0 THEN (w * {vs}) // (SELECT m FROM m{k})
+              ELSE -(((-w) * {vs}) // (SELECT m FROM m{k})) END AS v
+  FROM w{k}
+)"""
+        )
+    blocks.append(
+        f"""piv AS MATERIALIZED (
+  SELECT v AS pv FROM v{iters} ORDER BY ABS(v) DESC, dim ASC LIMIT 1
+), vf AS MATERIALIZED (
+  SELECT dim, CASE WHEN (SELECT pv FROM piv) < 0 THEN -v ELSE v END AS v
+  FROM v{iters}
+), ray AS (
+  SELECT CAST(SUM(covf.c * a.v * b.v) AS DOUBLE)
+           / CAST((SELECT SUM(v * v) FROM vf) AS DOUBLE) AS rq
+  FROM covf JOIN vf a ON covf.i = a.dim JOIN vf b ON covf.j = b.dim
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + """
+SELECT CAST(dim AS INTEGER) AS dim, CAST(v AS BIGINT) AS component_scaled,
+       (SELECT rq FROM ray) AS eigenvalue_est
+FROM vf"""
+    )
+
+
+@register("embedding_pca_top_component", oracle=_pca_oracle())
+def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding covariance — the
+    whitening/compression/drift-basis step — done the only way that
+    scales: ONE Arrow-batched pass accumulates the exact integer Gram
+    matrix (numpy X^T X per batch, d^2 cells per partition — shuffle
+    volume independent of row count), and the fixed-count power
+    iteration runs on the driver over 64x64 exact ints, touching no
+    data.  The recurrence is integer floor arithmetic end-to-end (the
+    single float is the final Rayleigh-quotient division), so the
+    unrolled DuckDB oracle reproduces every bit.  Same decomposition as
+    MLlib RowMatrix.computeGramianMatrix -> local eigensolve."""
+    from hotdog_spark.operators.pca import pca_top_component
+
+    emb = table(spark, sf_dir, "embeddings")
+    return pca_top_component(spark, emb, "embedding", "vec_id", iters=8)

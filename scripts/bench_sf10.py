@@ -101,6 +101,11 @@ SUBSET = [
     "incremental_hourly_event_rollup",
     "quantile_exact_multipass_price",
     "seq_frequent_event_bigrams",
+    "stats_join_key_profile",
+    "stats_numeric_correlations",
+    "chunk_documents_overlap",
+    "basket_part_pairs",
+    "stats_revenue_trend_by_nation",
 ]
 
 
