@@ -131,6 +131,7 @@ HEADLINE = [
     "chunk_documents_overlap",     # RAG sliding-window chunking
     "stats_join_key_profile",      # pre-join NDV/skew planner report
     "basket_part_pairs",           # within-order co-occurrence self-join
+    "embedding_pca_top_component", # one-pass Gram kernel + driver eigensolve
 ]
 
 

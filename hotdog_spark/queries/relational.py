@@ -1372,16 +1372,39 @@ def basket_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     catalog."""
     from pyspark.sql import functions as F
 
-    items = (
+    # Two shuffles, no join: group each order's distinct parts into a
+    # sorted array (collect_set dedups in the same aggregate — no
+    # separate DISTINCT shuffle), then emit the C(k,2) pairs JVM-side
+    # from the bounded array and count.  The self-join formulation
+    # measured 17.9x at the sf1→sf10 decade (three data-sized shuffles
+    # + the joined intermediate materialized); this shape is 2 shuffles
+    # and the pair explode never leaves the task.
+    baskets = (
         table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
+        .groupBy(F.col("l_orderkey").alias("ok"))
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
     )
-    b = items.select(F.col("ok"), F.col("pk").alias("pk_b"))
+    pairs = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("parts"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("parts"),
+                            i + 2,
+                            F.greatest(F.size("parts") - i - 1, F.lit(0)),
+                        ),
+                        lambda y: F.struct(
+                            x.alias("part_a"), y.alias("part_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
     return (
-        items.join(b, "ok")
-        .filter(F.col("pk") < F.col("pk_b"))
-        .groupBy(F.col("pk").alias("part_a"), F.col("pk_b").alias("part_b"))
+        pairs.groupBy(F.col("p.part_a").alias("part_a"), F.col("p.part_b").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )

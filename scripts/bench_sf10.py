@@ -106,6 +106,7 @@ SUBSET = [
     "chunk_documents_overlap",
     "basket_part_pairs",
     "stats_revenue_trend_by_nation",
+    "embedding_pca_top_component",
 ]
 
 
