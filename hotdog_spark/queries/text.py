@@ -847,3 +847,51 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_md5"),
     )
+
+
+@register(
+    "sample_weighted_priority",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             list_sum(list_transform(generate_series(1, 15),
+               i -> CAST(strpos('0123456789abcdef',
+                          substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1
+                    AS BIGINT) * CAST(pow(16, 15 - i) AS BIGINT))) AS h
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars,
+           CAST(h AS DOUBLE) / n_chars AS priority_key
+    FROM u
+    ORDER BY priority_key, doc_id
+    LIMIT 100
+    """,
+)
+def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic size-weighted sampling: each doc gets priority
+    h(doc_id)/weight (md5-int60 hash over its id, divided by n_chars —
+    ONE IEEE division, bit-identical cross-engine) and the global
+    bottom-k wins.  Heavier docs draw proportionally smaller keys, so
+    the sample tilts toward them, yet membership is a pure function of
+    (id, weight): rerun-, engine-, and partition-stable, and stable
+    under corpus growth (new docs can enter, survivors never reshuffle)
+    — the property RNG-based weighted reservoirs lose.  Deliberately
+    the linear-race priority (u/w), not A-ES's u^(1/w): the exponential
+    form needs ln/pow, whose last-ulp behavior is libm-specific — this
+    engine's determinism contract bans transcendentals (see
+    oracle-float rules).  Plan shape: a pure projection into a global
+    top-k (TakeOrderedAndProject — no full sort materializes)."""
+    from pyspark.sql import functions as F
+
+    d = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    keyed = d.select(
+        "doc_id",
+        "n_chars",
+        (
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("bigint")
+            .cast("double")
+            / F.col("n_chars").cast("double")
+        ).alias("priority_key"),
+    )
+    return keyed.orderBy("priority_key", "doc_id").limit(100)
