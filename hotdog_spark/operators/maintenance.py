@@ -56,33 +56,66 @@ def plan_compaction(
     return max(1, math.ceil(total_bytes / target_file_bytes))
 
 
+def file_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-file row counts for a parquet dataset — the health metric that
+    decides when to compact.  Distributed: input_file_name() is evaluated
+    on executors; only (file, count) rows reach the driver."""
+    return (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("file"))
+        .groupBy("file")
+        .agg(F.count(F.lit(1)).alias("rows"))
+    )
+
+
 def compact_parquet(
     spark: SparkSession,
     src: str,
     dst: str,
-    target_file_bytes: int = 128 * 1024 * 1024,
+    target_file_bytes: int | None = None,
+    target_rows_per_file: int | None = None,
     cluster_by: list[str] | None = None,
+    sort_cols: list[str] | None = None,
 ) -> dict:
     """Rewrite the parquet data under ``src`` into ``dst`` as
-    evenly-sized files near ``target_file_bytes``.  Returns a report
-    dict (files/bytes before, planned file count, rows).
+    evenly-sized files.  Two sizing modes (exactly one, or neither for
+    the 128 MiB byte default):
 
-    Row-preserving by construction (a pure read → repartition → write;
-    no dedup, no filters) — the test suite pins the row multiset across
-    the rewrite.  Compression ratios differ between the old and new
-    files (bigger row groups encode better), so the planned count uses
-    input bytes as the estimate, matching what OPTIMIZE implementations
-    do on their first pass.
+    * ``target_file_bytes`` — plan from ACTUAL on-disk bytes
+      (ceil(total/target)); what OPTIMIZE implementations do.
+    * ``target_rows_per_file`` — plan from the row count; the right
+      dial when rows are uniform and byte-compression varies.
+
+    Layout controls: ``cluster_by`` repartitions BY RANGE on the
+    columns and sorts within partitions — compaction plus
+    data-clustering in one rewrite (non-overlapping per-file ranges →
+    min/max file pruning).  ``sort_cols`` sorts within partitions only
+    (tightens row-group stats without changing row placement).
+
+    Row-preserving by construction (pure read → repartition → write;
+    the test suite pins the row multiset).  Writes to a NEW location —
+    compaction must never rewrite in place under concurrent readers;
+    swap via rename/catalog repoint.  Returns a report dict
+    (input files/bytes, planned file count, rows).
     """
     n_in, total = dir_parquet_stats(src)
-    n_out = plan_compaction(total, target_file_bytes)
     df = spark.read.parquet(src)
+    if target_rows_per_file is not None:
+        n_rows_in = df.count()
+        n_out = max(1, math.ceil(n_rows_in / target_rows_per_file))
+    else:
+        n_out = plan_compaction(total, target_file_bytes or 128 * 1024 * 1024)
     if cluster_by:
         out: DataFrame = df.repartitionByRange(n_out, *[F.col(c) for c in cluster_by])
         out = out.sortWithinPartitions(*cluster_by)
     else:
         out = df.repartition(n_out)
-    out.write.mode("overwrite").parquet(dst)
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
+    writer = out.write.mode("overwrite")
+    if target_rows_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", target_rows_per_file)
+    writer.parquet(dst)
     n_rows = spark.read.parquet(dst).count()
     return {
         "input_files": n_in,

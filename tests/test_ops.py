@@ -772,8 +772,11 @@ def test_compact_parquet(spark, tmp_path):
     ).repartition(40).write.parquet(src)
     assert file_stats(spark, src).count() == 40
 
-    n_files = compact_parquet(spark, src, dst, target_rows_per_file=5_000, sort_cols=["k"])
-    assert n_files == 2
+    report = compact_parquet(
+        spark, src, dst, target_rows_per_file=5_000, sort_cols=["k"]
+    )
+    assert report["planned_output_files"] == 2
+    assert report["rows"] == 10_000
     stats = file_stats(spark, dst)
     assert stats.count() == 2
     assert stats.agg(F.sum("rows")).first()[0] == 10_000
