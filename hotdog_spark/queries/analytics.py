@@ -403,7 +403,7 @@ def export_zorder_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
                     '%Y-%m-%d %H:%M:%S') AS hr,
            COUNT(*) AS n_rows,
-           SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS sum_value_q,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS BIGINT) AS sum_value_q,
            MIN(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS min_value_q,
            MAX(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS max_value_q,
            CAST(SUM(CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT)) AS DOUBLE)

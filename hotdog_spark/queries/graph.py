@@ -86,7 +86,7 @@ r{i + 1}r AS (
         "WITH "
         + ",\n".join(blocks)
         + f"""
-SELECT v.id AS doc_id, r.r AS rank_scaled,
+SELECT v.id AS doc_id, CAST(r.r AS BIGINT) AS rank_scaled,
        COALESCE(d.deg, 0) AS degree
 FROM verts v JOIN r{iters}r r ON v.id = r.id
 LEFT JOIN deg d ON v.id = d.src"""

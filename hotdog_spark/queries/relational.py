@@ -1153,7 +1153,7 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), stats AS (
       SELECT side,
              COUNT(*) AS ndv,
-             SUM(n) AS n_rows,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
              MAX(n) AS max_group,
              CAST(SUM(n * n) AS BIGINT) AS sum_sq_group
       FROM per_key GROUP BY side
