@@ -158,6 +158,10 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     queries = entry_mod.queries()
+    # SPARK_GRAFT_BENCH_ONLY=a,b,c — re-bench just those headline queries
+    # and MERGE into the existing local snapshot (totals recomputed over
+    # the merged set); mirrors the scale-bench scripts.
+    only = {n for n in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if n}
 
     # Warm-up: JVM/codegen init, package shipping, parquet footer reads,
     # and the executor Python-worker pool (pandas import per worker) —
@@ -187,7 +191,7 @@ def main() -> None:
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in [n for n in HEADLINE if n in only] if only else HEADLINE:
         fn = queries[name]
         samples = []
         for _ in range(runs):
@@ -201,6 +205,14 @@ def main() -> None:
             release_tracked_persists()
         timings[name] = round(median(samples), 3)
 
+    if only:
+        cur_ = _current_round()
+        snap = os.path.join(REPO, f"BENCH_LOCAL_r{cur_:02d}.json") if cur_ else None
+        if snap and os.path.exists(snap):
+            with open(snap) as f:
+                merged = json.load(f).get("queries", {})
+            merged.update(timings)
+            timings = merged
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_query_set_total",
