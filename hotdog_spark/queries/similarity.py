@@ -685,3 +685,79 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return pca_top_component(spark, emb, "embedding", "vec_id", iters=8)
+
+
+def _jl_signs(k_dims: int, d_dims: int):
+    """±1 Rademacher sign matrix derived from md5("k:j") — deterministic,
+    engine-replicable (DuckDB computes the same digests in SQL).  Public
+    construction: Achlioptas 2003 database-friendly random projections."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{k}:{j}".encode()).hexdigest()[0], 16) >= 8
+            else -1
+            for j in range(d_dims)
+        ]
+        for k in range(k_dims)
+    ]
+
+
+@register(
+    "embedding_random_projection",
+    oracle=f"""
+    WITH ex AS MATERIALIZED (
+      SELECT vec_id, generate_subscripts({_QUANT}, 1) - 1 AS j,
+             unnest({_QUANT}) AS x
+      FROM embeddings
+    ), signs AS MATERIALIZED (
+      SELECT k.k, j.j,
+             CASE WHEN strpos('89abcdef',
+                    substring(md5(CAST(k.k AS VARCHAR) || ':' ||
+                              CAST(j.j AS VARCHAR)), 1, 1)) > 0
+                  THEN 1 ELSE -1 END AS s
+      FROM (SELECT unnest(generate_series(0, 15)) AS k) k,
+           (SELECT unnest(generate_series(0, 63)) AS j) j
+    )
+    SELECT ex.vec_id, signs.k,
+           CAST(SUM(ex.x * signs.s) AS BIGINT) AS proj_value
+    FROM ex JOIN signs ON ex.j = signs.j
+    GROUP BY ex.vec_id, signs.k
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction 64 → 16 with a
+    DETERMINISTIC Rademacher matrix (signs = md5("k:j") parity — the
+    Achlioptas database-friendly construction, reproducible in SQL): the
+    cheap pre-reduction ANN pipelines run before indexing.  Exact
+    integer arithmetic end-to-end (quantized components × ±1 sums), so
+    the projection hash-matches the oracle bit-for-bit.
+
+    Scale shape: the 16×64 sign matrix is inlined as plan literals (the
+    "model" is 1 KB); the projection is a pure map-side expression —
+    zero shuffle, zero Python, whole-stage codegen'd — emitting
+    (vec_id, k, proj_value) rows.  At 100 TB this is a single scan at
+    full parallelism; the oracle pays a join because SQL lacks
+    expression inlining, not because the operator needs one."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.similarity import with_quantized
+
+    signs = _jl_signs(16, 64)
+    base = with_quantized(table(spark, sf_dir, "embeddings"), "embedding", "vec_id")
+
+    def proj(k: int):
+        acc = None
+        for j, s in enumerate(signs[k]):
+            term = F.element_at("q", j + 1) if s > 0 else -F.element_at("q", j + 1)
+            acc = term if acc is None else acc + term
+        return acc.alias(f"p{k}")
+
+    wide = base.select("vid", *[proj(k) for k in range(16)])
+    return wide.select(
+        F.col("vid").alias("vec_id"),
+        F.posexplode(F.array(*[F.col(f"p{k}") for k in range(16)])).alias(
+            "k", "proj_value"
+        ),
+    ).select("vec_id", F.col("k").cast("bigint").alias("k"), "proj_value")
