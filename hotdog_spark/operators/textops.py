@@ -1017,3 +1017,106 @@ def search_terms_from_index(
     return idx.filter(idx.bucket.isin(want)).filter(
         idx.tok.isin(list(terms))
     ).select("tok", "id", "tf")
+
+
+# Gopher's "must contain" stopword inventory (Rae et al. 2021, table A1).
+GOPHER_REQUIRED_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """Gopher-style document quality rules (public: Rae et al. 2021,
+    arXiv:2112.11446 §A.1.1 — the rule set MassiveText was washed with,
+    reused by RefinedWeb/Dolma/FineWeb):
+
+    1. word count within [min_words, max_words]
+    2. mean word length within [3, 10] chars
+    3. symbol-to-word ratio (``#`` / ``...``) < 0.1
+    4. fraction of lines starting with a bullet < 0.9
+    5. fraction of lines ending with an ellipsis < 0.3
+    6. fraction of words containing an alphabetic char >= 0.8
+    7. at least ``min_stop_hits`` distinct required stopwords present
+
+    Every rule is an INTEGER comparison: ratios are tested by
+    cross-multiplication (e.g. mean-word-length in [3,10] is
+    ``3*n_words <= sum_word_len <= 10*n_words``), so there is no float
+    anywhere and the booleans reproduce bit-exactly in any engine.
+
+    Scale shape: one projection over the corpus — counters are
+    ``regexp_count`` / ``size`` expressions in whole-stage codegen, the
+    required-stopword probe is |inventory| ``array_contains`` literals.
+    Zero shuffle, zero Python; at 100 TB this is a full-parallelism scan
+    whose output can fuse into the downstream filter.
+
+    Dials: the paper's bounds assume web documents; synthetic or
+    domain-specific corpora should re-dial ``min_words`` /
+    ``min_stop_hits`` so both branches stay populated (the registered
+    query documents its choices).  Returns one row per document with the
+    raw counters, the seven per-rule booleans, and ``passes_gopher``.
+    """
+    text = F.col(text_col)
+    toks = normalized_tokens(text)
+    n_words = F.size(toks).cast("bigint")
+    # Σ token lengths = length of the separator-free join (flat JVM
+    # concat, same trick as quality_score's mean_tok_len)
+    sum_word_len = F.length(F.concat_ws("", toks)).cast("bigint")
+    n_symbols = F.regexp_count(text, F.lit(r"#|\.\.\.")).cast("bigint")
+    n_lines = F.size(F.split(text, "\n", -1)).cast("bigint")
+    n_bullet_lines = F.regexp_count(text, F.lit(r"(?m)^[-*•] ")).cast(
+        "bigint"
+    )
+    n_ellipsis_lines = F.regexp_count(text, F.lit(r"(?m)\.\.\.$")).cast("bigint")
+    n_alpha_words = F.size(
+        F.filter(toks, lambda t: t.rlike("[A-Za-z]"))
+    ).cast("bigint")
+    stop_hits = None
+    for w in GOPHER_REQUIRED_STOPS:
+        hit = F.array_contains(toks, w).cast("int")
+        stop_hits = hit if stop_hits is None else stop_hits + hit
+    n_required_stops = stop_hits.cast("bigint")
+
+    rule_word_count = (n_words >= F.lit(min_words)) & (
+        n_words <= F.lit(max_words)
+    )
+    rule_mean_word_len = (F.lit(3) * n_words <= sum_word_len) & (
+        sum_word_len <= F.lit(10) * n_words
+    )
+    rule_symbol_ratio = F.lit(10) * n_symbols < n_words
+    rule_bullet = F.lit(10) * n_bullet_lines < F.lit(9) * n_lines
+    rule_ellipsis = F.lit(10) * n_ellipsis_lines < F.lit(3) * n_lines
+    rule_alpha = F.lit(5) * n_alpha_words >= F.lit(4) * n_words
+    rule_stops = n_required_stops >= F.lit(min_stop_hits)
+
+    return fan_out(df).select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        sum_word_len.alias("sum_word_len"),
+        n_symbols.alias("n_symbols"),
+        n_lines.alias("n_lines"),
+        n_bullet_lines.alias("n_bullet_lines"),
+        n_ellipsis_lines.alias("n_ellipsis_lines"),
+        n_alpha_words.alias("n_alpha_words"),
+        n_required_stops.alias("n_required_stops"),
+        rule_word_count.alias("rule_word_count"),
+        rule_mean_word_len.alias("rule_mean_word_len"),
+        rule_symbol_ratio.alias("rule_symbol_ratio"),
+        rule_bullet.alias("rule_bullet"),
+        rule_ellipsis.alias("rule_ellipsis"),
+        rule_alpha.alias("rule_alpha"),
+        rule_stops.alias("rule_stops"),
+        (
+            rule_word_count
+            & rule_mean_word_len
+            & rule_symbol_ratio
+            & rule_bullet
+            & rule_ellipsis
+            & rule_alpha
+            & rule_stops
+        ).alias("passes_gopher"),
+    )

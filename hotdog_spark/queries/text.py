@@ -895,3 +895,73 @@ def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("priority_key"),
     )
     return keyed.orderBy("priority_key", "doc_id").limit(100)
+
+
+def _gopher_oracle(min_words: int, min_stop_hits: int) -> str:
+    stop_sum = " + ".join(
+        f"(CASE WHEN list_contains(toks, '{w}') THEN 1 ELSE 0 END)"
+        for w in ops.GOPHER_REQUIRED_STOPS
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks FROM documents
+    ), c AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_words,
+             COALESCE(CAST(list_sum(list_transform(toks, x -> length(x)))
+                      AS BIGINT), 0) AS sum_word_len,
+             CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT)
+               AS n_symbols,
+             CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+             CAST(len(regexp_extract_all(text, '(?m)^[-*•] ')) AS BIGINT)
+               AS n_bullet_lines,
+             CAST(len(regexp_extract_all(text, '(?m)\\.\\.\\.$')) AS BIGINT)
+               AS n_ellipsis_lines,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS BIGINT) AS n_alpha_words,
+             CAST({stop_sum} AS BIGINT) AS n_required_stops
+      FROM t
+    )
+    SELECT doc_id, n_words, sum_word_len, n_symbols, n_lines,
+           n_bullet_lines, n_ellipsis_lines, n_alpha_words, n_required_stops,
+           (n_words >= {min_words} AND n_words <= 100000) AS rule_word_count,
+           (3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words)
+             AS rule_mean_word_len,
+           (10 * n_symbols < n_words) AS rule_symbol_ratio,
+           (10 * n_bullet_lines < 9 * n_lines) AS rule_bullet,
+           (10 * n_ellipsis_lines < 3 * n_lines) AS rule_ellipsis,
+           (5 * n_alpha_words >= 4 * n_words) AS rule_alpha,
+           (n_required_stops >= {min_stop_hits}) AS rule_stops,
+           ((n_words >= {min_words} AND n_words <= 100000)
+            AND (3 * n_words <= sum_word_len AND sum_word_len <= 10 * n_words)
+            AND (10 * n_symbols < n_words)
+            AND (10 * n_bullet_lines < 9 * n_lines)
+            AND (10 * n_ellipsis_lines < 3 * n_lines)
+            AND (5 * n_alpha_words >= 4 * n_words)
+            AND (n_required_stops >= {min_stop_hits})) AS passes_gopher
+    FROM c
+    """
+
+
+@register("text_gopher_rules", oracle=_gopher_oracle(min_words=25, min_stop_hits=1))
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule wash (Rae et al. 2021 §A.1.1) — per-document
+    counters, the seven rule booleans, and the combined pass flag, all
+    integer comparisons (ratio rules via cross-multiplication, so no
+    float exists anywhere in the output).
+
+    Corpus-aware dials, documented per the synthetic-testdata posture:
+    ``min_words=25`` (the paper's 50 would fail most of this corpus's
+    10-60-word docs; 25 splits it) and ``min_stop_hits=1`` (the
+    vocabulary contains only 'the' from the paper's required-stopword
+    inventory, so the paper's >=2 would zero out the pass branch).
+    Line-boundary note: the corpus is newline-free, so Java's
+    MULTILINE-``$`` (matches before ``\\r\\n``) and RE2's (before
+    ``\\n`` only) cannot diverge here."""
+    return ops.gopher_rules(
+        table(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        min_words=25,
+        min_stop_hits=1,
+    )

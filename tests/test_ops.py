@@ -1197,3 +1197,50 @@ def test_lm_bigram_familiarity_hand_computed(spark):
     # doc 3: (x,y) p=1/1, not rare (3 < 1 false)
     assert out[3]["mean_p"] == pytest.approx(1.0)
     assert out[3]["n_rare"] == 0
+
+
+def test_gopher_rules_adversarial(spark):
+    """Pins each Gopher rule on inputs the synthetic corpus never
+    exercises: bullets, ellipsis line-ends, symbols, digit-only tokens,
+    multi-line docs.  Integer cross-multiplied semantics (no floats)."""
+    good = "the quick brown fox jumps over the lazy dog " * 5  # 45 words, has 'the'
+    rows = [
+        (1, good.strip()),
+        # 2: too short (< 25 words)
+        (2, "the tiny doc"),
+        # 3: no required stopword
+        (3, "alpha beta gamma delta " * 10),
+        # 4: symbol-heavy — 10 '#' vs 26 words fails 10*s < n
+        (4, ("word " * 26).strip() + " " + "# " * 10),
+        # 5: 10 lines, 9 bulleted → bullet fraction 0.9 NOT < 0.9 → fail
+        (5, "\n".join(["- item " + "pad " * 30] * 9 + ["plain tail line"])),
+        # 6: 10 lines, 3 ending in ellipsis → 0.3 NOT < 0.3 → fail
+        (6, "\n".join([("the filler line " * 3).strip() + "..."] * 3
+                      + [("the filler line " * 3).strip()] * 7)),
+        # 7: digit tokens drop alpha fraction below 0.8
+        (7, ("the word " + "42 " * 38).strip()),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in textops.gopher_rules(
+            df, "text", "doc_id", min_words=25, min_stop_hits=1
+        ).collect()
+    }
+    assert out[1].passes_gopher
+    assert not out[2].rule_word_count and not out[2].passes_gopher
+    assert not out[3].rule_stops and not out[3].passes_gopher
+    assert not out[4].rule_symbol_ratio and out[4].n_symbols == 10
+    assert out[5].n_bullet_lines == 9 and out[5].n_lines == 10
+    assert not out[5].rule_bullet
+    assert out[6].n_ellipsis_lines == 3 and not out[6].rule_ellipsis
+    assert out[7].n_alpha_words == 2 and not out[7].rule_alpha
+    # symbol count: '...' and '#' both counted, non-overlapping
+    sym = spark.createDataFrame(
+        [(1, "a...b....c # ## the word list here now " * 3)],
+        "doc_id long, text string",
+    )
+    row = textops.gopher_rules(sym, "text", "doc_id").collect()[0]
+    # per repeat: '...' once, '....' → one non-overlapping match, '#' ×3
+    # → 5 per repeat, 15 total
+    assert row.n_symbols == 15
