@@ -148,3 +148,131 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("shared_grams"))
     )
+
+
+BLOOM_BITS = 1 << 22   # m: 4 Mi bits = 65,536 int64 words (512 KB broadcast)
+BLOOM_HASHES = 4       # k
+
+
+def _bloom_positions(g: Column, m: int = BLOOM_BITS, k: int = BLOOM_HASHES) -> Column:
+    """Array of the gram's ``k`` bloom bit positions: independent hashes
+    are md5 over an index-salted gram (``"i:" + g``), int60 from the
+    first 15 hex chars, mod ``m``.  Pure integer math, bit-identical in
+    DuckDB (``('0x' || substring(md5(...), 1, 15))::BIGINT % m``)."""
+    return F.array(
+        *[
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}:"), g)), 1, 15
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(m),
+            )
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Build a bloom-filter bitmap over the benchmark's distinct word
+    n-grams as a (word_idx, bits) DataFrame — at most ``m / 64`` rows
+    regardless of benchmark size.
+
+    The aggregate is ``bit_or`` of single-bit words: associative,
+    commutative, map-side combinable — the textbook mergeable-sketch
+    shape.  This is what makes bloom the 100 TB decontamination path:
+    the exact variant (:func:`decontaminate`) broadcasts the benchmark's
+    DISTINCT GRAM SET, which grows with the benchmark; the bloom bitmap
+    is a fixed ``m`` bits no matter how many grams went in (dial ``m``
+    to the target false-positive rate: fill ratio p after inserts gives
+    FP ≈ p^k per probed gram)."""
+    grams = _doc_grams(benchmark, text_col, id_col, n).select("g").distinct()
+    pos = grams.select(
+        F.explode(_bloom_positions(F.col("g"), m, k)).alias("pos")
+    ).distinct()
+    return pos.groupBy(
+        (F.col("pos") / F.lit(64)).cast("bigint").alias("word_idx")
+    ).agg(
+        F.bit_or(
+            # pyspark's shiftleft() only takes a literal shift; the SQL
+            # form accepts a column
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))")
+        ).alias("bits")
+    )
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    m: int = BLOOM_BITS,
+    k: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Bloom-filter benchmark decontamination: flag corpus documents
+    whose word n-grams probe positive against a bloom bitmap built from
+    the benchmark's grams.
+
+    Superset-with-false-positives of the exact :func:`decontaminate`
+    (never a false negative — every truly shared gram has all its bits
+    set); false positives are a DETERMINISTIC function of (gram, m, k)
+    — the same md5 arithmetic reproduces them in any engine, so the
+    report is still oracle-comparable bit-for-bit.
+
+    Scale shape: the corpus side explodes each distinct (doc, gram)
+    into ``k`` position rows and probes them against the BROADCAST
+    (word_idx, bits) bitmap — never shuffled on the gram key; the two
+    aggregations that follow (all-k-bits per gram, hit count per doc)
+    are keyed by (doc, gram) and doc, both map-side combinable.  At
+    100 TB the benchmark-side state is ``m`` bits, full stop — the
+    property the exact broadcast-gram-set variant loses when the
+    benchmark itself is large.
+
+    Returns (doc_id, bloom_hits, n_grams) for corpus docs with ≥ 1
+    probing gram, bloom_hits ≥ 1."""
+    from pyspark.sql import Window  # noqa: F401  (parity with module imports)
+
+    bitmap = bloom_build(benchmark, text_col, id_col, n, m, k)
+    cg = _doc_grams(corpus, text_col, id_col, n)
+    probe = cg.select(
+        "doc_id",
+        "g",
+        F.explode(_bloom_positions(F.col("g"), m, k)).alias("pos"),
+    ).select(
+        "doc_id",
+        "g",
+        (F.col("pos") / F.lit(64)).cast("bigint").alias("word_idx"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))").alias(
+            "mask"
+        ),
+    )
+    joined = probe.join(F.broadcast(bitmap), "word_idx", "left").select(
+        "doc_id",
+        "g",
+        F.coalesce(
+            (F.col("bits").bitwiseAND(F.col("mask")) != F.lit(0)).cast("int"),
+            F.lit(0),
+        ).alias("hit"),
+    )
+    per_gram = joined.groupBy("doc_id", "g").agg(
+        (F.sum("hit") == F.lit(k)).cast("int").alias("bloom_hit")
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("bloom_hit").cast("bigint").alias("bloom_hits"),
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        )
+        .filter(F.col("bloom_hits") >= 1)
+    )

@@ -440,3 +440,68 @@ def curation_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return importance_weights_hashed_ngrams(
         docs, "text", "doc_id", target_pred=F.col("lang") == "en", buckets=1024
     )
+
+
+def _bloom_oracle(m: int, k: int) -> str:
+    def pos(expr: str) -> str:
+        return (
+            f"('0x' || substring(md5(CAST(i AS VARCHAR) || ':' || {expr}),"
+            f" 1, 15))::BIGINT % {m}"
+        )
+
+    return f"""
+    WITH wx AS (
+      SELECT doc_id, {_TOKS} AS w,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '{hex_threshold(0.05)}'
+               AS is_bench
+      FROM documents
+    ), grams AS MATERIALIZED (
+      SELECT DISTINCT doc_id, is_bench, array_to_string(w[i:i+4], ' ') AS g
+      FROM wx, UNNEST(range(1, len(w) - 3)) AS t(i)
+    ), bpos AS MATERIALIZED (
+      SELECT DISTINCT {pos('g')} AS pos
+      FROM (SELECT DISTINCT g FROM grams WHERE is_bench),
+           UNNEST(range(0, {k})) AS h(i)
+    ), probe AS (
+      SELECT doc_id, g, {pos('g')} AS pos
+      FROM grams, UNNEST(range(0, {k})) AS h(i)
+      WHERE NOT is_bench
+    ), pg AS (
+      SELECT p.doc_id, p.g, COUNT(b.pos) AS hit_n
+      FROM probe p LEFT JOIN bpos b ON p.pos = b.pos
+      GROUP BY p.doc_id, p.g
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN hit_n = {k} THEN 1 ELSE 0 END) AS BIGINT)
+             AS bloom_hits,
+           CAST(COUNT(*) AS BIGINT) AS n_grams
+    FROM pg GROUP BY doc_id
+    HAVING SUM(CASE WHEN hit_n = {k} THEN 1 ELSE 0 END) >= 1
+    """
+
+
+@register("decontaminate_bloom_filter", oracle=_bloom_oracle(m=1 << 22, k=4))
+def decontaminate_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination (same 5% md5 benchmark split and word
+    5-grams as ``decontaminate_ngram_overlap``, so the two reports are
+    directly comparable): the benchmark's grams are folded into a fixed
+    4 Mi-bit bitmap (bit_or mergeable aggregate, ≤ 64 Ki rows, 512 KB
+    broadcast), and corpus grams probe it map-side.
+
+    Why this exists next to the exact variant: the exact join broadcasts
+    the benchmark's distinct-gram SET, which grows with the benchmark;
+    the bloom bitmap is O(m) regardless — the decontamination shape that
+    survives a benchmark suite too large to broadcast.  Never a false
+    negative; false positives are deterministic md5 arithmetic (FP per
+    gram ≈ fill_ratio^4), reproduced bit-for-bit by the oracle's
+    position-set formulation (a bitmap word/bit is a bijection of the
+    position integer, so set membership ≡ bit test)."""
+    from hotdog_spark.operators.decontam import decontaminate_bloom
+
+    docs = table(spark, sf_dir, "documents")
+    is_bench = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4) < F.lit(
+        hex_threshold(0.05)
+    )
+    return decontaminate_bloom(
+        docs.filter(~is_bench), docs.filter(is_bench), "text", "doc_id", n=5
+    )

@@ -200,3 +200,36 @@ def test_importance_weights_hashed_ngrams_differential(spark):
     # doc 4 shares every bigram with the en docs -> more target-like
     # than the de doc 3
     assert out[4]["weight"] > out[3]["weight"]
+
+
+def test_decontaminate_bloom_superset_of_exact(spark):
+    """Bloom decontamination can never miss a truly shared gram (every
+    bit of a shared gram was set by the benchmark build); exact-flagged
+    docs are a subset of bloom-flagged docs, and on a tiny corpus with a
+    huge bitmap (fill ratio ~0) the two reports are identical."""
+    from hotdog_spark.operators.decontam import bloom_build, decontaminate_bloom
+
+    corpus = spark.createDataFrame(
+        [
+            (10, "one two three four five six"),
+            (11, "totally different words here now"),
+            (12, "one two three four five"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(99, "one two three four five")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["bloom_hits"], r["n_grams"])
+        for r in decontaminate_bloom(
+            corpus, bench, "text", "doc_id", n=5
+        ).collect()
+    }
+    assert got == {10: (1, 2), 12: (1, 1)}
+    # bitmap is bounded by benchmark gram count * k words, never more
+    bm = bloom_build(bench, "text", "doc_id", n=5).collect()
+    assert 1 <= len(bm) <= 4
+    # every stored word is a single set bit here (1 gram, 4 hashes)
+    total_bits = sum(bin(r["bits"] & ((1 << 64) - 1)).count("1") for r in bm)
+    assert total_bits == 4
