@@ -421,9 +421,17 @@ def knn_graph_cells(
     k: int = 3,
     nprobe: int = 2,
     centroids: list[tuple[int, list[int]]] | None = None,
+    label_col: str | None = None,
 ) -> DataFrame:
     """k-NN graph via per-cell Arrow-batched matrix scoring — the fast
     twin of :func:`knn_graph`, bit-identical output.
+
+    With ``label_col`` set, candidates sharing the probe's label are
+    excluded and the output carries (query_label, neighbor_label) — the
+    HARD-NEGATIVE MINING variant for contrastive training (per anchor,
+    the most-similar vectors of a DIFFERENT class; cf. the in-batch /
+    ANN-mined negatives of DPR, Karpukhin et al. 2020).  Same plan, same
+    cost: the label constraint is a per-cell numpy mask.
 
     The join formulation (:func:`knn_graph`) is shuffle-shaped right but
     pays twice elsewhere: every candidate pair evaluates a 64-term
@@ -452,7 +460,14 @@ def knn_graph_cells(
     coarse quantizer, as with :func:`knn_graph`."""
     import pandas as pd
 
-    base = with_quantized(df, vec_col, id_col)
+    if label_col is None:
+        base = with_quantized(df, vec_col, id_col)
+    else:
+        base = fan_out(df).select(
+            F.col(id_col).alias("vid"),
+            quantized(F.col(vec_col)).alias("q"),
+            F.col(label_col).cast("long").alias("lbl"),
+        ).withColumn("n2", _norm2(F.col("q")))
     cents = sorted(_centroid_rows(base, centroid_filter, centroids))
     cid_arr = [int(c[0]) for c in cents]
     cmat = [[int(x) for x in c[1]] for c in cents]
@@ -481,48 +496,65 @@ def knn_graph_cells(
                 "q": pdf["q"],
                 "n2": n2,
             }
+            if label_col is not None:
+                out["lbl"] = pdf["lbl"].to_numpy(dtype=np_.int64)
             member = pd.DataFrame(out)
             probe_parts = [member]
             for j in range(min(npb, order.shape[1])):
-                probe_parts.append(pd.DataFrame({
+                part = {
                     "cell": CID[order[:, j]],
                     "role": np_.ones(len(pdf), dtype=np_.int32),
                     "id": out["id"],
                     "q": pdf["q"],
                     "n2": n2,
-                }))
+                }
+                if label_col is not None:
+                    part["lbl"] = out["lbl"]
+                probe_parts.append(pd.DataFrame(part))
             yield pd.concat(probe_parts, ignore_index=True)
 
-    tagged = base.mapInPandas(
-        assign, "cell long, role int, id long, q array<bigint>, n2 long"
-    )
+    tag_schema = "cell long, role int, id long, q array<bigint>, n2 long"
+    if label_col is not None:
+        tag_schema += ", lbl long"
+    tagged = base.mapInPandas(assign, tag_schema)
 
     kk = int(k)
+
+    with_labels = label_col is not None
 
     def score_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         m = pdf[(pdf["role"] == 0) & (pdf["n2"] > 0)]
         p = pdf[(pdf["role"] == 1) & (pdf["n2"] > 0)]
+        empty = {
+            "query_id": pd.Series(dtype="int64"),
+            "neighbor_id": pd.Series(dtype="int64"),
+            "score": pd.Series(dtype="float64"),
+        }
+        if with_labels:
+            empty["query_label"] = pd.Series(dtype="int64")
+            empty["neighbor_label"] = pd.Series(dtype="int64")
         if len(m) == 0 or len(p) == 0:
-            return pd.DataFrame({
-                "query_id": pd.Series(dtype="int64"),
-                "neighbor_id": pd.Series(dtype="int64"),
-                "score": pd.Series(dtype="float64"),
-            })
+            return pd.DataFrame(empty)
         M = np_.asarray([np_.asarray(v, dtype=np_.float64) for v in m["q"]])
         P = np_.asarray([np_.asarray(v, dtype=np_.float64) for v in p["q"]])
         mid = m["id"].to_numpy(dtype=np_.int64)
         pid = p["id"].to_numpy(dtype=np_.int64)
         n2m = m["n2"].to_numpy(dtype=np_.int64)
         n2p = p["n2"].to_numpy(dtype=np_.int64)
+        if with_labels:
+            mlbl = m["lbl"].to_numpy(dtype=np_.int64)
+            plbl = p["lbl"].to_numpy(dtype=np_.int64)
         dots = P @ M.T                              # exact: < 2⁵³
         # bigint product n2·n2p can exceed 2⁵³ — compute in int64
         # (exact to 2⁶³) THEN convert, replicating Spark's
         # (a*b).cast("double") rounding
         denom = np_.sqrt((n2p[:, None] * n2m[None, :]).astype(np_.float64))
         score = dots / denom
-        qs, ns, ss = [], [], []
+        qs, ns, ss, ql, nl = [], [], [], [], []
         for i in range(len(pid)):
             mask = mid != pid[i]
+            if with_labels:
+                mask &= mlbl != plbl[i]
             cand_ids = mid[mask]
             cand_sc = score[i][mask]
             if len(cand_ids) == 0:
@@ -533,15 +565,23 @@ def knn_graph_cells(
             qs.extend([pid[i]] * len(order))
             ns.extend(cand_ids[order])
             ss.extend(cand_sc[order])
-        return pd.DataFrame({
+            if with_labels:
+                ql.extend([plbl[i]] * len(order))
+                nl.extend(mlbl[mask][order])
+        out = {
             "query_id": np_.asarray(qs, dtype=np_.int64),
             "neighbor_id": np_.asarray(ns, dtype=np_.int64),
             "score": np_.asarray(ss, dtype=np_.float64),
-        })
+        }
+        if with_labels:
+            out["query_label"] = np_.asarray(ql, dtype=np_.int64)
+            out["neighbor_label"] = np_.asarray(nl, dtype=np_.int64)
+        return pd.DataFrame(out)
 
-    partial = tagged.groupBy("cell").applyInPandas(
-        score_cell, "query_id long, neighbor_id long, score double"
-    )
+    score_schema = "query_id long, neighbor_id long, score double"
+    if with_labels:
+        score_schema += ", query_label long, neighbor_label long"
+    partial = tagged.groupBy("cell").applyInPandas(score_cell, score_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id")
     )

@@ -761,3 +761,71 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "k", "proj_value"
         ),
     ).select("vec_id", F.col("k").cast("bigint").alias("k"), "proj_value")
+
+
+@register(
+    "mine_hard_negatives",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, CAST(label AS BIGINT) AS label, {_QUANT} AS qv,
+             list_sum(list_transform({_QUANT}, x -> x * x)) AS n2
+      FROM embeddings
+    ), c AS (
+      SELECT vec_id AS cid, qv AS qc, n2 AS n2c FROM n
+      WHERE vec_id < (SELECT GREATEST(8, LEAST(256, COUNT(*) // 250))
+                      FROM embeddings)
+    ), d AS (
+      SELECT v.vec_id, v.label, v.qv, v.n2, c.cid,
+             v.n2 + c.n2c
+             - 2 * list_sum(list_transform(list_zip(v.qv, c.qc), s -> s[1] * s[2])) AS d2
+      FROM n v, c
+    ), cellr AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d
+    ), assigned AS (
+      SELECT vec_id, label, qv, n2, cid AS cell FROM cellr WHERE rn = 1
+    ), pcells AS (
+      SELECT vec_id AS query_id, cid AS pcell FROM cellr WHERE rn <= 2
+    ), pv AS (
+      SELECT vec_id AS query_id, label AS plabel, qv AS qp, n2 AS n2p FROM n
+    ), scored AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(list_zip(a.qv, pv.qp), s -> s[1] * s[2])) AS DOUBLE)
+               / sqrt(CAST(a.n2 * pv.n2p AS DOUBLE)) AS score,
+             pv.plabel AS query_label, a.label AS neighbor_label
+      FROM assigned a
+      JOIN pcells p ON a.cell = p.pcell
+      JOIN pv ON pv.query_id = p.query_id
+      WHERE a.vec_id != p.query_id AND a.label != pv.plabel
+        AND a.n2 > 0 AND pv.n2p > 0
+    )
+    SELECT query_id, neighbor_id, score, query_label, neighbor_label, rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, neighbor_id) AS rank
+      FROM scored
+    ) t WHERE rank <= 2
+    """,
+)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (public practice:
+    DPR, Karpukhin et al. 2020; SimCSE; sentence-transformers mining):
+    for EVERY vector, the top-2 most-cosine-similar vectors of a
+    DIFFERENT label — the negatives that actually move a contrastive
+    loss, vs random negatives that are trivially far.
+
+    Same scale shape as ``knn_graph_ivf`` (this IS that operator with a
+    label-exclusion mask): IVF cells scaled to the corpus
+    (C = clamp(n/250, 8, 256)) keep candidate volume linear; per-cell
+    BLAS scoring; one cell-keyed shuffle; the label mask is a numpy
+    boolean AND in the kernel — zero extra shuffle or pass."""
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    n_cells = max(8, min(256, n // 250))
+    return ops.knn_graph_cells(
+        emb, "embedding", "vec_id",
+        centroid_filter=F.col("vid") < n_cells, k=2, nprobe=2,
+        label_col="label",
+    ).select(
+        "query_id", "neighbor_id", "score", "query_label", "neighbor_label",
+        "rank",
+    )

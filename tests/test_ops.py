@@ -1244,3 +1244,30 @@ def test_gopher_rules_adversarial(spark):
     # per repeat: '...' once, '....' → one non-overlapping match, '#' ×3
     # → 5 per repeat, 15 total
     assert row.n_symbols == 15
+
+
+def test_hard_negative_mining_excludes_same_label(spark):
+    """The label-masked knn_graph_cells variant: nearest same-label
+    vector is skipped; the top negative is the most similar vector of a
+    DIFFERENT label."""
+    import math
+
+    rows = []
+    for i in range(12):
+        base = [math.sin(0.3 * j + (i % 3)) for j in range(8)]
+        rows.append((i, base, i % 3))
+    # planted: vec 100 is nearly identical to vec 0 (label 0) but labeled 1
+    rows.append((100, [math.sin(0.3 * j) * 1.001 for j in range(8)], 1))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    out = similarity.knn_graph_cells(
+        df, "embedding", "vec_id",
+        centroid_filter=F.col("vid") < 4, k=1, nprobe=2, label_col="label",
+    ).collect()
+    by_q = {r.query_id: r for r in out}
+    # vec 0's hard negative is the planted near-twin with the other label
+    assert by_q[0].neighbor_id == 100
+    assert by_q[0].query_label == 0 and by_q[0].neighbor_label == 1
+    # no result row ever pairs same labels
+    assert all(r.query_label != r.neighbor_label for r in out)
