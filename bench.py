@@ -132,6 +132,8 @@ HEADLINE = [
     "stats_join_key_profile",      # pre-join NDV/skew planner report
     "basket_part_pairs",           # within-order co-occurrence self-join
     "embedding_pca_top_component", # one-pass Gram kernel + driver eigensolve
+    "anomaly_mad_hourly_rates",    # median/MAD robust rate anomaly (integer-exact)
+    "corpus_cluster_diversity",    # kmeans occupancy Simpson/effective-clusters report
 ]
 
 

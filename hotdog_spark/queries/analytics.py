@@ -134,6 +134,110 @@ def anomaly_hourly_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "anomaly_mad_hourly_rates",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+                      '%Y-%m-%d %H:%M:%S') AS hr,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ), c AS (
+      SELECT event_type, COUNT(*) AS cnt FROM hourly GROUP BY event_type
+    ), med AS (
+      SELECT event_type, n AS med_n FROM (
+        SELECT h.event_type, h.n, c.cnt,
+               ROW_NUMBER() OVER (PARTITION BY h.event_type ORDER BY h.n) AS rn
+        FROM hourly h JOIN c USING (event_type)
+      ) WHERE rn = CAST(CEIL(0.5 * cnt) AS BIGINT)
+    ), dev AS (
+      SELECT h.event_type, h.hr, h.n, m.med_n,
+             ABS(h.n - m.med_n) AS d
+      FROM hourly h JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, d AS mad_n FROM (
+        SELECT v.event_type, v.d, c.cnt,
+               ROW_NUMBER() OVER (PARTITION BY v.event_type ORDER BY v.d) AS rn
+        FROM dev v JOIN c USING (event_type)
+      ) WHERE rn = CAST(CEIL(0.5 * cnt) AS BIGINT)
+    )
+    SELECT v.event_type, v.hr, v.n AS n_events, v.med_n, mad.mad_n,
+           (v.d > 3 * mad.mad_n) AS is_anomaly
+    FROM dev v JOIN mad USING (event_type)
+    """,
+)
+def anomaly_mad_hourly_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust rate anomaly detection: per event type, flag hours whose
+    count deviates from the type's MEDIAN hourly count by more than
+    3× the median absolute deviation (MAD).  The robust twin of
+    `anomaly_hourly_event_rates`: mean/σ are dragged by the very
+    outliers being hunted (one traffic spike inflates σ enough to hide
+    a second), while median/MAD have a 50% breakdown point — the
+    alerting rule monitoring literature actually recommends for bursty
+    rates (Hampel filter, public).
+
+    Integer-exact end to end: counts, type-1 medians (value at rank
+    ceil(cnt/2)), absolute deviations, and the 3·MAD compare are all
+    bigint ops, so both engines agree bit-for-bit — no σ-style float
+    chain at all.  MAD = 0 (a type flat at its median most hours)
+    flags ANY deviating hour, the documented razor-edge of the rule.
+
+    Scale shape: the raw event stream is touched by ONE map-side
+    combinable aggregate; medians are rank selections over the
+    (type × hour) table, whose size is bounded by the TIME SPAN, not
+    the corpus (a year of hourly buckets is 8 760 rows per type), so
+    the two per-type rank windows and the broadcast joins back are
+    fixed-cost at any data size."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+    from pyspark.sql.window import Window
+
+    from hotdog_spark.operators import track_persist
+
+    e = table(spark, sf_dir, "events")
+    # persisted: four consumers (cnt, median rank, deviations, final
+    # join) would otherwise each re-run the corpus-sized aggregate
+    hourly = track_persist(
+        e.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hr"
+            ),
+        ).agg(F.count(F.lit(1)).alias("n"))
+    )
+    cnt = hourly.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    target = F.ceil(F.col("cnt") * 0.5)
+
+    ranked_n = hourly.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("n"))
+    )
+    med = (
+        ranked_n.join(broadcast(cnt), "event_type")
+        .filter(F.col("rn") == target)
+        .select("event_type", F.col("n").alias("med_n"))
+    )
+    dev = hourly.join(broadcast(med), "event_type").withColumn(
+        "d", F.abs(F.col("n") - F.col("med_n"))
+    )
+    ranked_d = dev.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("event_type").orderBy("d"))
+    )
+    mad = (
+        ranked_d.join(broadcast(cnt), "event_type")
+        .filter(F.col("rn") == target)
+        .select("event_type", F.col("d").alias("mad_n"))
+    )
+    return dev.join(broadcast(mad), "event_type").select(
+        "event_type",
+        "hr",
+        F.col("n").alias("n_events"),
+        "med_n",
+        "mad_n",
+        (F.col("d") > 3 * F.col("mad_n")).alias("is_anomaly"),
+    )
+
+
+@register(
     "activity_streak_islands",
     oracle="""
     WITH days AS (
@@ -474,11 +578,12 @@ def incremental_hourly_event_rollup(spark: SparkSession, sf_dir: str) -> DataFra
 def quantile_exact_multipass_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT p50/p95/p99 of l_extendedprice (in cents) with NO global
     sort: iterative histogram refinement — each round is one map-side
-    combinable aggregate binning the candidate range into 1024 equal
+    combinable aggregate binning the candidate range into 4096 equal
     buckets, the driver locates the target rank's bucket (O(buckets)
     state) and recurses into it; all three quantiles share each scan
-    via an array-explode classification.  2-3 rounds for a money
-    domain vs the full range-partitioned shuffle a sort-based exact
+    via an array-explode classification.  ONE round for a money
+    domain (≤ 2^24 distinct cents narrows straight to the exact tail)
+    vs the full range-partitioned shuffle a sort-based exact
     quantile costs, and vs percentile_approx's error bars.  The oracle
     is the brute-force ROW_NUMBER rank selection — same type-1
     semantics (rank = ceil(q*n), duplicates counted), exact match

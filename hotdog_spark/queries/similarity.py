@@ -357,6 +357,71 @@ def dedup_semantic_exemplar(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cluster_diversity_oracle(k: int = 8, iters: int = 3) -> str:
+    return (
+        _kmeans_cte(k, iters)
+        + """,
+occ AS (SELECT cid, COUNT(*) AS n_c FROM fin GROUP BY cid),
+tot AS (
+  SELECT CAST(COUNT(*) AS INTEGER) AS k_nonempty,
+         CAST(SUM(n_c) AS BIGINT) AS n_vectors,
+         CAST(SUM(n_c * n_c) AS BIGINT) AS sum_sq_occupancy,
+         CAST(MAX(n_c) AS BIGINT) AS max_occupancy
+  FROM occ
+)
+SELECT k_nonempty, n_vectors, sum_sq_occupancy,
+       (1000000 * sum_sq_occupancy) // (n_vectors * n_vectors) AS simpson_ppm,
+       (1000000 * n_vectors * n_vectors) // sum_sq_occupancy
+         AS eff_clusters_ppm,
+       (1000000 * max_occupancy) // n_vectors AS max_share_ppm
+FROM tot"""
+    )
+
+
+@register("corpus_cluster_diversity", oracle=_cluster_diversity_oracle())
+def corpus_cluster_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-occupancy diversity report over the k-means assignment —
+    the balance check run before cluster-based sampling (SemDeDup-style
+    pruning, curriculum mixing) to catch a collapsed embedding space or
+    a runaway majority cluster.
+
+    Emits one row: non-empty cluster count, corpus size, Σn_c², and
+    three scaled-integer diversity measures — the Simpson concentration
+    index Σn_c²/N² (ppm), its inverse the effective number of clusters
+    N²/Σn_c² (ppm — the 'true diversity' of order 2 from ecology,
+    public), and the largest cluster's share (ppm).  All floor
+    divisions over exact bigints: no logs, no entropy floats, so the
+    report hash-matches cross-engine (Shannon entropy would not).
+
+    Scale shape: rides the k-means trainer's map-side assignment (the
+    corpus is never shuffled), then one k-row aggregate of an 8-row
+    table.  BIGINT headroom: 10^6·N² caps at 9.2e18 → exact up to
+    N ≈ 3·10^6 vectors per report; shard the report by corpus slice
+    beyond that (documented, not silently wrong — Spark and the oracle
+    overflow identically in any case)."""
+    emb = table(spark, sf_dir, "embeddings")
+    assigned, _cents = ops.kmeans_quantized(emb, "embedding", "vec_id", k=8, iters=3)
+    occ = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_c"))
+    tot = occ.agg(
+        F.count(F.lit(1)).cast("int").alias("k_nonempty"),
+        F.sum("n_c").alias("n_vectors"),
+        F.sum(F.col("n_c") * F.col("n_c")).alias("sum_sq_occupancy"),
+        F.max("n_c").alias("max_occupancy"),
+    )
+    return tot.select(
+        "k_nonempty",
+        "n_vectors",
+        "sum_sq_occupancy",
+        F.expr("(1000000 * sum_sq_occupancy) div (n_vectors * n_vectors)").alias(
+            "simpson_ppm"
+        ),
+        F.expr("(1000000 * n_vectors * n_vectors) div sum_sq_occupancy").alias(
+            "eff_clusters_ppm"
+        ),
+        F.expr("(1000000 * max_occupancy) div n_vectors").alias("max_share_ppm"),
+    )
+
+
 @register(
     "embedding_label_cohesion",
     oracle=f"""

@@ -18,6 +18,40 @@ def _hits(lang: str) -> str:
 
 
 @register(
+    "profile_source_length_histogram",
+    oracle="""
+    SELECT source, CAST(length(bin(n_chars)) AS INTEGER) AS log2_bucket,
+           COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def profile_source_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length histogram on power-of-two buckets —
+    the size-skew report consulted before choosing packing bin sizes,
+    shard counts, and maxPartitionBytes for a new corpus drop (a
+    source whose mass sits in two adjacent buckets packs very
+    differently from one spanning ten).
+
+    The bucket is floor(log2(n_chars)) + 1 computed EXACTLY as the
+    binary-digit count ``length(bin(n_chars))`` — a float log2 would
+    misbucket values adjacent to powers of two (log2(2^53+2) rounds
+    down), and both engines share the digit-count semantics including
+    bin(0) = '0' → bucket 1.  One map-side-combinable aggregate over a
+    two-column projection; output rows are bounded by
+    sources × 64 buckets regardless of corpus size."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.groupBy(
+        "source", F.length(F.bin("n_chars")).cast("int").alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+@register(
     "text_token_count",
     oracle=f"""
     SELECT doc_id,
