@@ -134,6 +134,7 @@ HEADLINE = [
     "embedding_pca_top_component", # one-pass Gram kernel + driver eigensolve
     "anomaly_mad_hourly_rates",    # median/MAD robust rate anomaly (integer-exact)
     "corpus_cluster_diversity",    # kmeans occupancy Simpson/effective-clusters report
+    "split_leakage_report",        # cross-split exact+LSH contamination audit
 ]
 
 

@@ -37,17 +37,21 @@ def md5_sample(df: DataFrame, key_col: str, rate: float) -> DataFrame:
     return df.filter(_prefix(F.col(key_col)) < F.lit(hex_threshold(rate)))
 
 
+def split_of(key: Column, test_frac: float = 0.1) -> Column:
+    """The :func:`with_split` assignment as a pure expression — for
+    call-sites that already hold the key in a pair/edge row and must
+    not join back to the corpus just to learn its split."""
+    return F.when(
+        _prefix(key) < F.lit(hex_threshold(test_frac)), F.lit("test")
+    ).otherwise(F.lit("train"))
+
+
 def with_split(
     df: DataFrame, key_col: str, test_frac: float = 0.1, split_col: str = "split"
 ) -> DataFrame:
     """Add a stable train/test assignment column.  A key's split never
     changes as the corpus grows — the property random splits lose."""
-    return df.withColumn(
-        split_col,
-        F.when(
-            _prefix(F.col(key_col)) < F.lit(hex_threshold(test_frac)), F.lit("test")
-        ).otherwise(F.lit("train")),
-    )
+    return df.withColumn(split_col, split_of(F.col(key_col), test_frac))
 
 
 def shard_by_hash(

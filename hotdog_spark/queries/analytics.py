@@ -603,6 +603,72 @@ def quantile_exact_multipass_price(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "winsorize_event_values",
+    oracle="""
+    WITH v AS (
+      SELECT event_type,
+             CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS q_val
+      FROM events WHERE value IS NOT NULL
+    ), nn AS (SELECT COUNT(*) AS n FROM v
+    ), r AS (
+      SELECT q_val, ROW_NUMBER() OVER (ORDER BY q_val) AS rn FROM v
+    ), lo AS (
+      SELECT q_val AS lo FROM r
+      WHERE rn = (SELECT GREATEST(1, CAST(CEIL(0.01 * n) AS BIGINT)) FROM nn)
+    ), hi AS (
+      SELECT q_val AS hi FROM r
+      WHERE rn = (SELECT GREATEST(1, CAST(CEIL(0.99 * n) AS BIGINT)) FROM nn)
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(GREATEST((SELECT lo FROM lo),
+                             LEAST((SELECT hi FROM hi), q_val))) AS BIGINT)
+             AS sum_winsor_q,
+           COUNT(CASE WHEN q_val < (SELECT lo FROM lo) THEN 1 END)
+             AS n_clamped_low,
+           COUNT(CASE WHEN q_val > (SELECT hi FROM hi) THEN 1 END)
+             AS n_clamped_high
+    FROM v GROUP BY event_type
+    """,
+)
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type value aggregates: clamp every event value to
+    the corpus-wide EXACT [p1, p99] band, then aggregate — the standard
+    robust-mean treatment for metrics whose tails are fat or corrupt
+    (a handful of 10^6-valued rows otherwise own every per-type sum).
+
+    Composes the multipass exact-quantile operator: the two global cut
+    points come back to the driver as two scalars (three jobs, no
+    global sort — see `quantile_exact_multipass_price`), then one
+    map-side-combinable aggregate applies the clamp inline.  Values
+    ride the proven double → DECIMAL(18,4) quantizer so the clamp
+    compares and the sums accumulate in exact bigints — the oracle's
+    brute-force ROW_NUMBER rank selection lands on the identical
+    quanta.  Returns (event_type, n_events, sum_winsor_q,
+    n_clamped_low, n_clamped_high); the clamp counts are the
+    tail-health report (a jump in n_clamped_high = a new corrupt
+    source, caught before it moves the mean)."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.quantiles import exact_quantiles_multipass
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(18,4)") * 10000)
+        .cast("bigint")
+        .alias("q_val"),
+    ).filter(F.col("q_val").isNotNull())
+    res = exact_quantiles_multipass(ev, "q_val", [0.01, 0.99])
+    lo, hi = res[0][2], res[1][2]
+    clamped = F.greatest(F.lit(lo), F.least(F.lit(hi), F.col("q_val")))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(clamped).alias("sum_winsor_q"),
+        F.count(F.when(F.col("q_val") < lo, F.lit(1))).alias("n_clamped_low"),
+        F.count(F.when(F.col("q_val") > hi, F.lit(1))).alias("n_clamped_high"),
+    )
+
+
+@register(
     "seq_frequent_event_bigrams",
     oracle="""
     WITH ordered AS (

@@ -425,6 +425,107 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.connected_components(pairs)
 
 
+_LEAK_SPLIT = (
+    "CASE WHEN substring(md5(CAST({id} AS VARCHAR)), 1, 4) < '4ccc' "
+    "THEN 'test' ELSE 'train' END"
+)
+
+
+@register(
+    "split_leakage_report",
+    oracle=f"""
+    WITH pairs AS ({_MINHASH_PAIRS_SQL}),
+    near AS (
+      SELECT id_a, id_b,
+             {_LEAK_SPLIT.format(id='id_a')} AS split_a,
+             {_LEAK_SPLIT.format(id='id_b')} AS split_b
+      FROM pairs
+    ),
+    near_x AS (
+      SELECT CASE WHEN split_a = 'train' THEN id_a ELSE id_b END AS train_id,
+             CASE WHEN split_a = 'train' THEN id_b ELSE id_a END AS test_id
+      FROM near WHERE split_a != split_b
+    ),
+    ex AS (
+      SELECT MIN(CASE WHEN split = 'train' THEN doc_id END) AS train_id,
+             MIN(CASE WHEN split = 'test' THEN doc_id END) AS test_id
+      FROM (
+        SELECT doc_id, md5(text) AS h,
+               {_LEAK_SPLIT.format(id='doc_id')} AS split
+        FROM documents
+      ) GROUP BY h
+      HAVING COUNT(CASE WHEN split = 'train' THEN 1 END) > 0
+         AND COUNT(CASE WHEN split = 'test' THEN 1 END) > 0
+    )
+    SELECT train_id, test_id, 'near' AS kind FROM near_x
+    UNION ALL
+    SELECT train_id, test_id, 'exact' AS kind FROM ex
+    """,
+)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test contamination audit: duplicates that CROSS the split
+    boundary — the leakage an eval score silently inherits when dedup
+    runs before splitting but not across it (public finding: benchmark
+    contamination sections of the GPT-3/C4 papers).
+
+    Two detection tiers, two scale shapes:
+
+    * ``exact`` — one row per leaked content-hash GROUP (lowest train
+      member, lowest test member, via conditional mins on one hash
+      aggregate).  Group-level, so a pathological 10 k-copy boilerplate
+      group emits ONE row, not 10 k² pairs — the output is bounded by
+      distinct leaked contents at any corpus size.
+    * ``near`` — the proven LSH candidate-pair path (5-word shingles,
+      8 bands, one md5 per shingle), filtered to cross-split pairs by
+      computing each side's split INLINE from its id (the split rule is
+      a pure md5 expression — no join back to the corpus).
+
+    The registered split uses test_frac = 0.30 (prefix < '4ccc') rather
+    than the production 0.05: on the ~0.2 %-duplicate synthetic corpus
+    a 5 % test slice crosses almost no dup pairs, and an audit whose
+    healthy state is empty-by-construction can't be distinguished from
+    a broken one.  Production dial: pass the real split fraction.
+    Returns (train_id, test_id, kind)."""
+    from hotdog_spark.operators.sampling import split_of
+
+    docs = table(spark, sf_dir, "documents")
+    test_frac = 0.30
+    near = ops.minhash_lsh_pairs(docs, "text", "doc_id", bands=8, k=5)
+    sa, sb = split_of(F.col("id_a"), test_frac), split_of(F.col("id_b"), test_frac)
+    near_x = (
+        near.withColumn("split_a", sa)
+        .withColumn("split_b", sb)
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select(
+            F.when(F.col("split_a") == "train", F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("train_id"),
+            F.when(F.col("split_a") == "train", F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("test_id"),
+            F.lit("near").alias("kind"),
+        )
+    )
+    hashed = docs.select(
+        F.md5("text").alias("h"),
+        "doc_id",
+        split_of(F.col("doc_id"), test_frac).alias("split"),
+    )
+    is_train = F.col("split") == "train"
+    exact = (
+        hashed.groupBy("h")
+        .agg(
+            F.min(F.when(is_train, F.col("doc_id"))).alias("train_id"),
+            F.min(F.when(~is_train, F.col("doc_id"))).alias("test_id"),
+            F.count(F.when(is_train, F.lit(1))).alias("n_train"),
+            F.count(F.when(~is_train, F.lit(1))).alias("n_test"),
+        )
+        .filter((F.col("n_train") > 0) & (F.col("n_test") > 0))
+        .select("train_id", "test_id", F.lit("exact").alias("kind"))
+    )
+    return near_x.unionByName(exact)
+
+
 @register(
     "dedup_exact_applied",
     oracle="""
