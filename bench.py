@@ -135,6 +135,7 @@ HEADLINE = [
     "anomaly_mad_hourly_rates",    # median/MAD robust rate anomaly (integer-exact)
     "corpus_cluster_diversity",    # kmeans occupancy Simpson/effective-clusters report
     "split_leakage_report",        # cross-split exact+LSH contamination audit
+    "embedding_pq_codebook",       # PQ training, one shared kernel scan per round
 ]
 
 

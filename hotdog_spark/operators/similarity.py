@@ -837,6 +837,156 @@ def _lloyd_cells_kernel(base: DataFrame, cents: list) -> DataFrame:
     )
 
 
+def pq_train_stats(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+) -> DataFrame:
+    """Product-quantization codebook training + corpus quantization
+    report (public: Jégou et al. 2011, "Product Quantization for
+    Nearest Neighbor Search").  The vector is split into ``m``
+    contiguous subspaces; each subspace trains its OWN k-means codebook
+    (deterministic lowest-vid init, same integer Lloyd rules as
+    :func:`kmeans_quantized`), so a vector compresses to m small codes
+    — the memory layer under IVF-PQ indexes, one level below the SQ8
+    scalar quantizer already in `embedding_quantize_int8_report`.
+
+    Scale shape — the reason this is one operator and not m calls to
+    kmeans_quantized: every Lloyd round runs ONE Arrow kernel pass over
+    the cached corpus computing all m subspace assignments and their
+    per-code component sums together (each partition emits ≤ m·k
+    partial rows), so the corpus is scanned ``iters + 2`` times TOTAL
+    (init + iters + final report) instead of m·(iters + 2); nothing is
+    ever shuffled by vector.  Driver state: m codebooks of k×(dim/m)
+    ints.
+
+    Determinism: quantized-integer distances, argmin ties on lowest
+    code id, floor-of-exact-rational-mean re-quantization, empty codes
+    keep their previous centroid — each subspace is bit-identical to a
+    standalone kmeans_quantized on the sliced vector, which is exactly
+    what the oracle unrolls.  ``k`` is the production dial (real PQ
+    uses k=256/subspace; the registered query uses 8 on the synthetic
+    corpus so every code stays populated).
+
+    Returns (subspace, code, n_vectors, sum_d2): occupancy and exact
+    integer reconstruction error per codeword — rows bounded by m·k.
+    """
+    from hotdog_spark.operators import track_persist
+
+    base = track_persist(with_quantized(df, vec_col, id_col))
+    init = base.orderBy("vid").limit(k).collect()
+    full = [list(r["q"]) for r in init]
+    dim = len(full[0])
+    if dim % m:
+        raise ValueError(f"pq_train_stats: dim {dim} not divisible by m={m}")
+    sub = dim // m
+    books: list[list[tuple[int, list[int]]]] = [
+        [(ci, full[ci][s * sub : (s + 1) * sub]) for ci in range(k)]
+        for s in range(m)
+    ]
+
+    for _ in range(iters):
+        rows = _pq_partials_kernel(base, books, sub, want_sums=True).collect()
+        sums: dict[tuple[int, int], list[int]] = {}
+        counts: dict[tuple[int, int], int] = {}
+        for r in rows:
+            key = (r["subspace"], r["code"])
+            acc = sums.setdefault(key, [0] * sub)
+            for j, v in enumerate(r["s"]):
+                acc[j] += int(v)
+            counts[key] = counts.get(key, 0) + int(r["n"])
+        for s in range(m):
+            books[s] = [
+                (
+                    ci,
+                    [c // counts[(s, ci)] for c in sums[(s, ci)]]
+                    if (s, ci) in counts
+                    else cv,
+                )
+                for ci, cv in books[s]
+            ]
+
+    stats = _pq_partials_kernel(base, books, sub, want_sums=False)
+    return stats.groupBy("subspace", "code").agg(
+        F.sum("n").alias("n_vectors"), F.sum("sum_d2").alias("sum_d2")
+    )
+
+
+def _pq_partials_kernel(
+    base: DataFrame, books: list, sub: int, want_sums: bool
+) -> DataFrame:
+    """One shared corpus pass for all m subspaces: per partition, per
+    subspace, assign rows to their nearest codeword (exact int64
+    squared-L2, ties on lowest code) and emit either component-sum
+    partials (training: ≤ m·k rows of (subspace, code, n, sum-vector))
+    or distance partials (report: (subspace, code, n, sum_d2)).  Same
+    exactness envelope as :func:`_lloyd_cells_kernel`."""
+    import numpy as np
+
+    m = len(books)
+    mats, norms = [], []
+    for s in range(m):
+        cids = [int(c) for c, _ in books[s]]
+        assert cids == sorted(cids), "codebook must be code-ascending"
+        C = np.asarray([cv for _, cv in books[s]], dtype=np.int64)
+        mats.append(C)
+        norms.append((C * C).sum(axis=1))
+    k = mats[0].shape[0]
+
+    def gen(batches):
+        import pandas as pd
+
+        sums = np.zeros((m, k, sub), dtype=np.int64)
+        d2s = np.zeros((m, k), dtype=np.int64)
+        counts = np.zeros((m, k), dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.asarray(
+                [np.asarray(v, dtype=np.int64) for v in pdf["q"]],
+                dtype=np.int64,
+            )
+            for s in range(m):
+                qs = q[:, s * sub : (s + 1) * sub]
+                scores = norms[s][None, :] - 2 * (qs @ mats[s].T)
+                best = np.argmin(scores, axis=1)
+                if not want_sums:
+                    row_d2 = (
+                        scores[np.arange(len(qs)), best] + (qs * qs).sum(axis=1)
+                    )
+                for c in range(k):
+                    msk = best == c
+                    if msk.any():
+                        counts[s, c] += int(msk.sum())
+                        if want_sums:
+                            sums[s, c] += qs[msk].sum(axis=0)
+                        else:
+                            d2s[s, c] += int(row_d2[msk].sum())
+        out = {"subspace": [], "code": [], "n": []}
+        out["s" if want_sums else "sum_d2"] = []
+        val_key = "s" if want_sums else "sum_d2"
+        for s in range(m):
+            for c in range(k):
+                if counts[s, c] > 0:
+                    out["subspace"].append(s)
+                    out["code"].append(c)
+                    out["n"].append(int(counts[s, c]))
+                    out[val_key].append(
+                        sums[s, c].tolist() if want_sums else int(d2s[s, c])
+                    )
+        yield pd.DataFrame(out)
+
+    schema = (
+        "subspace int, code int, n bigint, s array<bigint>"
+        if want_sums
+        else "subspace int, code int, n bigint, sum_d2 bigint"
+    )
+    return base.select("q").mapInPandas(gen, schema=schema)
+
+
 def semantic_dedup_exemplar(
     df: DataFrame,
     vec_col: str,

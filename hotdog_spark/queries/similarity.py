@@ -212,10 +212,11 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "bucket", "score", "rank")
 
 
-def _kmeans_cte(k: int = 8, iters: int = 3) -> str:
-    """Unrolled Lloyd's k-means as one DuckDB WITH-chain ending in
-    ``fin`` (vid, q, cid, d2) — shared by the kmeans and semantic-dedup
-    oracles below.
+def _kmeans_chain(qexpr: str, sfx: str, k: int, iters: int) -> str:
+    """Unrolled Lloyd's k-means as comma-joined CTE blocks (no WITH)
+    ending in ``fin{sfx}`` (vid, q, cid, d2), over ``qexpr`` as the
+    quantized-vector expression — shared by the kmeans, semantic-dedup,
+    diversity and (suffixed, per-subspace) PQ oracles.
 
     Expressible as SQL precisely because kmeans_quantized is deterministic
     end-to-end: integer-quantized vectors, lowest-vid init, (d2, cid)
@@ -229,50 +230,53 @@ def _kmeans_cte(k: int = 8, iters: int = 3) -> str:
         " s -> (s[1] - s[2]) * (s[1] - s[2])))"
     )
     blocks = [
-        f"""v AS (SELECT vec_id AS vid, {_QUANT} AS q FROM embeddings),
-c0 AS (
+        f"""v{sfx} AS (SELECT vec_id AS vid, {qexpr} AS q FROM embeddings),
+c0{sfx} AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vid) - 1 AS cid, q AS cv
-  FROM (SELECT vid, q FROM v ORDER BY vid LIMIT {k})
+  FROM (SELECT vid, q FROM v{sfx} ORDER BY vid LIMIT {k})
 )"""
     ]
     for i in range(iters):
         blocks.append(
-            f"""asg{i} AS (
+            f"""asg{i}{sfx} AS (
   SELECT vid, q, cid, d2 FROM (
     SELECT vid, q, cid, d2,
            ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
-    FROM (SELECT v.vid, v.q, c.cid, {d2} AS d2 FROM v, c{i} c)
+    FROM (SELECT v.vid, v.q, c.cid, {d2} AS d2 FROM v{sfx} v, c{i}{sfx} c)
   ) WHERE rn = 1
 ),
-newc{i} AS (
+newc{i}{sfx} AS (
   SELECT cid, list(comp ORDER BY dim) AS cv FROM (
     SELECT cid, dim,
            CAST((s - (((s % n) + n) % n)) // n AS BIGINT) AS comp
     FROM (
       SELECT cid, dim, SUM(qv) AS s, COUNT(*) AS n FROM (
         SELECT cid, unnest(q) AS qv, generate_subscripts(q, 1) AS dim
-        FROM asg{i}
+        FROM asg{i}{sfx}
       ) GROUP BY cid, dim
     )
   ) GROUP BY cid
 ),
-c{i + 1} AS (
+c{i + 1}{sfx} AS (
   SELECT p.cid, COALESCE(nn.cv, p.cv) AS cv
-  FROM c{i} p LEFT JOIN newc{i} nn ON p.cid = nn.cid
+  FROM c{i}{sfx} p LEFT JOIN newc{i}{sfx} nn ON p.cid = nn.cid
 )"""
         )
-    return (
-        "WITH "
-        + ",\n".join(blocks)
-        + f""",
-fin AS (
+    blocks.append(
+        f"""fin{sfx} AS (
   SELECT vid, q, cid, d2 FROM (
     SELECT vid, q, cid, d2,
            ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
-    FROM (SELECT v.vid, v.q, c.cid, {d2} AS d2 FROM v, c{iters} c)
+    FROM (SELECT v.vid, v.q, c.cid, {d2} AS d2 FROM v{sfx} v, c{iters}{sfx} c)
   ) WHERE rn = 1
 )"""
     )
+    return ",\n".join(blocks)
+
+
+def _kmeans_cte(k: int = 8, iters: int = 3) -> str:
+    """``WITH``-chain over the full quantized vector ending in ``fin``."""
+    return "WITH " + _kmeans_chain(_QUANT, "", k, iters)
 
 
 def _kmeans_oracle(k: int = 8, iters: int = 3) -> str:
@@ -420,6 +424,40 @@ def corpus_cluster_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("(1000000 * max_occupancy) div n_vectors").alias("max_share_ppm"),
     )
+
+
+def _pq_oracle(m: int = 4, k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """m independent suffixed k-means chains over contiguous vector
+    slices, each bit-replaying the Spark trainer on its subspace."""
+    sub = dim // m
+    chains, finals = [], []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        chains.append(
+            _kmeans_chain(f"({_QUANT})[{lo}:{hi}]", f"_s{s}", k, iters)
+        )
+        finals.append(
+            f"SELECT {s} AS subspace, CAST(cid AS INTEGER) AS code,\n"
+            f"       COUNT(*) AS n_vectors, CAST(SUM(d2) AS BIGINT) AS sum_d2\n"
+            f"FROM fin_s{s} GROUP BY cid"
+        )
+    return "WITH " + ",\n".join(chains) + "\n" + "\nUNION ALL\n".join(finals)
+
+
+@register("embedding_pq_codebook", oracle=_pq_oracle())
+def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training (Jégou et al. 2011,
+    public): 4 subspaces × 16 dims, k=8 codes each, 2 Lloyd rounds —
+    per-codeword occupancy and exact integer reconstruction error, the
+    training step under an IVF-PQ index (SQ8 in
+    `embedding_quantize_int8_report` is the coarser sibling).  All m
+    subspace codebooks train in ONE shared Arrow-kernel scan per round
+    (corpus scanned iters+2 times total, not m·(iters+2); nothing
+    shuffled by vector), and the oracle unrolls m independent sliced
+    k-means chains that must agree bit-for-bit.  k=8 is the test dial
+    (production PQ uses 256/subspace — same plan, bigger broadcast)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return ops.pq_train_stats(emb, "embedding", "vec_id", m=4, k=8, iters=2)
 
 
 @register(
