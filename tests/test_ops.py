@@ -1271,3 +1271,47 @@ def test_hard_negative_mining_excludes_same_label(spark):
     assert by_q[0].query_label == 0 and by_q[0].neighbor_label == 1
     # no result row ever pairs same labels
     assert all(r.query_label != r.neighbor_label for r in out)
+
+
+def test_pq_codebook_matches_sliced_kmeans_and_is_partition_invariant(spark):
+    """Each PQ subspace must be BIT-IDENTICAL to a standalone
+    kmeans_quantized run on the sliced vector (the contract the oracle
+    unrolls), and the whole report must not change under repartitioning
+    (the kernel's per-partition partials merge exactly)."""
+    import math
+
+    rows = [
+        (i, [math.sin(0.7 * j * (1 + i % 5)) * (1 + 0.01 * i) for j in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = {
+        (r.subspace, r.code): (r.n_vectors, r.sum_d2)
+        for r in similarity.pq_train_stats(
+            df, "embedding", "vec_id", m=2, k=3, iters=2
+        ).collect()
+    }
+    out_rep = {
+        (r.subspace, r.code): (r.n_vectors, r.sum_d2)
+        for r in similarity.pq_train_stats(
+            df.repartition(7), "embedding", "vec_id", m=2, k=3, iters=2
+        ).collect()
+    }
+    assert out == out_rep and out
+
+    # subspace s standalone: kmeans on the sliced vector
+    for s in range(2):
+        sliced = df.select(
+            "vec_id", F.slice("embedding", s * 4 + 1, 4).alias("embedding")
+        )
+        assigned, _ = similarity.kmeans_quantized(
+            sliced, "embedding", "vec_id", k=3, iters=2
+        )
+        ref = {
+            (s, r.cluster): (r.n, r.d2sum)
+            for r in assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("d2").alias("d2sum"))
+            .collect()
+        }
+        assert {k: v for k, v in out.items() if k[0] == s} == ref

@@ -512,3 +512,64 @@ def test_seq_bigrams_single_window_then_hash_aggs(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_mad_anomaly_hourly_is_persisted_single_corpus_scan(spark):
+    """The raw event stream feeds ONE map-side-combinable aggregate;
+    the four consumers (counts, median rank, deviations, final join)
+    must read the persisted hourly table, never re-scan events.  The
+    joins back are all broadcast (median/MAD are per-type scalars)."""
+    plan = _plan(spark, "anomaly_mad_hourly_rates")
+    # every hourly-table consumer reads the cache (FileScan strings also
+    # appear NESTED inside each InMemoryRelation's description, so the
+    # reliable signal is the InMemoryTableScan count, not FileScan's)
+    assert plan.count("InMemoryTableScan") >= 4
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_split_leakage_split_is_inline_not_joined(spark):
+    """Each pair side's split assignment is a pure md5 expression on
+    the id already in the pair row — the plan must not join pairs back
+    to a corpus-sized split table (exactly two document scans: the LSH
+    signature build and the exact-hash aggregate)."""
+    plan = _plan(spark, "split_leakage_report")
+    # exactly one join in the whole plan: the LSH signature self-join
+    # (both sides reading the persisted signature table); the split
+    # filter adds NO join and the exact branch is join-free
+    assert plan.count("Join") == 1
+    assert plan.count("InMemoryTableScan") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_codebook_single_kernel_scan_no_vector_shuffle(spark):
+    """The PQ report pass is ONE Arrow kernel over the cached quantized
+    corpus; the only exchange in the plan is the m·k-row partial
+    aggregation — vectors themselves are never shuffled or joined."""
+    plan = _plan(spark, "embedding_pq_codebook")
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    # one InMemoryTableScan (the persisted quantized corpus feeding the
+    # final kernel pass); the exchange below the final agg moves only
+    # (subspace, code) partials
+    assert plan.count("InMemoryTableScan") >= 1
+
+
+def test_winsorize_is_persisted_scan_plus_clamped_agg(spark):
+    """After the quantile scalars return, the final aggregate clamps
+    inline: no join, no window, no Python in the output plan."""
+    plan = _plan(spark, "winsorize_event_values")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_cluster_diversity_report_has_no_corpus_shuffle_joins(spark):
+    """Occupancy report = map-side k-means assignment + two tiny
+    aggregates; no join anywhere in the plan."""
+    plan = _plan(spark, "corpus_cluster_diversity")
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
