@@ -136,6 +136,7 @@ HEADLINE = [
     "corpus_cluster_diversity",    # kmeans occupancy Simpson/effective-clusters report
     "split_leakage_report",        # cross-split exact+LSH contamination audit
     "embedding_pq_codebook",       # PQ training, one shared kernel scan per round
+    "ann_pq_adc",                  # compressed-domain ADC top-k (LUT projection)
 ]
 
 

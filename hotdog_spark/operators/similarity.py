@@ -874,6 +874,26 @@ def pq_train_stats(
     Returns (subspace, code, n_vectors, sum_d2): occupancy and exact
     integer reconstruction error per codeword — rows bounded by m·k.
     """
+    books, base, sub = pq_train(df, vec_col, id_col, m=m, k=k, iters=iters)
+    stats = _pq_partials_kernel(base, books, sub, want_sums=False)
+    return stats.groupBy("subspace", "code").agg(
+        F.sum("n").alias("n_vectors"), F.sum("sum_d2").alias("sum_d2")
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+) -> tuple[list, DataFrame, int]:
+    """Train the m per-subspace PQ codebooks (see :func:`pq_train_stats`
+    for the algorithm and determinism contract).  Returns
+    (books, base, sub): the codebooks as ``books[s] = [(code,
+    centroid-int-list), ...]``, the persisted quantized corpus
+    DataFrame (vid, q, n2), and the subspace width."""
     from hotdog_spark.operators import track_persist
 
     base = track_persist(with_quantized(df, vec_col, id_col))
@@ -881,7 +901,7 @@ def pq_train_stats(
     full = [list(r["q"]) for r in init]
     dim = len(full[0])
     if dim % m:
-        raise ValueError(f"pq_train_stats: dim {dim} not divisible by m={m}")
+        raise ValueError(f"pq_train: dim {dim} not divisible by m={m}")
     sub = dim // m
     books: list[list[tuple[int, list[int]]]] = [
         [(ci, full[ci][s * sub : (s + 1) * sub]) for ci in range(k)]
@@ -908,10 +928,116 @@ def pq_train_stats(
                 )
                 for ci, cv in books[s]
             ]
+    return books, base, sub
 
-    stats = _pq_partials_kernel(base, books, sub, want_sums=False)
-    return stats.groupBy("subspace", "code").agg(
-        F.sum("n").alias("n_vectors"), F.sum("sum_d2").alias("sum_d2")
+
+def pq_encode(base: DataFrame, books: list, sub: int) -> DataFrame:
+    """Encode each vector as its m PQ codes: one Arrow kernel pass over
+    the (cached) quantized corpus emitting (vid, codes array<int>) —
+    the compressed representation ADC search scores against.  Same
+    assignment rules as training (exact int64 distances, ties on
+    lowest code)."""
+    import numpy as np
+
+    m = len(books)
+    mats = [np.asarray([cv for _, cv in b], dtype=np.int64) for b in books]
+    norms = [(C * C).sum(axis=1) for C in mats]
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = np.asarray(
+                [np.asarray(v, dtype=np.int64) for v in pdf["q"]],
+                dtype=np.int64,
+            )
+            codes = np.empty((len(q), m), dtype=np.int32)
+            for s in range(m):
+                qs = q[:, s * sub : (s + 1) * sub]
+                codes[:, s] = np.argmin(
+                    norms[s][None, :] - 2 * (qs @ mats[s].T), axis=1
+                )
+            yield pd.DataFrame(
+                {"vid": pdf["vid"].values, "codes": list(codes.tolist())}
+            )
+
+    return base.select("vid", "q").mapInPandas(
+        gen, schema="vid bigint, codes array<int>"
+    )
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    probe_filter: Column,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    topk: int = 3,
+) -> DataFrame:
+    """PQ asymmetric-distance search (ADC — Jégou et al. 2011, public):
+    score every corpus vector against each probe ENTIRELY in the
+    compressed domain.  The probe precomputes one m×k lookup table of
+    exact integer distances to every codeword; a corpus vector's
+    approximate distance is then the SUM OF m TABLE LOOKUPS on its
+    codes — no vector arithmetic per pair, which is why PQ search
+    scans billions of codes per second in production ANN systems.
+
+    Plan shape: codebooks train via the shared-scan kernel; the corpus
+    is encoded once to (vid, m codes); probes (a driver-side handful)
+    become LITERAL lookup arrays, so per-probe scoring is a pure
+    projection — ``element_at(lut_s, code_s + 1)`` summed across
+    subspaces, fanned out via one explode over the probe structs.  The
+    only shuffle is the per-query top-k window on skinny (query,
+    neighbor, d2) rows.  Everything stays exact int64, so ranking ties
+    break deterministically on neighbor_id and both engines agree
+    bit-for-bit.
+
+    Returns (query_id, neighbor_id, adc_d2, rank), rank ≤ ``topk`` by
+    ascending approximate distance.  adc_d2 is the ADC estimate (the
+    rerank stage would re-score these few with exact distances — that
+    exactness baseline is `ann_cosine_topk`)."""
+    from hotdog_spark.operators import track_persist
+
+    books, base, sub = pq_train(df, vec_col, id_col, m=m, k=k, iters=iters)
+    enc = track_persist(pq_encode(base, books, sub))
+    probes = base.filter(probe_filter).select("vid", "q").collect()
+
+    structs = []
+    for p in sorted(probes, key=lambda r: r["vid"]):
+        pq_vec = list(p["q"])
+        score = None
+        for s in range(len(books)):
+            ps = pq_vec[s * sub : (s + 1) * sub]
+            lut = [
+                sum((a - b) * (a - b) for a, b in zip(ps, cv))
+                for _, cv in books[s]
+            ]
+            term = F.element_at(
+                F.array(*[F.lit(int(v)) for v in lut]),
+                F.col("codes").getItem(s) + 1,
+            )
+            score = term if score is None else score + term
+        structs.append(
+            F.struct(
+                F.lit(int(p["vid"])).alias("query_id"),
+                score.cast("bigint").alias("adc_d2"),
+            )
+        )
+    fanned = (
+        enc.select(
+            F.col("vid").alias("neighbor_id"),
+            F.explode(F.array(*structs)).alias("e"),
+        )
+        .select("e.query_id", "neighbor_id", "e.adc_d2")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return fanned.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= topk
     )
 
 

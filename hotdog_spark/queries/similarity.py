@@ -460,6 +460,70 @@ def embedding_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.pq_train_stats(emb, "embedding", "vec_id", m=4, k=8, iters=2)
 
 
+def _pq_adc_oracle(
+    m: int = 4, k: int = 8, iters: int = 2, dim: int = 64, topk: int = 3
+) -> str:
+    sub = dim // m
+    chains, luts = [], []
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        chains.append(_kmeans_chain(f"({_QUANT})[{lo}:{hi}]", f"_s{s}", k, iters))
+        luts.append(
+            f"""lut_s{s} AS (
+  SELECT p.vid AS query_id, c.cid,
+         list_sum(list_transform(list_zip(p.q, c.cv),
+                  z -> (z[1] - z[2]) * (z[1] - z[2]))) AS d2
+  FROM (SELECT vid, q FROM v_s{s} WHERE vid < 10) p, c{iters}_s{s} c
+)"""
+        )
+    fin_joins = "\n".join(
+        f"  JOIN fin_s{s} f{s} ON f{s}.vid = f0.vid" for s in range(1, m)
+    )
+    lut_joins = "\n".join(
+        f"  JOIN lut_s{s} l{s} ON l{s}.cid = f{s}.cid"
+        f" AND l{s}.query_id = l0.query_id"
+        for s in range(1, m)
+    )
+    total = " + ".join(f"l{s}.d2" for s in range(m))
+    return (
+        "WITH "
+        + ",\n".join(chains + luts)
+        + f""",
+scored AS (
+  SELECT l0.query_id, f0.vid AS neighbor_id,
+         CAST({total} AS BIGINT) AS adc_d2
+  FROM fin_s0 f0
+{fin_joins}
+  JOIN lut_s0 l0 ON l0.cid = f0.cid
+{lut_joins}
+  WHERE f0.vid != l0.query_id
+)
+SELECT query_id, neighbor_id, adc_d2, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_d2, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {topk}"""
+    )
+
+
+@register("ann_pq_adc", oracle=_pq_adc_oracle())
+def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance top-k search (ADC): probes score the
+    whole corpus in the COMPRESSED domain — each probe's distance to a
+    vector is m table lookups on the vector's PQ codes, precomputed
+    into per-probe literal arrays, so scoring is a pure projection over
+    the (vid, codes) table and the only shuffle is the skinny top-k
+    window.  The memory-bound search layer of an IVF-PQ index; exact
+    rerank of these candidates is `ann_cosine_topk`.  All-integer ADC
+    distances → deterministic ranking, bit-replayed by the oracle's
+    unrolled sliced-k-means + LUT-join chain."""
+    emb = table(spark, sf_dir, "embeddings")
+    return ops.pq_adc_topk(
+        emb, "embedding", "vec_id", probe_filter=F.col("vid") < 10,
+        m=4, k=8, iters=2, topk=3,
+    )
+
+
 @register(
     "embedding_label_cohesion",
     oracle=f"""

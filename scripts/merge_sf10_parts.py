@@ -7,8 +7,15 @@ is always a valid (possibly still-growing) superset while batches run.
 """
 import glob
 import json
+import os
 
 merged: dict = {}
+# Seed from the committed artifact: /tmp partials do not survive the
+# session, so an incremental run in a LATER session (new queries only)
+# must union into the existing record set, not rebuild from scratch.
+if os.path.exists("SCALE_sf10_correctness.json"):
+    with open("SCALE_sf10_correctness.json") as f:
+        merged.update(json.load(f).get("queries", {}))
 for p in sorted(glob.glob("/tmp/sf10_part_*.json")):
     with open(p) as f:
         part = json.load(f)

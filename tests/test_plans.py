@@ -573,3 +573,13 @@ def test_cluster_diversity_report_has_no_corpus_shuffle_joins(spark):
     plan = _plan(spark, "corpus_cluster_diversity")
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pq_adc_scoring_is_projection_plus_topk_window(spark):
+    """ADC scoring must be a pure projection over the cached codes
+    table (probe LUTs are literals — no join against probes, no vector
+    arithmetic) followed by the skinny top-k window."""
+    plan = _plan(spark, "ann_pq_adc")
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert plan.count("InMemoryTableScan") >= 1
