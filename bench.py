@@ -137,6 +137,7 @@ HEADLINE = [
     "split_leakage_report",        # cross-split exact+LSH contamination audit
     "embedding_pq_codebook",       # PQ training, one shared kernel scan per round
     "ann_pq_adc",                  # compressed-domain ADC top-k (LUT projection)
+    "ann_ivf_pq",                  # coarse cells + residual-PQ ADC (full IVFPQ shape)
 ]
 
 

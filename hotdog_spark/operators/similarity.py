@@ -897,6 +897,14 @@ def pq_train(
     from hotdog_spark.operators import track_persist
 
     base = track_persist(with_quantized(df, vec_col, id_col))
+    books, sub = _pq_train_books(base, m, k, iters)
+    return books, base, sub
+
+
+def _pq_train_books(base: DataFrame, m: int, k: int, iters: int) -> tuple[list, int]:
+    """The PQ Lloyd loop over an already-quantized (vid, q) DataFrame —
+    shared by :func:`pq_train` (raw vectors) and the IVF-PQ residual
+    trainer (q = vector minus coarse centroid)."""
     init = base.orderBy("vid").limit(k).collect()
     full = [list(r["q"]) for r in init]
     dim = len(full[0])
@@ -928,20 +936,24 @@ def pq_train(
                 )
                 for ci, cv in books[s]
             ]
-    return books, base, sub
+    return books, sub
 
 
-def pq_encode(base: DataFrame, books: list, sub: int) -> DataFrame:
+def pq_encode(
+    base: DataFrame, books: list, sub: int, carry: tuple = ()
+) -> DataFrame:
     """Encode each vector as its m PQ codes: one Arrow kernel pass over
     the (cached) quantized corpus emitting (vid, codes array<int>) —
     the compressed representation ADC search scores against.  Same
     assignment rules as training (exact int64 distances, ties on
-    lowest code)."""
+    lowest code).  ``carry`` is extra (name, sql_type) columns passed
+    through untouched (e.g. the IVF cell id)."""
     import numpy as np
 
     m = len(books)
     mats = [np.asarray([cv for _, cv in b], dtype=np.int64) for b in books]
     norms = [(C * C).sum(axis=1) for C in mats]
+    carry_names = [c[0] for c in carry]
 
     def gen(batches):
         import pandas as pd
@@ -959,13 +971,15 @@ def pq_encode(base: DataFrame, books: list, sub: int) -> DataFrame:
                 codes[:, s] = np.argmin(
                     norms[s][None, :] - 2 * (qs @ mats[s].T), axis=1
                 )
-            yield pd.DataFrame(
-                {"vid": pdf["vid"].values, "codes": list(codes.tolist())}
-            )
+            out = {"vid": pdf["vid"].values, "codes": list(codes.tolist())}
+            for c in carry_names:
+                out[c] = pdf[c].values
+            yield pd.DataFrame(out)
 
-    return base.select("vid", "q").mapInPandas(
-        gen, schema="vid bigint, codes array<int>"
+    schema = "vid bigint, codes array<int>" + "".join(
+        f", {name} {typ}" for name, typ in carry
     )
+    return base.select("vid", "q", *carry_names).mapInPandas(gen, schema=schema)
 
 
 def pq_adc_topk(
@@ -1111,6 +1125,131 @@ def _pq_partials_kernel(
         else "subspace int, code int, n bigint, sum_d2 bigint"
     )
     return base.select("q").mapInPandas(gen, schema=schema)
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    probe_filter: Column,
+    cells: int = 8,
+    coarse_iters: int = 2,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    topk: int = 3,
+) -> DataFrame:
+    """The full IVF-PQ index shape (Jégou et al. 2011 / FAISS IVFPQ,
+    public): coarse k-means partitions the corpus into ``cells``
+    inverted lists; each vector stores only its cell id and the m PQ
+    codes of its RESIDUAL (vector minus cell centroid — residual
+    codebooks carry far more precision than raw-vector ones at the
+    same bits, the paper's key trick); a probe visits its ``nprobe``
+    nearest cells and scores their members by ADC lookups against
+    per-(probe, cell) residual LUTs.
+
+    Scale shape — why this is THE billion-vector layout: the corpus is
+    touched by map-side projections and kernels only (coarse assign,
+    residual subtract, PQ encode — no shuffle by vector anywhere); the
+    search stage reads the (vid, cell, codes) table, keeps only rows in
+    probed cells (a literal IN-filter), and scores with literal-array
+    lookups, so per-probe cost is |probed cells| not |corpus|, and the
+    only shuffle ever is the skinny top-k window.  Materialized, the
+    codes table partitions by cell — `materialize_ivf_index` shows that
+    same move for the uncompressed variant.
+
+    Exactness: every distance (coarse, residual, LUT) is int64 over
+    quantized components; ties break (d2, cell) and (adc_d2,
+    neighbor_id).  Returns (query_id, neighbor_id, cell, adc_d2,
+    rank ≤ topk)."""
+    from hotdog_spark.operators import track_persist
+
+    assigned, cents = kmeans_quantized(
+        df, vec_col, id_col, k=cells, iters=coarse_iters
+    )
+    # residual = q - own-cell centroid, an integer projection: the
+    # centroid table rides along as a literal array-of-arrays
+    cent_arr = F.array(*[_lit_vec(cv) for _cid, cv in cents])
+    resid = track_persist(
+        assigned.select(
+            "vid",
+            F.zip_with(
+                F.col("q"),
+                F.element_at(cent_arr, F.col("cluster") + 1),
+                lambda x, y: x - y,
+            ).alias("q"),
+            F.col("cluster").cast("int").alias("cell"),
+        )
+    )
+    books, sub = _pq_train_books(resid, m, k, iters)
+    enc = track_persist(pq_encode(resid, books, sub, carry=(("cell", "int"),)))
+
+    # probes: a driver-side handful — coarse cells, residuals and LUTs
+    # all computed in exact Python ints
+    probes = (
+        with_quantized(df, vec_col, id_col)
+        .filter(probe_filter)
+        .select("vid", "q")
+        .collect()
+    )
+    cent_by_id = {int(cid): list(cv) for cid, cv in cents}
+    structs = []
+    probed_cells_all: set[int] = set()
+    for p in sorted(probes, key=lambda r: r["vid"]):
+        pq_vec = [int(x) for x in p["q"]]
+        coarse = sorted(
+            (
+                sum((a - b) * (a - b) for a, b in zip(pq_vec, cv)),
+                cid,
+            )
+            for cid, cv in cent_by_id.items()
+        )[:nprobe]
+        score = None
+        for _d2, cell in coarse:
+            probed_cells_all.add(cell)
+            rq = [a - b for a, b in zip(pq_vec, cent_by_id[cell])]
+            cell_score = None
+            for s in range(m):
+                ps = rq[s * sub : (s + 1) * sub]
+                lut = [
+                    sum((a - b) * (a - b) for a, b in zip(ps, cv))
+                    for _c, cv in books[s]
+                ]
+                term = F.element_at(
+                    F.array(*[F.lit(int(v)) for v in lut]),
+                    F.col("codes").getItem(s) + 1,
+                )
+                cell_score = term if cell_score is None else cell_score + term
+            cond = F.col("cell") == F.lit(int(cell))
+            score = (
+                F.when(cond, cell_score)
+                if score is None
+                else score.when(cond, cell_score)
+            )
+        structs.append(
+            F.struct(
+                F.lit(int(p["vid"])).alias("query_id"),
+                score.cast("bigint").alias("adc_d2"),
+            )
+        )
+    fanned = (
+        enc.filter(F.col("cell").isin(*sorted(probed_cells_all)))
+        .select(
+            F.col("vid").alias("neighbor_id"),
+            "cell",
+            F.explode(F.array(*structs)).alias("e"),
+        )
+        .select("e.query_id", "neighbor_id", "cell", "e.adc_d2")
+        .filter(
+            F.col("adc_d2").isNotNull()
+            & (F.col("neighbor_id") != F.col("query_id"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return fanned.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= topk
+    )
 
 
 def semantic_dedup_exemplar(

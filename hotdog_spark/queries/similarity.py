@@ -212,7 +212,14 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "neighbor_id", "bucket", "score", "rank")
 
 
-def _kmeans_chain(qexpr: str, sfx: str, k: int, iters: int) -> str:
+def _kmeans_chain(
+    qexpr: str,
+    sfx: str,
+    k: int,
+    iters: int,
+    src: str = "embeddings",
+    id_expr: str = "vec_id",
+) -> str:
     """Unrolled Lloyd's k-means as comma-joined CTE blocks (no WITH)
     ending in ``fin{sfx}`` (vid, q, cid, d2), over ``qexpr`` as the
     quantized-vector expression — shared by the kmeans, semantic-dedup,
@@ -230,22 +237,22 @@ def _kmeans_chain(qexpr: str, sfx: str, k: int, iters: int) -> str:
         " s -> (s[1] - s[2]) * (s[1] - s[2])))"
     )
     blocks = [
-        f"""v{sfx} AS (SELECT vec_id AS vid, {qexpr} AS q FROM embeddings),
-c0{sfx} AS (
+        f"""v{sfx} AS MATERIALIZED (SELECT {id_expr} AS vid, {qexpr} AS q FROM {src}),
+c0{sfx} AS MATERIALIZED (
   SELECT ROW_NUMBER() OVER (ORDER BY vid) - 1 AS cid, q AS cv
   FROM (SELECT vid, q FROM v{sfx} ORDER BY vid LIMIT {k})
 )"""
     ]
     for i in range(iters):
         blocks.append(
-            f"""asg{i}{sfx} AS (
+            f"""asg{i}{sfx} AS MATERIALIZED (
   SELECT vid, q, cid, d2 FROM (
     SELECT vid, q, cid, d2,
            ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
     FROM (SELECT v.vid, v.q, c.cid, {d2} AS d2 FROM v{sfx} v, c{i}{sfx} c)
   ) WHERE rn = 1
 ),
-newc{i}{sfx} AS (
+newc{i}{sfx} AS MATERIALIZED (
   SELECT cid, list(comp ORDER BY dim) AS cv FROM (
     SELECT cid, dim,
            CAST((s - (((s % n) + n) % n)) // n AS BIGINT) AS comp
@@ -257,13 +264,13 @@ newc{i}{sfx} AS (
     )
   ) GROUP BY cid
 ),
-c{i + 1}{sfx} AS (
+c{i + 1}{sfx} AS MATERIALIZED (
   SELECT p.cid, COALESCE(nn.cv, p.cv) AS cv
   FROM c{i}{sfx} p LEFT JOIN newc{i}{sfx} nn ON p.cid = nn.cid
 )"""
         )
     blocks.append(
-        f"""fin{sfx} AS (
+        f"""fin{sfx} AS MATERIALIZED (
   SELECT vid, q, cid, d2 FROM (
     SELECT vid, q, cid, d2,
            ROW_NUMBER() OVER (PARTITION BY vid ORDER BY d2, cid) AS rn
@@ -521,6 +528,106 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.pq_adc_topk(
         emb, "embedding", "vec_id", probe_filter=F.col("vid") < 10,
         m=4, k=8, iters=2, topk=3,
+    )
+
+
+def _ivf_pq_oracle(
+    cells: int = 8,
+    coarse_iters: int = 2,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    nprobe: int = 2,
+    topk: int = 3,
+    dim: int = 64,
+) -> str:
+    sub = dim // m
+    d2z = "list_sum(list_transform(list_zip({a}, {b}), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    blocks = [_kmeans_chain(_QUANT, "_c", cells, coarse_iters)]
+    blocks.append(
+        f"""rv AS (
+  SELECT f.vid, list_transform(list_zip(f.q, c.cv), z -> z[1] - z[2]) AS q,
+         CAST(f.cid AS INTEGER) AS cell
+  FROM fin_c f JOIN c{coarse_iters}_c c ON c.cid = f.cid
+)"""
+    )
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        blocks.append(
+            _kmeans_chain(f"(q)[{lo}:{hi}]", f"_s{s}", k, iters, src="rv", id_expr="vid")
+        )
+    blocks.append(
+        f"""pc AS (
+  SELECT query_id, CAST(cid AS INTEGER) AS cell FROM (
+    SELECT p.vid AS query_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY p.vid
+                              ORDER BY {d2z.format(a='p.q', b='c.cv')}, c.cid) AS rn
+    FROM (SELECT vid, q FROM v_c WHERE vid < 10) p, c{coarse_iters}_c c
+  ) WHERE rn <= {nprobe}
+),
+pr AS (
+  SELECT pc.query_id, pc.cell,
+         list_transform(list_zip(p.q, c.cv), z -> z[1] - z[2]) AS rq
+  FROM pc
+  JOIN (SELECT vid, q FROM v_c WHERE vid < 10) p ON p.vid = pc.query_id
+  JOIN c{coarse_iters}_c c ON CAST(c.cid AS INTEGER) = pc.cell
+)"""
+    )
+    for s in range(m):
+        lo, hi = s * sub + 1, (s + 1) * sub
+        blocks.append(
+            f"""lutq{s} AS (
+  SELECT pr.query_id, pr.cell, c.cid,
+         {d2z.format(a=f'(pr.rq)[{lo}:{hi}]', b='c.cv')} AS d2
+  FROM pr, c{iters}_s{s} c
+)"""
+        )
+    fin_joins = "\n".join(
+        f"  JOIN fin_s{s} f{s} ON f{s}.vid = rv2.vid" for s in range(m)
+    )
+    lut_joins = "\n".join(
+        f"  JOIN lutq{s} l{s} ON l{s}.query_id = pc.query_id"
+        f" AND l{s}.cell = rv2.cell AND l{s}.cid = f{s}.cid"
+        for s in range(m)
+    )
+    total = " + ".join(f"l{s}.d2" for s in range(m))
+    return (
+        "WITH "
+        + ",\n".join(blocks)
+        + f""",
+scored AS (
+  SELECT pc.query_id, rv2.vid AS neighbor_id, rv2.cell,
+         CAST({total} AS BIGINT) AS adc_d2
+  FROM rv rv2
+  JOIN pc ON pc.cell = rv2.cell
+{fin_joins}
+{lut_joins}
+  WHERE rv2.vid != pc.query_id
+)
+SELECT query_id, neighbor_id, cell, adc_d2, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_d2, neighbor_id) AS rank
+  FROM scored
+) WHERE rank <= {topk}"""
+    )
+
+
+@register("ann_ivf_pq", oracle=_ivf_pq_oracle())
+def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ index search (FAISS IVFPQ shape, public): coarse
+    k-means cells + residual PQ codes + per-(probe, cell) ADC lookup
+    tables, probes visiting their nprobe=2 nearest cells only.  The
+    corpus never shuffles by vector (coarse assign, residual subtract
+    and PQ encode are map-side projections/kernels); search filters the
+    (vid, cell, codes) table to probed cells with a literal IN and
+    scores via literal-array lookups, so per-probe cost tracks cell
+    size, not corpus size.  Every distance is exact int64 — the oracle
+    replays coarse + 4 residual k-means chains, probe cell choice,
+    residual LUTs and the joined ADC sum bit-for-bit."""
+    emb = table(spark, sf_dir, "embeddings")
+    return ops.ivf_pq_topk(
+        emb, "embedding", "vec_id", probe_filter=F.col("vid") < 10,
+        cells=8, coarse_iters=2, m=4, k=8, iters=2, nprobe=2, topk=3,
     )
 
 

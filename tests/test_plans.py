@@ -583,3 +583,14 @@ def test_pq_adc_scoring_is_projection_plus_topk_window(spark):
     assert "Join" not in plan
     assert "Window" in plan
     assert plan.count("InMemoryTableScan") >= 1
+
+
+def test_ivf_pq_search_prunes_cells_and_has_no_joins(spark):
+    """IVF-PQ search reads the cached (vid, cell, codes) table, keeps
+    probed cells via a literal IN filter, and scores by literal-array
+    lookups — no join anywhere; the only shuffle is the top-k window."""
+    plan = _plan(spark, "ann_ivf_pq")
+    assert "Join" not in plan
+    assert "Window" in plan
+    assert plan.count("InMemoryTableScan") >= 1
+    assert "cell" in plan  # the cell filter survives into the plan
