@@ -51,6 +51,17 @@ EXTRA = [
     "orders_above_customer_avg",
     "q13_customer_order_distribution",
     "scd2_user_state_history",
+    # Round-6 continuation-session additions
+    "dedup_semantic_exemplar",
+    "kmeans_embedding_clusters",
+    "corpus_cluster_diversity",
+    "embedding_pq_codebook",
+    "ann_pq_adc",
+    "ann_ivf_pq",
+    "split_leakage_report",
+    "winsorize_event_values",
+    "anomaly_mad_hourly_rates",
+    "profile_source_length_histogram",
 ]
 
 

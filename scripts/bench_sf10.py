@@ -107,6 +107,21 @@ SUBSET = [
     "basket_part_pairs",
     "stats_revenue_trend_by_nation",
     "embedding_pca_top_component",
+    # Round-6 continuation-session additions: the kmeans-backed family
+    # (kernel trainers), PQ/IVF-PQ search, the LSH-composed leakage
+    # audit, and the quantile-composed winsorize — each has a kernel,
+    # LUT-fanout, candidate-pair, or multi-pass mechanism worth a decade
+    # check.
+    "dedup_semantic_exemplar",
+    "kmeans_embedding_clusters",
+    "corpus_cluster_diversity",
+    "embedding_pq_codebook",
+    "ann_pq_adc",
+    "ann_ivf_pq",
+    "split_leakage_report",
+    "winsorize_event_values",
+    "anomaly_mad_hourly_rates",
+    "profile_source_length_histogram",
 ]
 
 
