@@ -86,12 +86,12 @@ def _stopword_hits(tokens: Column, words: list[str]) -> Column:
 _STOPWORD_DEFAULT = "hof"
 
 
-def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Stopword-ratio language ID: count per-language stopword hits over
-    whitespace tokens, argmax with alphabetical tie-break.  Returns the
-    per-language scores too so the decision is auditable."""
-    toks = normalized_tokens(F.col(text_col))
-    scores = {lang: _stopword_hits(toks, ws) for lang, ws in STOPWORDS.items()}
+def _lang_scores(text_col: Column) -> dict:
+    toks = normalized_tokens(text_col)
+    return {lang: _stopword_hits(toks, ws) for lang, ws in STOPWORDS.items()}
+
+
+def _lang_argmax(scores: dict) -> Column:
     # argmax via ordered CASE cascade: the first language (alphabetical
     # order) whose score is >= every other wins — i.e. max score with
     # alphabetical tie-break, trivially reproducible in SQL.
@@ -104,10 +104,37 @@ def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             c = scores[lang] >= scores[other]
             cond = c if cond is None else (cond & c)
         chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
+    return chain
+
+
+def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Stopword-ratio language ID: count per-language stopword hits over
+    whitespace tokens, argmax with alphabetical tie-break.  Returns the
+    per-language scores too so the decision is auditable."""
+    scores = _lang_scores(F.col(text_col))
     return fan_out(df).select(
         F.col(id_col),
-        chain.alias("pred_lang"),
+        _lang_argmax(scores).alias("pred_lang"),
         *[scores[lang].alias(f"hits_{lang}") for lang in LANGS],
+    )
+
+
+def language_confusion(df: DataFrame, text_col: str, label_col: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the labeled
+    ``label_col``: (lang, pred_lang, n_docs) — the standard classifier
+    eval run whenever a heuristic gate (langid, quality, taxonomy) has
+    labeled data to check itself against, BEFORE that gate filters a
+    corpus.  Per-class precision/recall fall out of the row/column sums.
+    One map-side-combinable aggregate over the corpus; output is
+    |langs|² rows at any scale."""
+    scores = _lang_scores(F.col(text_col))
+    return (
+        fan_out(df)
+        .groupBy(
+            F.col(label_col).alias("lang"),
+            _lang_argmax(scores).alias("pred_lang"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )
 
 

@@ -93,6 +93,24 @@ _QUALITY_SQL = f"""0.5 * (CAST({_hits('en')} AS DOUBLE) / CAST(len({_TOKS}) AS D
                      / CAST(len({_TOKS}) AS DOUBLE))"""
 
 
+@register(
+    "langid_confusion_matrix",
+    oracle=f"""
+    SELECT lang, {_langid_case()} AS pred_lang, COUNT(*) AS n_docs
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs the labeled lang column as a confusion
+    matrix — the eval a pipeline runs before trusting a heuristic gate
+    to filter a corpus (per-class precision/recall are the row/column
+    sums).  One map-side aggregate; |langs|² output rows at any
+    corpus size."""
+    from hotdog_spark.operators.textops import language_confusion
+
+    return language_confusion(table(spark, sf_dir, "documents"), "text", "lang")
+
+
 @register("text_language_id", oracle=_langid_oracle())
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language ID heuristic with auditable per-language

@@ -64,6 +64,14 @@ AUDIT = [
 
 
 def audit_one(spark, name, fn, sf_dir):
+    # release cross-query cached intermediates FIRST: a persist left by
+    # an earlier audited query (e.g. the kmeans family's quantized
+    # corpus) substitutes into this query's plan as InMemoryRelation,
+    # hiding its real parquet pushdown/pruning columns
+    from hotdog_spark.operators import release_tracked_persists
+
+    release_tracked_persists()
+    spark.catalog.clearCache()
     df = fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     pushed = len(re.findall(r"PushedFilters: \[[^\]]", plan))
