@@ -138,6 +138,7 @@ HEADLINE = [
     "embedding_pq_codebook",       # PQ training, one shared kernel scan per round
     "ann_pq_adc",                  # compressed-domain ADC top-k (LUT projection)
     "ann_ivf_pq",                  # coarse cells + residual-PQ ADC (full IVFPQ shape)
+    "ann_pq_recall_report",        # ADC recall@3 vs exact integer-L2 baseline
 ]
 
 

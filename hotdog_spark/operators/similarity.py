@@ -1252,6 +1252,71 @@ def ivf_pq_topk(
     )
 
 
+def pq_recall_report(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    probe_filter: Column,
+    topk: int = 3,
+    **ivf_pq_kw,
+) -> DataFrame:
+    """The PQ eval loop: recall@k of IVF-PQ ADC search against the
+    EXACT integer squared-L2 top-k over the full corpus — the
+    measurement that sets the m/k/nprobe dials before a compressed
+    index is trusted (the LSH twin is `ann_recall_report`).
+
+    Scale shape: the exact baseline is the probe-broadcast scored scan
+    (the rerank-stage plan — fine for a handful of probes, never the
+    recall stage itself); the ADC side is :func:`ivf_pq_topk`; the
+    comparison joins two ≤ probes·k-row tables.  Returns (query_id,
+    n_hits, recall_milli) with recall as an exact scaled integer —
+    floats never enter, so the report hash-matches cross-engine."""
+    adc = ivf_pq_topk(
+        df, vec_col, id_col, probe_filter, topk=topk, **ivf_pq_kw
+    ).select("query_id", "neighbor_id")
+    base = with_quantized(df, vec_col, id_col)
+    probes = broadcast(
+        base.filter(probe_filter).select(
+            F.col("vid").alias("query_id"), F.col("q").alias("qp")
+        )
+    )
+    exact = (
+        base.crossJoin(probes)
+        .filter(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            _norm2(F.zip_with(F.col("q"), F.col("qp"), lambda x, y: x - y)).alias(
+                "d2"
+            ),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+            ),
+        )
+        .filter(F.col("rn") <= topk)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        exact.alias("e")
+        .join(
+            adc.alias("a"),
+            (F.col("a.query_id") == F.col("e.query_id"))
+            & (F.col("a.neighbor_id") == F.col("e.neighbor_id")),
+            "left",
+        )
+        .groupBy(F.col("e.query_id").alias("query_id"))
+        .agg(F.count(F.col("a.neighbor_id")).cast("int").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr(f"(1000 * n_hits) div {topk}").alias("recall_milli"),
+        )
+    )
+
+
 def semantic_dedup_exemplar(
     df: DataFrame,
     vec_col: str,

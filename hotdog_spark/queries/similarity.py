@@ -531,16 +531,18 @@ def ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_pq_oracle(
+def _ivf_pq_blocks(
     cells: int = 8,
     coarse_iters: int = 2,
     m: int = 4,
     k: int = 8,
     iters: int = 2,
     nprobe: int = 2,
-    topk: int = 3,
     dim: int = 64,
 ) -> str:
+    """CTE blocks (no WITH, no final SELECT) ending in ``scored``
+    (query_id, neighbor_id, cell, adc_d2) — shared by the IVF-PQ search
+    oracle and the PQ recall-report oracle."""
     sub = dim // m
     d2z = "list_sum(list_transform(list_zip({a}, {b}), z -> (z[1] - z[2]) * (z[1] - z[2])))"
     blocks = [_kmeans_chain(_QUANT, "_c", cells, coarse_iters)]
@@ -592,8 +594,7 @@ pr AS (
     )
     total = " + ".join(f"l{s}.d2" for s in range(m))
     return (
-        "WITH "
-        + ",\n".join(blocks)
+        ",\n".join(blocks)
         + f""",
 scored AS (
   SELECT pc.query_id, rv2.vid AS neighbor_id, rv2.cell,
@@ -603,12 +604,55 @@ scored AS (
 {fin_joins}
 {lut_joins}
   WHERE rv2.vid != pc.query_id
-)
+)"""
+    )
+
+
+def _ivf_pq_oracle(topk: int = 3, **kw) -> str:
+    return (
+        "WITH "
+        + _ivf_pq_blocks(**kw)
+        + f"""
 SELECT query_id, neighbor_id, cell, adc_d2, rank FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                ORDER BY adc_d2, neighbor_id) AS rank
   FROM scored
 ) WHERE rank <= {topk}"""
+    )
+
+
+def _pq_recall_oracle(topk: int = 3, **kw) -> str:
+    d2z = (
+        "list_sum(list_transform(list_zip(v.q, p.q),"
+        " z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    )
+    return (
+        "WITH "
+        + _ivf_pq_blocks(**kw)
+        + f""",
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.vid AS query_id, v.vid AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.vid
+                              ORDER BY {d2z}, v.vid) AS rn
+    FROM v_c v, (SELECT vid, q FROM v_c WHERE vid < 10) p
+    WHERE v.vid != p.vid
+  ) WHERE rn <= {topk}
+),
+adc AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc_d2, neighbor_id) AS rank
+    FROM scored
+  ) WHERE rank <= {topk}
+)
+SELECT e.query_id, CAST(COUNT(a.neighbor_id) AS INTEGER) AS n_hits,
+       CAST((1000 * COUNT(a.neighbor_id)) // {topk} AS BIGINT) AS recall_milli
+FROM exact e
+LEFT JOIN adc a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id"""
     )
 
 
@@ -628,6 +672,19 @@ def ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.ivf_pq_topk(
         emb, "embedding", "vec_id", probe_filter=F.col("vid") < 10,
         cells=8, coarse_iters=2, m=4, k=8, iters=2, nprobe=2, topk=3,
+    )
+
+
+@register("ann_pq_recall_report", oracle=_pq_recall_oracle())
+def ann_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of IVF-PQ ADC search vs the exact integer-L2 top-3 —
+    the dial-setting eval (m, k, nprobe) run before a compressed index
+    is trusted; `ann_recall_report` is the LSH twin.  Recall emitted as
+    an exact scaled integer so the report hash-matches cross-engine."""
+    emb = table(spark, sf_dir, "embeddings")
+    return ops.pq_recall_report(
+        emb, "embedding", "vec_id", probe_filter=F.col("vid") < 10,
+        topk=3, cells=8, coarse_iters=2, m=4, k=8, iters=2, nprobe=2,
     )
 
 

@@ -62,6 +62,7 @@ EXTRA = [
     "winsorize_event_values",
     "anomaly_mad_hourly_rates",
     "profile_source_length_histogram",
+    "ann_pq_recall_report",
 ]
 
 
