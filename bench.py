@@ -227,6 +227,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "n_queries": len(timings),
         "runs_per_query": runs,
         # Round 5 methodology change, affecting round-over-round ratios:
         # (a) median-of-3 replaces best-of-2 (medians sit above minima,
