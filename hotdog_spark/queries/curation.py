@@ -226,9 +226,7 @@ def rebalance_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "pipeline_corpus_build",
-    oracle=f"""
+_PIPELINE_ORACLE = f"""
     WITH red AS (
       SELECT doc_id, lang, {_REDACTED} AS rtext, {_QUALITY_SQL} AS quality
       FROM documents
@@ -252,8 +250,10 @@ def rebalance_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, bin, COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
     FROM packed GROUP BY lang, bin
-    """,
-)
+    """
+
+
+@register("pipeline_corpus_build", oracle=_PIPELINE_ORACLE)
 def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The END-TO-END corpus build in one DAG: PII/denylist redaction →
     quality gate → redacted-fingerprint dedup (min-id canonical) →
@@ -286,6 +286,22 @@ def pipeline_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = pack_token_budget(kept, "doc_id", "n_tokens", 2048, group_col="lang")
     return packed.groupBy("lang", "bin").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("bin_tokens")
+    )
+
+
+@register("pipeline_from_config", oracle=_PIPELINE_ORACLE)
+def pipeline_from_config(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DEFAULT_WASH config compiled by the curation DSL
+    (`hotdog_spark.curation`) — declarative step list → one composed
+    DAG.  Shares `pipeline_corpus_build`'s oracle on purpose: the
+    config spells out that exact wash, so the hash match proves the
+    config compiler wires every step onto the same oracle-backed
+    expressions (the same ethos as the reference's YAML→cascade
+    compiler, applied to the curation domain)."""
+    from hotdog_spark.curation import DEFAULT_WASH, build_curation_pipeline
+
+    return build_curation_pipeline(
+        table(spark, sf_dir, "documents"), DEFAULT_WASH
     )
 
 

@@ -233,3 +233,38 @@ def test_decontaminate_bloom_superset_of_exact(spark):
     # every stored word is a single set bit here (1 gram, 4 hashes)
     total_bits = sum(bin(r["bits"] & ((1 << 64) - 1)).count("1") for r in bm)
     assert total_bits == 4
+
+
+def test_curation_config_compiles_and_matches_dict_form(spark):
+    """YAML text and the dict constant compile to identical results."""
+    import yaml
+
+    from hotdog_spark.curation import DEFAULT_WASH, build_curation_pipeline
+    from hotdog_spark.sources.batch import table
+
+    docs = table(spark, "/root/testdata/sf0.001", "documents")
+    yml = yaml.safe_dump(DEFAULT_WASH)
+    a = sorted(map(tuple, build_curation_pipeline(docs, yml).collect()))
+    b = sorted(map(tuple, build_curation_pipeline(docs, DEFAULT_WASH).collect()))
+    assert a == b and a
+
+
+def test_curation_config_rejects_bad_configs():
+    """Compile-time failure: unknown step, unknown param, missing
+    prerequisite, empty pipeline — all refuse before any job runs."""
+    import pytest
+
+    from hotdog_spark.curation import load_curation_config
+
+    with pytest.raises(ValueError, match="unknown step"):
+        load_curation_config({"pipeline": [{"step": "nope"}]})
+    with pytest.raises(ValueError, match="unknown params"):
+        load_curation_config(
+            {"pipeline": [{"step": "redact", "deny": []}]}
+        )
+    with pytest.raises(ValueError, match="requires a prior"):
+        load_curation_config(
+            {"pipeline": [{"step": "redact"}, {"step": "pack"}]}
+        )
+    with pytest.raises(ValueError, match="non-empty"):
+        load_curation_config({"pipeline": []})
