@@ -165,6 +165,11 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     queries = entry_mod.queries()
+    # bench-only plans (no possible oracle — sketch estimates): timed here,
+    # excluded from the driver contract by design
+    from hotdog_spark.queries import bench_only_queries
+
+    queries.update(bench_only_queries())
     # SPARK_GRAFT_BENCH_ONLY=a,b,c — re-bench just those headline queries
     # and MERGE into the existing local snapshot (totals recomputed over
     # the merged set); mirrors the scale-bench scripts.

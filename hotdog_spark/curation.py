@@ -87,7 +87,42 @@ def load_curation_config(source) -> list[dict]:
                     f"pipeline[{i}] ({name}): requires a prior {dep!r} step"
                 )
         seen.append(name)
+    _check_group_by(steps)
     return steps
+
+
+#: Columns the `features` step projects — the full set any later step's
+#: group_by can reference (the compiled plan carries nothing else).
+_FEATURE_COLS = frozenset({"doc_id", "lang", "quality", "fp", "n_tokens"})
+
+
+def _check_group_by(steps: list[dict]) -> None:
+    """Param CONSISTENCY validation (ADVICE r6): step order and param
+    names alone let a `bin_report` group_by that differs from `pack`'s
+    (or names a column `features` never produced) compile fine and die
+    mid-job — against the module's fail-at-compile-time rule.  `pack`'s
+    group column must be one the features projection carries, and
+    `bin_report` groups the PACK OUTPUT, which carries only pack's own
+    group column, so the two must agree."""
+    pack_group = None
+    for i, st in enumerate(steps):
+        name = st["step"]
+        if name == "pack":
+            pack_group = st.get("group_by", "lang")
+            if pack_group not in _FEATURE_COLS:
+                raise ValueError(
+                    f"pipeline[{i}] (pack): group_by {pack_group!r} is not a "
+                    f"column the features step produces "
+                    f"({sorted(_FEATURE_COLS)})"
+                )
+        elif name == "bin_report":
+            group = st.get("group_by", "lang")
+            if group != pack_group:
+                raise ValueError(
+                    f"pipeline[{i}] (bin_report): group_by {group!r} must "
+                    f"match the pack step's group_by ({pack_group!r}) — the "
+                    "packed plan carries no other grouping column"
+                )
 
 
 def build_curation_pipeline(docs: DataFrame, config) -> DataFrame:

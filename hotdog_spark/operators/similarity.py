@@ -1019,6 +1019,12 @@ def pq_adc_topk(
     books, base, sub = pq_train(df, vec_col, id_col, m=m, k=k, iters=iters)
     enc = track_persist(pq_encode(base, books, sub))
     probes = base.filter(probe_filter).select("vid", "q").collect()
+    if not probes:
+        # zero probes would make explode(array()) invalid — the correct
+        # answer is simply no result rows
+        return df.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, adc_d2 bigint, rank int"
+        )
 
     structs = []
     for p in sorted(probes, key=lambda r: r["vid"]):
@@ -1193,6 +1199,14 @@ def ivf_pq_topk(
         .select("vid", "q")
         .collect()
     )
+    if not probes:
+        # zero probes would make both isin() (no args) and
+        # explode(array()) invalid — the correct answer is no rows
+        return df.sparkSession.createDataFrame(
+            [],
+            "query_id bigint, neighbor_id bigint, cell int, "
+            "adc_d2 bigint, rank int",
+        )
     cent_by_id = {int(cid): list(cv) for cid, cv in cents}
     structs = []
     probed_cells_all: set[int] = set()

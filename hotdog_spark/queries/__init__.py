@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 _ORACLES: dict[str, str] = {}
+_BENCH_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
 
 def register(name: str, oracle: str | None = None):
@@ -29,6 +30,27 @@ def register(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def register_bench_only(name: str):
+    """Register a BENCH-ONLY query: timed by bench.py / the scale sweeps
+    but NOT exposed through the driver contract.  For plans whose emitted
+    values are engine-specific (sketch estimates) so no DuckDB oracle can
+    exist, yet whose COST is the thing worth measuring — the driver
+    contract has no rows-only mode (r6's two `no_oracle` reds), so these
+    must not reach ``queries()``.  The deterministic hash-checked
+    contract lives in a sibling registered query."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        _BENCH_ONLY[name] = fn
+        return fn
+
+    return deco
+
+
+def bench_only_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_modules()
+    return dict(_BENCH_ONLY)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,140 @@
+"""DuckDB oracle SQL for the BPE queries — an INDEPENDENT pure-SQL
+replay of the Sennrich et al. (2016) word-frequency BPE training loop.
+
+The driver contract requires every registered query to hash-match a
+DuckDB oracle (VERDICT r6 item 1: the two BPE queries were the round's
+only red rows).  The training loop is iterative argmax-and-rewrite, so
+the oracle UNROLLS a fixed number of merge rounds into chained CTEs —
+no recursion, no procedural SQL, just n_merges copies of
+(count pairs → argmax → rewrite).
+
+Representation trick that makes the rewrite a single ``replace()``:
+a word's symbol sequence is stored as a string
+
+    SEP , sym , SEP SEP , sym , SEP SEP , ... , sym , SEP
+
+(single separator at both ends, DOUBLE separator between symbols,
+SEP = chr(31), proven absent from every testdata corpus).  Merging the
+pair (a, b) is then
+
+    replace(s,  SEP||a||SEP,SEP||b||SEP,  SEP||ab||SEP)
+
+and SQL ``replace`` scans left-to-right non-overlapping — exactly the
+greedy-left semantics of the engine's ``_merge_once``
+(operators/bpe.py:50).  The double separator is what makes adjacent
+merges compose: each match consumes ONE separator from each flanking
+boundary and the replacement restores it, so ``[a,a,a,a]`` correctly
+becomes ``[aa,aa]`` (a single-separator encoding would strand the
+second pair).  Symbols never contain the separator (words are
+whitespace-split) so no false matches are possible.
+
+Determinism contract mirrored from the engine: the merge chosen each
+round is max by (weighted pair count, lexicographically smallest
+(left, right)) — binary string collation on both engines.
+"""
+
+from __future__ import annotations
+
+# chr(31) (ASCII unit separator) — verified absent from documents.text
+# at sf0.001/0.01/0.1/1/10 (see tests/test_bpe.py corpus guard).
+_S1 = "chr(31)"
+_S2 = "chr(31) || chr(31)"
+_S1L = "e'\\x1F'"
+_S2L = "e'\\x1F\\x1F'"
+
+# Tokenizer identical to operators/dedup.py::normalized_tokens and the
+# other text-family oracles (queries/text.py::_TOKS).
+_WORDS = (
+    "SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w "
+    "FROM documents"
+)
+
+
+def _seed_cte() -> str:
+    """w0: the one corpus-wide scan — (word, cnt, syms-as-string) with
+    syms = characters + '</w>' end-of-word sentinel."""
+    return f"""w0 AS MATERIALIZED (
+  SELECT w AS word, count(*)::BIGINT AS cnt,
+         {_S1} || array_to_string(
+             list_append(
+               list_transform(range(1, length(w) + 1),
+                              i -> substring(w, i, 1)),
+               '</w>'),
+             {_S2L}) || {_S1} AS s
+  FROM ({_WORDS})
+  WHERE w <> ''
+  GROUP BY w
+)"""
+
+
+def _round_ctes(r: int) -> str:
+    """One merge round: pair counts over the symbol lists (weighted by
+    word frequency), argmax with the total-order tie-break, rewrite."""
+    return f"""b{r} AS MATERIALIZED (
+  WITH e{r} AS (
+    SELECT cnt, l, unnest(range(1, len(l))) AS i
+    FROM (SELECT cnt,
+                 string_split(substring(s, 2, length(s) - 2), {_S2L}) AS l
+          FROM w{r})
+  )
+  SELECT l[i] AS a, l[i + 1] AS b, sum(cnt)::BIGINT AS pc
+  FROM e{r} GROUP BY 1, 2
+  ORDER BY pc DESC, a ASC, b ASC LIMIT 1
+),
+w{r + 1} AS MATERIALIZED (
+  SELECT word, cnt,
+         replace(s,
+                 (SELECT {_S1} || a || {_S2} || b || {_S1} FROM b{r}),
+                 (SELECT {_S1} || a || b || {_S1} FROM b{r})) AS s
+  FROM w{r}
+)"""
+
+
+def bpe_train_oracle(n_merges: int = 20) -> str:
+    """Oracle for ``bpe_train_merges``: the ordered merge table
+    (rank, left, right, pair_count)."""
+    ctes = [_seed_cte()] + [_round_ctes(r) for r in range(n_merges)]
+    rows = "\nUNION ALL ".join(
+        f'SELECT {r}::BIGINT AS rank, a AS "left", b AS "right", '
+        f"pc AS pair_count FROM b{r}"
+        for r in range(n_merges)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + rows
+
+
+def bpe_encode_oracle(n_merges: int = 20) -> str:
+    """Oracle for ``bpe_encode_stats``: encode every document with the
+    learned merge table and emit the exact integer stats.  Encoding a
+    word = applying the same n_merges replaces, so the per-word encoded
+    length is read straight off the final training table w{n}; per-doc
+    stats are a word-level join (every document word is in the training
+    vocabulary — same corpus, same tokenizer)."""
+    ctes = [_seed_cte()] + [_round_ctes(r) for r in range(n_merges)]
+    ctes.append(f"""enc AS (
+  SELECT word,
+         len(string_split(substring(s, 2, length(s) - 2), {_S2L}))::BIGINT
+           AS n_syms
+  FROM w{n_merges}
+)""")
+    ctes.append(f"""dw AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+)""")
+    ctes.append("""agg AS (
+  SELECT dw.doc_id,
+         count(*)::BIGINT AS n_words,
+         sum(length(dw.word))::BIGINT AS n_chars_tok,
+         sum(e.n_syms)::BIGINT AS n_bpe_tokens
+  FROM dw JOIN enc e USING (word)
+  GROUP BY dw.doc_id
+)""")
+    final = """SELECT d.doc_id,
+       coalesce(a.n_words, 0)::BIGINT AS n_words,
+       coalesce(a.n_chars_tok, 0)::BIGINT AS n_chars_tok,
+       coalesce(a.n_bpe_tokens, 0)::BIGINT AS n_bpe_tokens,
+       coalesce(a.n_chars_tok + a.n_words - a.n_bpe_tokens, 0)::BIGINT
+         AS n_merges_applied
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+    return "WITH " + ",\n".join(ctes) + "\n" + final

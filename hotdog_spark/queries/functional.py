@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from hotdog_spark.queries import register
+from hotdog_spark.queries import register, register_bench_only
 from hotdog_spark.sources.batch import table
 
 _QV = "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
@@ -229,10 +229,12 @@ def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # checkable query above dominates its runtime (it shuffles rows-per-user;
 # the sketch shuffles bytes-per-group), so benching that query measures
 # the thing the sketch replaces — this twin makes the bench honest
-# (VERDICT r3 item 5).  No oracle: sketch estimates are engine-specific,
-# so this takes the driver's weaker rows-only check; the hash-checked
-# error-bound contract lives in agg_approx_distinct_users above.
-@register("agg_approx_distinct_users_sketch_only")
+# (VERDICT r3 item 5).  BENCH-ONLY (VERDICT r6 item 1): HLL++ estimates
+# are engine-specific, no DuckDB oracle can exist, and the driver
+# contract has no rows-only mode — so this stays out of `queries()`
+# entirely; the hash-checked error-bound contract lives in
+# agg_approx_distinct_users above.
+@register_bench_only("agg_approx_distinct_users_sketch_only")
 def agg_approx_distinct_users_sketch_only(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

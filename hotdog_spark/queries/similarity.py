@@ -408,8 +408,10 @@ def corpus_cluster_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is never shuffled), then one k-row aggregate of an 8-row
     table.  BIGINT headroom: 10^6·N² caps at 9.2e18 → exact up to
     N ≈ 3·10^6 vectors per report; shard the report by corpus slice
-    beyond that (documented, not silently wrong — Spark and the oracle
-    overflow identically in any case)."""
+    beyond that.  Past the bound the engines DIVERGE, not fail
+    together: Spark's non-ANSI bigint multiply wraps silently while
+    DuckDB raises on overflow — so the N-bound is a hard operating
+    limit for this report shape, not a cosmetic caveat."""
     emb = table(spark, sf_dir, "embeddings")
     assigned, _cents = ops.kmeans_quantized(emb, "embedding", "vec_id", k=8, iters=3)
     occ = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_c"))

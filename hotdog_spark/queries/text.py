@@ -6,6 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hotdog_spark.operators import textops as ops
+from hotdog_spark.queries import _bpe_oracle as _bpe
 from hotdog_spark.queries import register
 from hotdog_spark.sources.batch import table
 
@@ -783,19 +784,20 @@ def quality_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "n_bigrams", "min_p", "max_p", "n_rare", "rare_frac")
 
 
-@register("bpe_train_merges")
+@register("bpe_train_merges", oracle=_bpe.bpe_train_oracle(20))
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer TRAINING over the corpus (Sennrich et al. 2016):
     learn 20 merges from the word-frequency table and return the ordered
-    merge table (rank, left, right, weighted pair count).  rows-only by
-    design: the training loop is iterative argmax-and-rewrite — the same
-    class as the k-means trainer — and has no single-statement SQL
-    equivalent; correctness is pinned by a differential unit test
-    against a loop-reference implementation (tests/test_bpe.py) plus
-    hand-checked merges on the classic corpus.  Scale posture: the
-    corpus is scanned ONCE (token-count aggregate); every iteration
-    runs on the vocabulary-bounded (word, cnt, syms) table and drives
-    exactly one row to the driver (the argmax)."""
+    merge table (rank, left, right, weighted pair count).  The training
+    loop is iterative argmax-and-rewrite — the same class as the k-means
+    trainer — so the DuckDB oracle UNROLLS the 20 rounds into chained
+    CTEs (queries/_bpe_oracle.py: pair-count → tie-broken argmax →
+    replace()-rewrite per round); correctness is additionally pinned by
+    a differential unit test against a loop-reference implementation
+    (tests/test_bpe.py) plus hand-checked merges on the classic corpus.
+    Scale posture: the corpus is scanned ONCE (token-count aggregate);
+    every iteration runs on the vocabulary-bounded (word, cnt, syms)
+    table and drives exactly one row to the driver (the argmax)."""
     from hotdog_spark.operators import bpe
 
     merges = bpe.bpe_train(
@@ -809,15 +811,17 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bpe_encode_stats")
+@register("bpe_encode_stats", oracle=_bpe.bpe_encode_oracle(20))
 def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train 20 BPE merges, then ENCODE every document with the learned
     table (merge list travels in the kernel closure — broadcast-dim
     pattern) and emit exact integer stats: words, token characters, BPE
-    tokens, merges applied.  rows-only: the encoding depends on the
-    trained merge table (see bpe_train_merges); the arithmetic law
-    n_merges_applied = n_chars_tok + n_words - n_bpe_tokens is asserted
-    in tests and makes silent encode drift detectable."""
+    tokens, merges applied.  Oracle: the unrolled-CTE replay trains the
+    same 20 merges in pure SQL, reads each word's encoded length off the
+    final training table, and joins docs→words→lengths
+    (queries/_bpe_oracle.py); the arithmetic law n_merges_applied =
+    n_chars_tok + n_words - n_bpe_tokens is asserted in tests and makes
+    silent encode drift detectable."""
     from hotdog_spark.operators import bpe
 
     docs = table(spark, sf_dir, "documents")

@@ -170,6 +170,9 @@ def main() -> None:
     from hotdog_spark.operators import release_tracked_persists
 
     queries = entry_mod.queries()
+    from hotdog_spark.queries import bench_only_queries
+
+    queries.update(bench_only_queries())
 
     # warmup (JVM, codegen, python worker pool)
     spark.range(100_000).selectExpr("sum(id)").write.mode("overwrite").format("noop").save()

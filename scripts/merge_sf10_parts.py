@@ -4,22 +4,50 @@ Each /tmp/sf10_part_*.json is a verify_sf1.py --only output covering a
 disjoint slice of the registry.  The merge unions their per-query
 records and recomputes the summary counters, so the committed artifact
 is always a valid (possibly still-growing) superset while batches run.
+
+Staleness guards (ADVICE r6): every entry carries the commit hash it
+was recorded at (fresh partials get HEAD; pre-r7 seed entries that
+never carried one get "pre-r7-unstamped"), and entries whose query no
+longer exists in the registry are DROPPED rather than persisting as
+phantom 'match' rows.
 """
 import glob
 import json
 import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+HEAD = subprocess.run(
+    ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
+    capture_output=True, text=True,
+).stdout.strip() or "unknown"
+
+from hotdog_spark.queries import all_queries, bench_only_queries  # noqa: E402
+
+KNOWN = set(all_queries()) | set(bench_only_queries())
 
 merged: dict = {}
 # Seed from the committed artifact: /tmp partials do not survive the
 # session, so an incremental run in a LATER session (new queries only)
 # must union into the existing record set, not rebuild from scratch.
-if os.path.exists("SCALE_sf10_correctness.json"):
-    with open("SCALE_sf10_correctness.json") as f:
-        merged.update(json.load(f).get("queries", {}))
+if os.path.exists(os.path.join(REPO, "SCALE_sf10_correctness.json")):
+    with open(os.path.join(REPO, "SCALE_sf10_correctness.json")) as f:
+        for k, v in json.load(f).get("queries", {}).items():
+            v.setdefault("commit", "pre-r7-unstamped")
+            merged[k] = v
 for p in sorted(glob.glob("/tmp/sf10_part_*.json")):
     with open(p) as f:
         part = json.load(f)
-    merged.update(part.get("queries", {}))
+    for k, v in part.get("queries", {}).items():
+        v["commit"] = HEAD
+        merged[k] = v
+
+dropped = sorted(k for k in merged if k not in KNOWN)
+for k in dropped:
+    del merged[k]
 
 # The sweep runs with --exclude for these, so no batch emits a record;
 # surface them as explicit rows (reasons in the notes) instead of
@@ -33,6 +61,7 @@ for name, why in {
     merged.setdefault(name, {
         "status": "excluded_heavy_oracle",
         "reason": why + "; engine ran fine, hash-verified at sf1",
+        "commit": HEAD,
     })
 
 statuses = [v.get("status") for v in merged.values()]
@@ -50,18 +79,14 @@ out = {
     "rows_only": sorted(
         k for k, v in merged.items() if v.get("status") == "rows_only"
     ),
+    "dropped_stale": dropped,
     "notes": (
         "Batched digest-mode sweep (scripts/run_sf10_sweep.sh); excludes are "
-        "measured-intractable DuckDB oracles: dedup_fuzzy_levenshtein "
-        "(blocking-join Levenshtein rechecks balloon at 500k docs) and "
-        "dedup_winnowing_pairs (gram-space saturation: the 53x answer growth "
-        "documented in SCALE_sf10.json makes the oracle's pair join explode); "
-        "dedup_minhash_components and dedup_components_best_quality (their "
-        "oracle's RECURSIVE transitive-closure CTE grows with "
-        "sum(component_size^2): measured 17+ min / 36.7 GB RSS at 500k docs "
-        "without completing — the ENGINE side is linear min-label "
-        "propagation and ran fine; per-query notes carry the measurement). "
-        "All four remain hash-verified at sf1 in SCALE_sf1_correctness.json."
+        "measured-intractable DuckDB oracles (per-query reasons on each row). "
+        "All excluded queries remain hash-verified at sf1 in "
+        "SCALE_sf1_correctness.json.  Each row's `commit` is the repo HEAD "
+        "when it was recorded; 'pre-r7-unstamped' marks rows inherited from "
+        "before provenance stamping landed."
         + (
             "  NOTE: remaining 'error' rows are ENVIRONMENTAL, not engine "
             "failures — batch b3 ran while the pytest presnapshot gate's "
@@ -74,7 +99,7 @@ out = {
     ),
     "queries": {k: merged[k] for k in sorted(merged)},
 }
-with open("/root/repo/SCALE_sf10_correctness.json", "w") as f:
+with open(os.path.join(REPO, "SCALE_sf10_correctness.json"), "w") as f:
     json.dump(out, f, indent=1)
 print(f"merged {len(merged)} queries: {out['matched']} matched, "
-      f"{len(out['mismatched_or_error'])} bad")
+      f"{len(out['mismatched_or_error'])} bad, dropped stale: {dropped}")

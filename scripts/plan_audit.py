@@ -114,6 +114,9 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     queries = entry_mod.queries()
+    from hotdog_spark.queries import bench_only_queries
+
+    queries.update(bench_only_queries())
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
     lines = [

@@ -100,3 +100,35 @@ def test_bpe_encode_stats_law_and_values(spark):
     for r in out.values():
         assert (r["n_merges_applied"]
                 == r["n_chars_tok"] + r["n_words"] - r["n_bpe_tokens"])
+
+
+def test_oracle_separator_absent_from_corpora():
+    """The unrolled-CTE DuckDB oracle (queries/_bpe_oracle.py) encodes
+    symbol sequences with chr(31) separators and relies on neither
+    chr(31) nor a literal '</w>' appearing in documents.text.  Guard the
+    assumption against testdata regeneration."""
+    import duckdb
+    import os
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        path = f"/root/testdata/{sf}/documents.parquet"
+        if not os.path.exists(path):
+            continue
+        n = con.sql(
+            f"SELECT count(*) FROM read_parquet('{path}') "
+            "WHERE contains(text, chr(31)) OR contains(text, '</w>')"
+        ).fetchone()[0]
+        assert n == 0, f"{path}: {n} docs contain the oracle separator"
+    con.close()
+
+
+def test_every_registered_query_has_an_oracle():
+    """Driver-contract invariant (VERDICT r6 item 1): the driver scores
+    oracle-less registrations as errors, so the registry must have ZERO
+    of them — plans whose outputs are engine-specific belong in the
+    bench-only registry instead."""
+    from hotdog_spark.queries import all_oracles, all_queries
+
+    missing = sorted(set(all_queries()) - set(all_oracles()))
+    assert missing == [], f"registered without DuckDB oracle: {missing}"

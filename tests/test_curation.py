@@ -268,3 +268,34 @@ def test_curation_config_rejects_bad_configs():
         )
     with pytest.raises(ValueError, match="non-empty"):
         load_curation_config({"pipeline": []})
+
+
+def test_curation_config_rejects_inconsistent_group_by():
+    """Param CONSISTENCY is compile-time too (ADVICE r6): a bin_report
+    group_by that differs from pack's, or a pack group_by naming a
+    column the features step never produces, must refuse at load time
+    rather than die mid-job."""
+    import pytest
+
+    from hotdog_spark.curation import load_curation_config
+
+    base = [
+        {"step": "redact"},
+        {"step": "features"},
+    ]
+    with pytest.raises(ValueError, match="not a column the features step"):
+        load_curation_config(
+            {"pipeline": base + [{"step": "pack", "group_by": "source"}]}
+        )
+    with pytest.raises(ValueError, match="must match the pack step"):
+        load_curation_config(
+            {"pipeline": base
+             + [{"step": "pack", "group_by": "lang"},
+                {"step": "bin_report", "group_by": "doc_id"}]}
+        )
+    # consistent config still compiles
+    load_curation_config(
+        {"pipeline": base
+         + [{"step": "pack", "group_by": "lang"},
+            {"step": "bin_report", "group_by": "lang"}]}
+    )

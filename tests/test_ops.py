@@ -1315,3 +1315,27 @@ def test_pq_codebook_matches_sliced_kmeans_and_is_partition_invariant(spark):
             .collect()
         }
         assert {k: v for k, v in out.items() if k[0] == s} == ref
+
+
+def test_pq_searchers_empty_probe_set_returns_empty(spark):
+    """ADVICE r6: an empty probe set used to crash both compressed-domain
+    searchers (isin() with zero args, explode(array()) with zero
+    structs); the correct answer is an EMPTY result with the standard
+    output schema."""
+    import math
+
+    from hotdog_spark.operators import similarity as ops
+
+    rows = [
+        (i, [math.sin(0.3 * j + i) for j in range(8)]) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    never = F.col("vid") < 0
+    adc = ops.pq_adc_topk(df, "embedding", "vec_id", never, m=2, k=2, iters=1)
+    assert adc.count() == 0
+    assert adc.columns == ["query_id", "neighbor_id", "adc_d2", "rank"]
+    ivf = ops.ivf_pq_topk(
+        df, "embedding", "vec_id", never, cells=2, m=2, k=2, iters=1
+    )
+    assert ivf.count() == 0
+    assert ivf.columns == ["query_id", "neighbor_id", "cell", "adc_d2", "rank"]
