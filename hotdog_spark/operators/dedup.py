@@ -755,6 +755,7 @@ def fuzzy_pairs_levenshtein(
     text_col: str,
     id_col: str,
     max_dist: int = 25,
+    left_filter: Column | None = None,
 ) -> DataFrame:
     """String-similarity join: near-duplicate pairs by Levenshtein edit
     distance, with candidate generation by blocking instead of all-pairs.
@@ -765,6 +766,12 @@ def fuzzy_pairs_levenshtein(
     exact O(len²) edit-distance check — an integer metric, so thresholds
     behave identically in every engine.  Returns (a_id, b_id, dist) with
     a_id < b_id.
+
+    ``left_filter`` (over the blocked frame's ``id`` column) restricts
+    the LEFT join side — the sampled-key verification mode: pairs whose
+    lower id falls in a deterministic sample, the same Levenshtein
+    semantics at a volume an oracle can replay at sf10 (VERDICT r6
+    item 3).
     """
     toks = normalized_tokens(F.col(text_col))
     blocked = fan_out(df).select(
@@ -773,7 +780,8 @@ def fuzzy_pairs_levenshtein(
         F.size(toks).alias("_n"),
         F.element_at(toks, 1).alias("_t0"),
     )
-    a = blocked.select(
+    left = blocked if left_filter is None else blocked.filter(left_filter)
+    a = left.select(
         F.col("id").alias("a_id"), F.col("t").alias("a_t"), "_n", "_t0"
     )
     b = blocked.select(

@@ -898,22 +898,25 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id, {_QUANT} AS qv,
              list_sum(list_transform({_QUANT}, x -> x * x)) AS n2
       FROM embeddings
-    ), b AS (
+    ), b AS MATERIALIZED (
       SELECT vec_id AS bench_id, qv AS qb, n2 AS n2b FROM n
       WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '028f' AND n2 > 0
-    ), t AS (
+    ), t AS MATERIALIZED (
       SELECT vec_id AS train_id, qv, n2 FROM n
       WHERE substring(md5(CAST(vec_id AS VARCHAR)), 1, 4) >= '028f' AND n2 > 0
-    ), best AS (
+    ), flag AS (
       SELECT t.train_id,
-             max(struct_pack(
-               s := list_inner_product(t.qv, b.qb)
-                    / sqrt(CAST(t.n2 * b.n2b AS DOUBLE)),
-               nb := -b.bench_id)) AS m
+             max(list_inner_product(t.qv, b.qb)
+                 / sqrt(CAST(t.n2 * b.n2b AS DOUBLE))) AS max_cosine
       FROM t, b GROUP BY t.train_id
+      HAVING max(list_inner_product(t.qv, b.qb)
+                 / sqrt(CAST(t.n2 * b.n2b AS DOUBLE))) >= CAST(0.30 AS DOUBLE)
     )
-    SELECT train_id, CAST(-(m.nb) AS BIGINT) AS bench_id, m.s AS max_cosine
-    FROM best WHERE m.s >= CAST(0.30 AS DOUBLE)
+    SELECT f.train_id, min(b.bench_id) AS bench_id, f.max_cosine
+    FROM flag f JOIN t ON t.train_id = f.train_id, b
+    WHERE list_inner_product(t.qv, b.qb)
+          / sqrt(CAST(t.n2 * b.n2b AS DOUBLE)) = f.max_cosine
+    GROUP BY f.train_id, f.max_cosine
     """,
 )
 def decontaminate_semantic_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -927,9 +930,14 @@ def decontaminate_semantic_cosine(spark: SparkSession, sf_dir: str) -> DataFrame
     corpus shuffle (operators/decontam.py:decontaminate_semantic).
     Oracle notes: `list_inner_product` over the integer-milli lists is a
     DOUBLE accumulation of products < 2^53 (exact, order-free) — 17x
-    faster than the list_zip form, measured; the argmax with
-    (score desc, bench_id asc) tie-break is a streaming struct-max
-    aggregate (no 396M-row window sort at sf10)."""
+    faster than the list_zip form, measured.  The (score desc, bench_id
+    asc) argmax is TWO plain-aggregate passes — max score per train id,
+    then min bench id among pairs hitting that exact double (same
+    deterministic expression both passes, so equality is sound): the
+    one-pass struct-max form was OS-KILLED at sf10 even standalone
+    under a 28 GB limit (DuckDB's struct-max state escapes its memory
+    accounting on a 4·10^8-row stream); this form ran in 145 s /
+    0.7 GB."""
     from hotdog_spark.operators.decontam import decontaminate_semantic
 
     emb = table(spark, sf_dir, "embeddings")

@@ -343,7 +343,9 @@ def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WP_K, _WP_W, _WP_MAXDF, _WP_MINSHARED = 20, 4, 50, 3
 
 
-def _winnow_pairs_oracle() -> str:
+def _winnow_pairs_ctes() -> str:
+    """The shared winnowing PAIR chain (… → e → hot → c → p): exploded
+    fingerprints, hot-fingerprint removal, thresholded pair aggregate."""
     return f"""
     {_winnow_ctes(_WP_K, _WP_W)}
     , e AS (
@@ -360,7 +362,12 @@ def _winnow_pairs_oracle() -> str:
       FROM c a JOIN c b ON a.fp = b.fp AND a.doc_id < b.doc_id
       GROUP BY 1, 2, 3, 4
       HAVING COUNT(*) >= {_WP_MINSHARED}
-    )
+    )"""
+
+
+def _winnow_pairs_oracle() -> str:
+    return f"""
+    {_winnow_pairs_ctes()}
     SELECT id_a, id_b, shared_fp, n_fp_a, n_fp_b,
            CAST(shared_fp AS DOUBLE) / least(n_fp_a, n_fp_b) AS overlap
     FROM p
@@ -379,6 +386,41 @@ def dedup_winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_pairs(
         table(spark, sf_dir, "documents"), "text", "doc_id",
         k=_WP_K, w=_WP_W, max_df=_WP_MAXDF, min_shared=_WP_MINSHARED,
+    )
+
+
+@register(
+    "dedup_winnowing_pair_stats",
+    oracle=f"""
+    {_winnow_pairs_ctes()}
+    SELECT CAST(id_a % 10 AS BIGINT) AS bucket,
+           COUNT(*)::BIGINT AS n_pairs,
+           SUM(shared_fp)::BIGINT AS sum_shared_fp,
+           MAX(shared_fp)::BIGINT AS max_shared_fp
+    FROM p GROUP BY 1
+    """,
+)
+def dedup_winnowing_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded AGGREGATE twin of dedup_winnowing_pairs (VERDICT r6
+    item 3): pair count / shared-fingerprint mass per id_a-decile bucket
+    (≤10 rows).  The full pair set is answer-proportional — 21.6 M rows
+    at sf10 under gram-space saturation — which makes the full-result
+    comparison intractable on the ORACLE side there; this report rides
+    the identical join and threshold but emits a fixed-size summary, so
+    the operator's sf10 semantics stay digest-verified even while the
+    row-level twin is excluded."""
+    from hotdog_spark.operators.textops import winnowing_pairs
+
+    pairs = winnowing_pairs(
+        table(spark, sf_dir, "documents"), "text", "doc_id",
+        k=_WP_K, w=_WP_W, max_df=_WP_MAXDF, min_shared=_WP_MINSHARED,
+    )
+    return pairs.groupBy(
+        (F.col("id_a") % 10).cast("bigint").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("shared_fp").alias("sum_shared_fp"),
+        F.max("shared_fp").alias("max_shared_fp"),
     )
 
 

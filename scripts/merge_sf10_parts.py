@@ -50,19 +50,35 @@ for k in dropped:
     del merged[k]
 
 # The sweep runs with --exclude for these, so no batch emits a record;
-# surface them as explicit rows (reasons in the notes) instead of
-# leaving them silently absent from the artifact.
-for name, why in {
-    "dedup_fuzzy_levenshtein": "blocking-join Levenshtein rechecks balloon at 500k docs",
-    "dedup_winnowing_pairs": "gram-space saturation: 53x answer growth (SCALE_sf10.json)",
-    "dedup_minhash_components": "oracle RECURSIVE closure grows sum(component^2); 17+min/36.7GB unfinished",
-    "dedup_components_best_quality": "same RECURSIVE-closure oracle as dedup_minhash_components",
-}.items():
+# surface them as explicit rows (reasons + the sf10-verified twin that
+# covers each one's semantics) instead of leaving them silently absent.
+# r7 shrank this list 4 → 2: the two component queries verify directly
+# now that their oracle is unrolled min-label propagation instead of a
+# recursive transitive closure.
+_EXCLUDED = {
+    "dedup_fuzzy_levenshtein": (
+        "every blocked candidate pays an O(len^2) edit distance — "
+        "~57M candidates at 500k docs on both engines",
+        "dedup_fuzzy_levenshtein_sampled",
+    ),
+    "dedup_winnowing_pairs": (
+        "gram-space saturation: 21.6M answer rows at sf10 "
+        "(SCALE_sf10.json) — full-result oracle replay intractable",
+        "dedup_winnowing_pair_stats",
+    ),
+}
+for name, (why, twin) in _EXCLUDED.items():
     merged.setdefault(name, {
         "status": "excluded_heavy_oracle",
         "reason": why + "; engine ran fine, hash-verified at sf1",
+        "sf10_verified_twin": twin,
         "commit": HEAD,
     })
+# stale exclusion rows for queries whose oracle became tractable must
+# not shadow a real sweep record: drop excluded rows not in _EXCLUDED
+for k in [k for k, v in merged.items()
+          if v.get("status") == "excluded_heavy_oracle" and k not in _EXCLUDED]:
+    del merged[k]
 
 statuses = [v.get("status") for v in merged.values()]
 out = {
