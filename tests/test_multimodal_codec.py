@@ -263,3 +263,98 @@ def test_image_ahash_dedup_groups(spark):
     assert out[3]["canonical_id"] == 3 and out[7]["canonical_id"] == 3
     assert out[3]["is_dup"] == 0 and out[7]["is_dup"] == 1
     assert out[5]["group_n"] == 1 and out[5]["is_dup"] == 0
+
+
+# ---- baseline JPEG (operators/jpeg.py) ----
+
+
+def test_jpeg_roundtrip_exact_subspace_golden():
+    """Encode one block with known {F00,F40,F04,F44} and check every
+    decoded pixel against the closed form 128 + (F00 ± F40 ± F04 ±
+    F44)/8 with the u=4 sign pattern [+,-,-,+,+,-,-,+] along rows for
+    F40 and columns for F04 — one wrong Huffman bit, zigzag slot or
+    IDCT scale breaks this."""
+    import numpy as np
+
+    from hotdog_spark.operators import jpeg as J
+
+    coefs = {(0, 0): 80, (4, 0): 16, (0, 4): -24, (4, 4): 8}
+    img = J.decode_jpeg_gray(J.synth_jpeg_gray(8, 8, [coefs]))
+    sx = np.array([1, -1, -1, 1, 1, -1, -1, 1])
+    want = 128 + (80 + 16 * sx[:, None] - 24 * sx[None, :]
+                  + 8 * sx[:, None] * sx[None, :]) / 8
+    assert np.array_equal(img, want.astype(np.uint8))
+
+
+def test_jpeg_dc_prediction_across_blocks():
+    """DC coefficients are coded as differences from the previous
+    block (T.81 F.1.1.5.1): three blocks with DCs 80, -96, 0 decode to
+    flat values 138, 116, 128 — wrong prediction shifts blocks 2+."""
+    import numpy as np
+
+    from hotdog_spark.operators import jpeg as J
+
+    blocks = [{(0, 0): 80}, {(0, 0): -96}, {(0, 0): 0}]
+    img = J.decode_jpeg_gray(J.synth_jpeg_gray(24, 8, blocks))
+    assert img.shape == (8, 24)
+    assert np.all(img[:, :8] == 138)
+    assert np.all(img[:, 8:16] == 116)
+    assert np.all(img[:, 16:] == 128)
+
+
+def test_jpeg_rejects_unsupported_and_non_jpeg():
+    """Non-JPEG bytes → None (divert path); progressive (SOF2) raises
+    loudly instead of decoding silently wrong."""
+    import pytest
+
+    from hotdog_spark.operators import jpeg as J
+
+    assert J.decode_jpeg_gray(b"not a jpeg") is None
+    data = J.synth_jpeg_gray(8, 8, [{(0, 0): 8}])
+    with pytest.raises(ValueError, match="baseline"):
+        J.decode_jpeg_gray(data.replace(b"\xff\xc0", b"\xff\xc2", 1))
+
+
+def test_jpeg_byte_stuffing_roundtrip():
+    """Entropy bytes equal to 0xFF must be stuffed (FF 00) by the
+    writer and unstuffed by the reader.  Coefficients 8184 put ten
+    consecutive 1-bits (magnitude of code 1023) in the stream twice,
+    which is enough to land an aligned 0xFF — verified present — and
+    the decode must still match the closed form (clamped here: 128 ±
+    1023 saturates both ends)."""
+    import numpy as np
+
+    from hotdog_spark.operators import jpeg as J
+
+    fmap = {(4, 0): 8184, (4, 4): 8184}
+    data = J.synth_jpeg_gray(8, 8, [fmap])
+    entropy = data[data.find(b"\xff\xda") + 2 : -2]
+    assert b"\xff\x00" in entropy, "fixture no longer exercises stuffing"
+    img = J.decode_jpeg_gray(data)
+    sx = np.array([1, -1, -1, 1, 1, -1, -1, 1])
+    want = np.clip(
+        128 + (8184 * sx[:, None] + 8184 * sx[:, None] * sx[None, :]) / 8,
+        0, 255,
+    )
+    assert np.array_equal(img, want.astype(np.uint8))
+
+
+def test_jpeg_exact_subspace_stats_sweep():
+    """Many ids through the full synth→decode path: per-image integer
+    stats must equal the closed form the DuckDB oracle computes."""
+    from hotdog_spark.operators import jpeg as J
+
+    for did in range(1, 60):
+        w, h, data = J.synth_exact_jpeg(did)
+        img = J.decode_jpeg_gray(data)
+        tot, mn, mx = 0, 10 ** 9, -1
+        for b in range((w // 8) * (h // 8)):
+            c = J.exact_block_coefs(did, b)
+            vals = [
+                128 + (c[(0, 0)] + ex * c[(4, 0)] + ey * c[(0, 4)]
+                       + ex * ey * c[(4, 4)]) // 8
+                for ex in (1, -1) for ey in (1, -1)
+            ]
+            tot += 16 * sum(vals)
+            mn, mx = min(mn, min(vals)), max(mx, max(vals))
+        assert (int(img.sum()), int(img.min()), int(img.max())) == (tot, mn, mx)
