@@ -125,10 +125,34 @@ def _check_group_by(steps: list[dict]) -> None:
                 )
 
 
+#: Steps that compile onto a STREAMING input.  redact/features/
+#: quality_gate are pure column expressions (append-mode safe);
+#: dedup_fingerprint is a keyed aggregation (complete/update output
+#: modes — Spark streaming's native state model).  pack and bin_report
+#: rank with window functions, which Structured Streaming does not
+#: support — a config using them on a stream must fail at COMPILE time,
+#: same rule as every other config error in this module.
+_STREAMABLE_STEPS = frozenset(
+    {"redact", "features", "quality_gate", "dedup_fingerprint"}
+)
+
+
 def build_curation_pipeline(docs: DataFrame, config) -> DataFrame:
     """Compile the config into one composed DataFrame DAG over ``docs``
-    (expects doc_id, text, lang columns)."""
+    (expects doc_id, text, lang columns).  ``docs`` may be a STREAMING
+    DataFrame: the same step handlers compile unchanged (one definition,
+    batch wash + live ingestion — the dual-mode posture of the cascade
+    compiler, plans/compiler.py), with non-streamable steps rejected up
+    front."""
     steps = load_curation_config(config)
+    if docs.isStreaming:
+        bad = [st["step"] for st in steps if st["step"] not in _STREAMABLE_STEPS]
+        if bad:
+            raise ValueError(
+                f"steps {bad} use ranking windows, which Structured "
+                "Streaming does not support — streamable steps: "
+                f"{sorted(_STREAMABLE_STEPS)}"
+            )
     state: dict = {"df": docs, "red": None}
     for st in steps:
         handler = _STEPS[st["step"]][2]
