@@ -139,7 +139,75 @@ HEADLINE = [
     "ann_pq_adc",                  # compressed-domain ADC top-k (LUT projection)
     "ann_ivf_pq",                  # coarse cells + residual-PQ ADC (full IVFPQ shape)
     "ann_pq_recall_report",        # ADC recall@3 vs exact integer-L2 baseline
+    "bpe_train_merges",            # iterative BPE trainer (argmax-and-rewrite loop)
+    "dedup_fuzzy_levenshtein_sampled",  # sampled-key blocked edit-distance join
+    "multimodal_jpeg_decode_stats",     # baseline JPEG huffman+IDCT decode
 ]
+
+
+def _run_paired_baseline(spec: str, head_timings: dict, head_total: float):
+    """Run the baseline round's bench.py in a git worktree, in THIS
+    window, and return per-query HEAD/baseline ratios.  ``spec`` is a
+    commit-ish, or "1" to auto-resolve the latest driver round commit
+    ("round N: verdict/...").  Returns None (with a stderr note) on any
+    failure — a paired record must never take down the primary bench."""
+    import subprocess
+
+    try:
+        if spec == "1":
+            out = subprocess.run(
+                ["git", "-C", REPO, "log", "--grep", "^round [0-9]*:",
+                 "-n1", "--format=%H %s"],
+                capture_output=True, text=True, check=True,
+            ).stdout.strip()
+            commit, msg = out.split(" ", 1)
+            rnd = int(re.match(r"round (\d+):", msg).group(1))
+        else:
+            commit = subprocess.run(
+                ["git", "-C", REPO, "rev-parse", spec],
+                capture_output=True, text=True, check=True,
+            ).stdout.strip()
+            rnd = (_current_round() or 1) - 1
+        short = commit[:8]
+        wt = f"/tmp/bench_baseline_{short}"
+        if not os.path.isdir(wt):
+            subprocess.run(
+                ["git", "-C", REPO, "worktree", "add", "--detach", wt, commit],
+                capture_output=True, text=True, check=True,
+            )
+        env = dict(os.environ)
+        env["_SPARK_GRAFT_BENCH_IS_BASELINE"] = "1"
+        env["SPARK_GRAFT_BENCH_RECORD"] = "0"
+        env.pop("SPARK_GRAFT_BENCH_PAIRED", None)
+        t0 = time.perf_counter()
+        proc = subprocess.run(
+            [sys.executable, "bench.py"], cwd=wt, env=env,
+            capture_output=True, text=True, timeout=5400,
+        )
+        line = [ln for ln in proc.stdout.splitlines() if ln.startswith("{")][-1]
+        base = json.loads(line)
+        base_q = base.get("queries", {})
+        common = sorted(set(head_timings) & set(base_q))
+        if not common:
+            raise RuntimeError("no common queries with baseline bench")
+        head_c = sum(head_timings[n] for n in common)
+        base_c = sum(base_q[n] for n in common)
+        return {
+            "baseline_round": rnd,
+            "baseline_commit": short,
+            "n_common": len(common),
+            "head_total_common": round(head_c, 3),
+            "baseline_total_common": round(base_c, 3),
+            "total_ratio_common": round(head_c / base_c, 3),
+            "queries": {
+                n: round(head_timings[n] / base_q[n], 2)
+                for n in common if base_q[n]
+            },
+            "baseline_window_sec": round(time.perf_counter() - t0, 1),
+        }
+    except Exception as e:  # noqa: BLE001 — diagnostics only
+        print(f"paired baseline failed: {e}", file=sys.stderr)
+        return None
 
 
 def main() -> None:
@@ -259,6 +327,20 @@ def main() -> None:
                 if prev_q.get(n)
             },
         }
+    # PAIRED-WINDOW mode (VERDICT r6 item 4, the standard artifact): the
+    # sandbox host drifts ~2x on identical code across a day
+    # (BENCH_VARIANCE_r06.json), so cross-window round-over-round totals
+    # are untrustworthy.  With SPARK_GRAFT_BENCH_PAIRED=1 (or =<commit>),
+    # the PREVIOUS round's bench.py runs first in a git worktree, in THIS
+    # same window, and the payload records per-query HEAD/baseline ratios
+    # measured back-to-back — the only comparison the variance study
+    # showed to be reliable.  delta_vs_prev (cross-window) stays for
+    # continuity but the paired block is the one to read.
+    paired = os.environ.get("SPARK_GRAFT_BENCH_PAIRED", "")
+    if paired and not os.environ.get("_SPARK_GRAFT_BENCH_IS_BASELINE"):
+        block = _run_paired_baseline(paired, timings, total)
+        if block is not None:
+            payload[f"paired_ratio_vs_r{block.pop('baseline_round'):02d}"] = block
     # Always record the complete payload in-repo: the driver's BENCH_r{N}
     # capture keeps only the output tail, which has truncated the
     # per-query head in past rounds and silently re-based round-over-round
