@@ -18,9 +18,11 @@ HEAD = subprocess.run(
     capture_output=True, text=True,
 ).stdout.strip() or "unknown"
 
-from hotdog_spark.queries import all_queries, bench_only_queries  # noqa: E402
+from hotdog_spark.queries import all_queries  # noqa: E402
 
-KNOWN = set(all_queries()) | set(bench_only_queries())
+# Bench-only plans are outside the driver contract, so they carry no
+# correctness row here — a leftover row for one is stale by definition.
+KNOWN = set(all_queries())
 
 OUT = os.path.join(REPO, "SCALE_sf1_correctness.json")
 
