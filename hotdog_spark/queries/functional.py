@@ -756,3 +756,42 @@ def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "exact_n", est.alias("est_n"),
         (est - F.col("exact_n")).alias("overcount"),
     )
+
+
+@register(
+    "agg_distinct_users_kmv_sketch",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT
+               AS hv
+      FROM events WHERE user_id IS NOT NULL
+    ), s AS (
+      SELECT event_type,
+             list_slice(list_sort(list(hv)), 1, 64) AS mins
+      FROM h GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(len(mins) AS BIGINT) AS n_sketch,
+           CAST(CASE WHEN len(mins) < 64 THEN -1
+                     ELSE mins[len(mins)] END AS BIGINT) AS kth_min,
+           CAST(CASE WHEN len(mins) < 64 THEN len(mins)
+                     ELSE (63::BIGINT << 52)
+                          // greatest(mins[len(mins)], 1) END AS BIGINT)
+             AS est_distinct
+    FROM s
+    """,
+)
+def agg_distinct_users_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-users sketch per event type — the
+    DETERMINISTIC sketch rollup, finally oracle-checkable end to end
+    (operators/sketches.py; Bar-Yossef et al. 2002).  Where the HLL++
+    twin's estimates are engine-internal (bench-only registry), the KMV
+    estimate is a pure integer function of the data's md5 hashes, so
+    Spark and DuckDB agree bit-for-bit INCLUDING the estimator output.
+    Plan shape: one Arrow kernel pass with bounded per-key heaps, one
+    keyed merge of k-arrays (k·partitions longs per key on the wire —
+    never rows-per-user), one projection."""
+    from hotdog_spark.operators.sketches import kmv_distinct
+
+    return kmv_distinct(table(spark, sf_dir, "events"), "event_type", "user_id", k=64)

@@ -1339,3 +1339,35 @@ def test_pq_searchers_empty_probe_set_returns_empty(spark):
     )
     assert ivf.count() == 0
     assert ivf.columns == ["query_id", "neighbor_id", "cell", "adc_d2", "rank"]
+
+
+def test_kmv_distinct_partition_invariant_and_exact_below_k(spark):
+    """KMV laws: (a) groups with < k distinct values report the EXACT
+    count (kth_min = -1 sentinel); (b) the merged sketch is invariant
+    to partitioning (k-min merge is a semilattice, so partials from any
+    split union to the same global k-mins); (c) duplicates never count
+    twice."""
+    from hotdog_spark.operators.sketches import kmv_distinct
+
+    rows = [("small", i % 5) for i in range(200)]          # 5 distinct
+    rows += [("big", i) for i in range(500)]               # 500 distinct
+    rows += [("big", i) for i in range(250)]               # repeats
+    df = spark.createDataFrame(rows, "grp string, uid long")
+
+    out1 = {r.grp: r for r in kmv_distinct(df, "grp", "uid", k=64).collect()}
+    out2 = {
+        r.grp: r
+        for r in kmv_distinct(
+            df.repartition(13, "uid"), "grp", "uid", k=64
+        ).collect()
+    }
+    for out in (out1, out2):
+        assert out["small"].n_sketch == 5
+        assert out["small"].kth_min == -1
+        assert out["small"].est_distinct == 5
+        assert out["big"].n_sketch == 64
+        # KMV guarantee at k=64: rsd ≈ 1/sqrt(k-2) ≈ 13%; 3σ bound
+        assert abs(out["big"].est_distinct - 500) < 500 * 0.40
+    assert {g: (r.kth_min, r.est_distinct) for g, r in out1.items()} == {
+        g: (r.kth_min, r.est_distinct) for g, r in out2.items()
+    }
