@@ -68,21 +68,35 @@ def media_from_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 def decode_image(content: bytes) -> dict:
-    """REAL image pixel decode (stdlib-only; no codec library needed).
+    """REAL image pixel decode (stdlib+numpy; no codec library needed).
 
     PNG is fully decoded — IDAT zlib inflate + per-row unfilter per the
-    public PNG spec (see :func:`decode_png`) — returning raw row-major
+    public PNG spec (see :func:`decode_png`) — and baseline grayscale
+    JPEG through the full entropy + IDCT pipeline (see
+    :mod:`hotdog_spark.operators.jpeg`), both returning raw row-major
     interleaved samples.  Raises ``ValueError`` for formats that would
-    need an external codec (JPEG/WebP/...), which keeps the failure loud
-    instead of silently fake.
+    need an external codec (WebP, progressive/chroma JPEG, ...), which
+    keeps the failure loud instead of silently fake.
     """
     out = decode_png(content)
-    if out is None:
-        raise ValueError(
-            "unsupported or malformed image payload: only PNG (8-bit, "
-            "non-interlaced, color types 0/2/4/6) decodes with stdlib"
-        )
-    return out
+    if out is not None:
+        return out
+    if content[:2] == b"\xff\xd8":
+        from hotdog_spark.operators.jpeg import decode_jpeg_gray
+
+        img = decode_jpeg_gray(content)  # raises ValueError on variants
+        return {
+            "width": int(img.shape[1]),
+            "height": int(img.shape[0]),
+            "channels": 1,
+            "bit_depth": 8,
+            "pixels": img.tobytes(),
+        }
+    raise ValueError(
+        "unsupported or malformed image payload: PNG (8-bit, "
+        "non-interlaced, color types 0/2/4/6) and baseline grayscale "
+        "JPEG decode with stdlib+numpy"
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -72,9 +72,19 @@ def test_png_rejects_malformed():
     assert parse_png_header(synth_png(10, 20))["width"] == 10
 
 
-def test_decode_image_raises_on_non_png():
+def test_decode_image_dispatches_jpeg_and_rejects_junk():
+    """decode_image now dispatches JPEG magic to the real baseline
+    decoder (operators/jpeg.py); malformed JPEG still fails loudly, and
+    a valid one returns pixels through the same dict contract as PNG."""
+    from hotdog_spark.operators import jpeg as J
+
     with pytest.raises(ValueError):
-        decode_image(b"\xff\xd8\xff\xe0JFIF")  # jpeg needs a real codec
+        decode_image(b"\xff\xd8\xff\xe0JFIF")  # truncated: no DQT/SOF/SOS
+    with pytest.raises(ValueError):
+        decode_image(b"RIFFnope")              # neither PNG nor JPEG
+    out = decode_image(J.synth_jpeg_gray(8, 8, [{(0, 0): 80}]))
+    assert (out["width"], out["height"], out["channels"]) == (8, 8, 1)
+    assert out["pixels"] == bytes([138]) * 64  # 128 + 80/8, flat block
 
 
 def test_wav_round_trip_signed_and_stereo():
@@ -358,3 +368,41 @@ def test_jpeg_exact_subspace_stats_sweep():
             tot += 16 * sum(vals)
             mn, mx = min(mn, min(vals)), max(mx, max(vals))
         assert (int(img.sum()), int(img.min()), int(img.max())) == (tot, mn, mx)
+
+
+def test_jpeg_property_random_exact_subspace_roundtrips():
+    """Hypothesis: ANY multi-block image whose per-block coefficients
+    live in the exact-IDCT subspace (all multiples of 8, bounded so no
+    pixel clamps) decodes to exactly the closed-form pixels — the
+    entropy coder, DC predictor, zigzag and IDCT have no value-dependent
+    blind spots."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from hotdog_spark.operators import jpeg as J
+
+    coef = st.integers(min_value=-12, max_value=12).map(lambda v: v * 8)
+    block = st.fixed_dictionaries(
+        {(0, 0): st.integers(-31, 31).map(lambda v: v * 8),
+         (4, 0): coef, (0, 4): coef, (4, 4): coef}
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 4), st.integers(1, 3),
+        st.lists(block, min_size=12, max_size=12),
+    )
+    def check(bw, bh, blocks):
+        blocks = blocks[: bw * bh]
+        img = J.decode_jpeg_gray(J.synth_jpeg_gray(bw * 8, bh * 8, blocks))
+        sx = np.array([1, -1, -1, 1, 1, -1, -1, 1])
+        for b, c in enumerate(blocks):
+            want = 128 + (c[(0, 0)] + c[(4, 0)] * sx[:, None]
+                          + c[(0, 4)] * sx[None, :]
+                          + c[(4, 4)] * sx[:, None] * sx[None, :]) / 8
+            by, bx = divmod(b, bw)
+            got = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            assert np.array_equal(got, want.astype(np.uint8)), (bw, bh, b, c)
+
+    check()
