@@ -51,17 +51,15 @@ def _hash52(col) -> "F.Column":
     ).cast("long")
 
 
-def kmv_distinct(
+def kmv_partials(
     df: DataFrame, key_col: str, val_col: str, k: int = 64
 ) -> DataFrame:
-    """Per-key KMV sketch + deterministic distinct estimate.
-
-    Returns (key, n_sketch, kth_min, est_distinct): ``n_sketch`` is the
-    number of hashes kept (< k means the group's distinct count is
-    exact and ``est_distinct`` just reports it), ``kth_min`` the
-    largest kept hash (-1 for exact groups — sortable, never NULL),
-    ``est_distinct`` the (k-1)·2^52 // kth estimator.
-    """
+    """Stage 1 alone: per-(partition, key) k-min arrays as (key, mins)
+    rows — the MERGEABLE sketch state.  Partials from different batches
+    / days / streams union and re-finalize to exactly the sketch of the
+    combined data (k-min merge is a semilattice), which is what makes
+    this the incremental-rollup form: persist partials per slice, merge
+    on read."""
     from hotdog_spark.dist import ensure_shipped
 
     ensure_shipped(df.sparkSession)
@@ -106,8 +104,13 @@ def kmv_distinct(
             )
 
     key_type = hashed.schema["key"].dataType.simpleString()
-    partials = hashed.mapInPandas(kernel, f"key {key_type}, mins array<long>")
+    return hashed.mapInPandas(kernel, f"key {key_type}, mins array<long>")
 
+
+def kmv_finalize(partials: DataFrame, key_col: str, k: int = 64) -> DataFrame:
+    """Stage 2: merge (key, mins) partials — from one pass or from any
+    number of unioned incremental slices — and emit the estimate row
+    per key (see :func:`kmv_distinct` for the output contract)."""
     merged = partials.groupBy("key").agg(
         F.slice(
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("mins")))),
@@ -130,3 +133,17 @@ def kmv_distinct(
         F.when(n < k, F.lit(-1)).otherwise(kth).cast("bigint").alias("kth_min"),
         F.when(n < k, n.cast("bigint")).otherwise(est_full).alias("est_distinct"),
     )
+
+def kmv_distinct(
+    df: DataFrame, key_col: str, val_col: str, k: int = 64
+) -> DataFrame:
+    """Per-key KMV sketch + deterministic distinct estimate (the
+    one-shot composition of :func:`kmv_partials` → :func:`kmv_finalize`).
+
+    Returns (key, n_sketch, kth_min, est_distinct): ``n_sketch`` is the
+    number of hashes kept (< k means the group's distinct count is
+    exact and ``est_distinct`` just reports it), ``kth_min`` the
+    largest kept hash (-1 for exact groups — sortable, never NULL),
+    ``est_distinct`` the (k-1)·2^52 // kth estimator.
+    """
+    return kmv_finalize(kmv_partials(df, key_col, val_col, k), key_col, k)

@@ -102,12 +102,10 @@ def bpe_train_oracle(n_merges: int = 20) -> str:
     return "WITH " + ",\n".join(ctes) + "\n" + rows
 
 
-def bpe_encode_oracle(n_merges: int = 20) -> str:
-    """Oracle for ``bpe_encode_stats``: encode every document with the
-    learned merge table and emit the exact integer stats.  Encoding a
-    word = applying the same n_merges replaces, so the per-word encoded
-    length is read straight off the final training table w{n}; per-doc
-    stats are a word-level join (every document word is in the training
+def _encode_ctes(n_merges: int) -> list:
+    """The shared ENCODE chain: training rounds, then per-word encoded
+    lengths read off the final training table, then per-doc integer
+    stats via a word-level join (every document word is in the training
     vocabulary — same corpus, same tokenizer)."""
     ctes = [_seed_cte()] + [_round_ctes(r) for r in range(n_merges)]
     ctes.append(f"""enc AS (
@@ -130,6 +128,12 @@ def bpe_encode_oracle(n_merges: int = 20) -> str:
   FROM dw JOIN enc e USING (word)
   GROUP BY dw.doc_id
 )""")
+    return ctes
+
+
+def bpe_encode_oracle(n_merges: int = 20) -> str:
+    """Oracle for ``bpe_encode_stats``: encode every document with the
+    learned merge table and emit the exact integer stats."""
     final = """SELECT d.doc_id,
        coalesce(a.n_words, 0)::BIGINT AS n_words,
        coalesce(a.n_chars_tok, 0)::BIGINT AS n_chars_tok,
@@ -137,4 +141,24 @@ def bpe_encode_oracle(n_merges: int = 20) -> str:
        coalesce(a.n_chars_tok + a.n_words - a.n_bpe_tokens, 0)::BIGINT
          AS n_merges_applied
 FROM documents d LEFT JOIN agg a USING (doc_id)"""
+    return "WITH " + ",\n".join(_encode_ctes(n_merges)) + "\n" + final
+
+
+def bpe_pack_oracle(n_merges: int = 20, budget: int = 4096) -> str:
+    """Oracle for ``pack_bpe_token_bins``: the encode chain's per-doc
+    BPE token counts feed the offset-division packing window — the same
+    formulation as pack_token_budget_bins, but in TOKENIZER units
+    (what a pretraining packer actually budgets by)."""
+    ctes = _encode_ctes(n_merges)
+    ctes.append(f"""packed AS (
+  SELECT d.doc_id, d.lang, coalesce(a.n_bpe_tokens, 0) AS n_tok,
+         CAST(FLOOR((SUM(coalesce(a.n_bpe_tokens, 0)) OVER (
+                  PARTITION BY d.lang ORDER BY d.doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - coalesce(a.n_bpe_tokens, 0)) / {budget}.0) AS BIGINT) AS bin
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+)""")
+    final = """SELECT lang, bin, COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+FROM packed GROUP BY lang, bin"""
     return "WITH " + ",\n".join(ctes) + "\n" + final

@@ -871,6 +871,34 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe.bpe_encode_stats(docs, "text", "doc_id", merges)
 
 
+@register("pack_bpe_token_bins", oracle=_bpe.bpe_pack_oracle(20, 4096))
+def pack_bpe_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER-AWARE sequence packing: train 20 BPE merges, encode the
+    corpus, and pack documents into 4096-BPE-token bins per language —
+    the units a pretraining packer actually budgets by, vs the
+    whitespace-token proxy in pack_token_budget_bins.  Composes three
+    existing oracle-backed stages (BPE train → encode → offset-division
+    packing window); plan shape is the trainer's bounded loop + one
+    corpus encode kernel + one doc-keyed join + one window shuffle per
+    group column."""
+    from hotdog_spark.operators import bpe
+    from hotdog_spark.operators.sampling import pack_token_budget
+
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, "text", n_merges=20)
+    stats = bpe.bpe_encode_stats(docs, "text", "doc_id", merges).select(
+        "doc_id", "n_bpe_tokens"
+    )
+    joined = docs.select("doc_id", "lang").join(stats, "doc_id")
+    packed = pack_token_budget(
+        joined, "doc_id", "n_bpe_tokens", 4096, group_col="lang"
+    )
+    return packed.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe_tokens").alias("bin_tokens"),
+    )
+
+
 @register(
     "chunk_documents_overlap",
     oracle=f"""

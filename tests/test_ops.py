@@ -1371,3 +1371,33 @@ def test_kmv_distinct_partition_invariant_and_exact_below_k(spark):
     assert {g: (r.kth_min, r.est_distinct) for g, r in out1.items()} == {
         g: (r.kth_min, r.est_distinct) for g, r in out2.items()
     }
+
+
+def test_kmv_incremental_merge_equals_one_shot(spark):
+    """The incremental-rollup law: sketch partials computed per SLICE
+    (different days/batches), unioned and finalized, equal the one-shot
+    sketch of the union — bit-equal, including estimates.  This is the
+    property that lets a 100 TB pipeline persist per-day (key, mins)
+    rows and answer distinct-count queries by merge-on-read."""
+    from hotdog_spark.operators import sketches as sk
+
+    day1 = spark.createDataFrame(
+        [("a", i) for i in range(300)] + [("b", i) for i in range(3)],
+        "grp string, uid long",
+    )
+    day2 = spark.createDataFrame(
+        [("a", i) for i in range(150, 450)] + [("b", 99)],
+        "grp string, uid long",
+    )
+    incremental = sk.kmv_finalize(
+        sk.kmv_partials(day1, "grp", "uid").unionByName(
+            sk.kmv_partials(day2, "grp", "uid")
+        ),
+        "grp",
+    )
+    one_shot = sk.kmv_distinct(day1.unionByName(day2), "grp", "uid")
+    a = sorted(tuple(r) for r in incremental.collect())
+    b = sorted(tuple(r) for r in one_shot.collect())
+    assert a == b and len(a) == 2
+    by = {r[0]: r for r in a}
+    assert by["b"] == ("b", 4, -1, 4)  # below k: exact count

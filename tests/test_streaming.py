@@ -1691,3 +1691,60 @@ def test_streaming_bpe_encode_stream_static_parity(spark, tmp_path):
     finally:
         q.stop()
     assert got == want and len(got) == 3
+
+
+def test_streaming_kmv_sketch_rollup_parity(spark, tmp_path):
+    """Streaming distinct-count rollup with MERGEABLE sketch state: each
+    micro-batch's KMV partials (operators/sketches.py) append to a state
+    table via foreachBatch; finalizing the accumulated partials must
+    equal the one-shot batch sketch of everything seen — bit-equal,
+    including the integer estimates.  This is the sketch counterpart of
+    the incremental-view state parity test."""
+    from hotdog_spark.operators import sketches as sk
+
+    src = str(tmp_path / "ev")
+    state = str(tmp_path / "kmv_state")
+    b1 = [("click", i) for i in range(200)] + [("buy", i) for i in range(3)]
+    b2 = [("click", i) for i in range(100, 350)] + [("buy", 7)]
+    spark.createDataFrame(b1, "event_type string, user_id long").coalesce(
+        1
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def sink(batch_df, _bid):
+        sk.kmv_partials(batch_df, "event_type", "user_id").write.mode(
+            "append"
+        ).parquet(state)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, "event_type string, user_id long").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = sorted(
+        tuple(r)
+        for r in sk.kmv_finalize(
+            spark.read.parquet(state), "event_type"
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in sk.kmv_distinct(
+            spark.createDataFrame(b1 + b2, "event_type string, user_id long"),
+            "event_type",
+            "user_id",
+        ).collect()
+    )
+    assert streamed == want and len(streamed) == 2
