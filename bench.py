@@ -142,6 +142,8 @@ HEADLINE = [
     "bpe_train_merges",            # iterative BPE trainer (argmax-and-rewrite loop)
     "dedup_fuzzy_levenshtein_sampled",  # sampled-key blocked edit-distance join
     "multimodal_jpeg_decode_stats",     # baseline JPEG huffman+IDCT decode
+    "agg_distinct_users_kmv_sketch",    # mergeable KMV sketch, k-array shuffle only
+    "pack_bpe_token_bins",              # BPE-token-budget packing (train→encode→pack)
 ]
 
 
@@ -285,14 +287,22 @@ def main() -> None:
             release_tracked_persists()
         timings[name] = round(median(samples), 3)
 
+    carry_paired = {}
     if only:
         cur_ = _current_round()
         snap = os.path.join(REPO, f"BENCH_LOCAL_r{cur_:02d}.json") if cur_ else None
         if snap and os.path.exists(snap):
             with open(snap) as f:
-                merged = json.load(f).get("queries", {})
+                prev_snap = json.load(f)
+            merged = prev_snap.get("queries", {})
             merged.update(timings)
             timings = merged
+            # a partial re-bench must not erase the full run's
+            # paired-window record — carry it (and its provenance) over
+            carry_paired = {
+                k: v for k, v in prev_snap.items()
+                if k.startswith("paired_ratio_vs_r")
+            }
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "headline_query_set_total",
@@ -336,6 +346,7 @@ def main() -> None:
     # measured back-to-back — the only comparison the variance study
     # showed to be reliable.  delta_vs_prev (cross-window) stays for
     # continuity but the paired block is the one to read.
+    payload.update(carry_paired)
     paired = os.environ.get("SPARK_GRAFT_BENCH_PAIRED", "")
     if paired and not os.environ.get("_SPARK_GRAFT_BENCH_IS_BASELINE"):
         block = _run_paired_baseline(paired, timings, total)

@@ -83,17 +83,63 @@ def word_frequency_table(df: DataFrame, text_col: str) -> DataFrame:
     return wc.select("word", "cnt", syms.alias("syms"))
 
 
+def _train_local(
+    wordcounts: list[tuple[str, int]],
+    n_merges: int,
+    min_pair_count: int,
+) -> list[tuple[str, str, int]]:
+    """The merge loop over a COLLECTED (word, cnt) table — identical
+    semantics and tie-break to the distributed loop below (pinned by
+    test_bpe.py's forced-distributed differential)."""
+    vocab = {w: list(w) + [EOW] for w, _ in wordcounts}
+    counts = dict(wordcounts)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            c = counts[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + c
+        if not pc:
+            break
+        (a, b), best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if best < min_pair_count:
+            break
+        merges.append((a, b, best))
+        for w in vocab:
+            vocab[w] = _merge_once(vocab[w], a, b)
+    return merges
+
+
+#: Vocabularies at or below this row count train driver-side.  The
+#: word-frequency table is vocabulary-bounded BY CONSTRUCTION (that is
+#: the whole point of the Sennrich formulation) — for any real corpus it
+#: is a centroid-table-class collect, and the driver loop replaces 20
+#: sequential Spark jobs whose cost was pure scheduling latency
+#: (measured: 5.5 s → <1 s at sf0.1 on a 31-word vocab).  Corpora whose
+#: vocab exceeds the limit keep the fully distributed iteration.
+VOCAB_COLLECT_LIMIT = 1_000_000
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str,
     n_merges: int = 20,
     min_pair_count: int = 2,
+    vocab_collect_limit: int = VOCAB_COLLECT_LIMIT,
 ) -> list[tuple[str, str, int]]:
     """Learn ``n_merges`` BPE merges from the corpus.  Returns the
     ordered merge table [(left, right, weighted_pair_count), ...] —
     ranks are list positions.  Stops early when the best remaining pair
     occurs fewer than ``min_pair_count`` times (weighted by word
-    frequency)."""
+    frequency).
+
+    The corpus is scanned ONCE (the distributed word-frequency
+    aggregate).  The merge loop then runs driver-side when the vocab
+    fits ``vocab_collect_limit`` (the common case — vocabulary-bounded
+    input is the premise of the algorithm), else distributed with one
+    argmax row per round."""
     from hotdog_spark.dist import ensure_shipped
 
     ensure_shipped(df.sparkSession)
@@ -106,6 +152,11 @@ def bpe_train(
     # (the standard iterative-algorithm posture, same reason MLlib's
     # iterative trainers checkpoint).
     wc = word_frequency_table(df, text_col).localCheckpoint(eager=True)
+    if wc.count() <= vocab_collect_limit:
+        rows = wc.select("word", "cnt").collect()
+        return _train_local(
+            [(r["word"], int(r["cnt"])) for r in rows], n_merges, min_pair_count
+        )
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         # size >= 2 guard: a fully-merged word is one symbol, and Spark's

@@ -132,3 +132,17 @@ def test_every_registered_query_has_an_oracle():
 
     missing = sorted(set(all_queries()) - set(all_oracles()))
     assert missing == [], f"registered without DuckDB oracle: {missing}"
+
+
+def test_driver_and_distributed_training_paths_agree(spark):
+    """The driver-side merge loop (vocab fits VOCAB_COLLECT_LIMIT — the
+    default path) and the fully distributed iteration (forced with
+    vocab_collect_limit=0) must learn IDENTICAL merge tables: same
+    pairs, same order, same weighted counts."""
+    import pandas as pd
+
+    docs = [(i, f"low lower lowest newer new wide doc{i % 7}") for i in range(40)]
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    local = bpe_train(df, "text", n_merges=12)
+    dist = bpe_train(df, "text", n_merges=12, vocab_collect_limit=0)
+    assert local == dist and len(local) == 12
