@@ -634,6 +634,63 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_provenance_report",
+    oracle=f"""
+    WITH ex AS (
+      SELECT doc_id,
+             doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text))
+               AS is_exact_dup
+      FROM documents
+    ), pairs AS ({_MINHASH_PAIRS_SQL}),
+    nd AS (SELECT DISTINCT id_b AS doc_id FROM pairs)
+    SELECT e.doc_id,
+           e.is_exact_dup,
+           (nd.doc_id IS NOT NULL) AS is_near_dup,
+           CASE WHEN e.is_exact_dup THEN 'exact'
+                WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'kept' END AS removal_stage
+    FROM ex e LEFT JOIN nd USING (doc_id)
+    """,
+)
+def dedup_provenance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document dedup PROVENANCE — the audit trail a production
+    corpus wash must keep (why did each document survive or not):
+    exact-duplicate flag (not the min-id of its content-hash group),
+    near-duplicate flag (appears as the larger id in a MinHash-LSH
+    pair), and the first-match removal stage ('exact' wins over
+    'near_dup' wins over 'kept' — the same cascade priority the applied
+    dedup pipeline uses).  Composes the exact-hash aggregate and the
+    LSH pair join, both already oracle-backed; adds one window over the
+    content hash and one left anti-ish join — no new shuffle class."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            != F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+        ).alias("is_exact_dup"),
+    )
+    nd = (
+        ops.minhash_lsh_pairs(docs, "text", "doc_id", bands=8, k=5)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_nd", F.lit(True))
+    )
+    j = ex.join(nd, "doc_id", "left")
+    return j.select(
+        "doc_id",
+        "is_exact_dup",
+        F.coalesce(F.col("_nd"), F.lit(False)).alias("is_near_dup"),
+        F.when(F.col("is_exact_dup"), F.lit("exact"))
+        .when(F.coalesce(F.col("_nd"), F.lit(False)), F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+        .alias("removal_stage"),
+    )
+
+
 #: Sampled-key threshold for the sf10-verifiable fuzzy twin: first two
 #: md5 hex chars < '01' keeps ~1/256 of doc ids (≈ 1,973 of 500 k at
 #: sf10 → 172 k blocked candidates, oracle measured 44 s there).

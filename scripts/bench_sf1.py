@@ -63,6 +63,14 @@ EXTRA = [
     "anomaly_mad_hourly_rates",
     "profile_source_length_histogram",
     "ann_pq_recall_report",
+    # Round-7 additions (bpe_*/kmv/jpeg/fuzzy-sampled/pack-bpe ride the
+    # headline list; these are the non-headline round-7 queries)
+    "dedup_winnowing_pair_stats",
+    "dedup_minhash_components",
+    "dedup_components_best_quality",
+    "decontaminate_semantic_cosine",
+    "bpe_encode_stats",
+    "dedup_provenance_report",
 ]
 
 
@@ -108,6 +116,9 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     queries = entry_mod.queries()
+    from hotdog_spark.queries import bench_only_queries
+
+    queries.update(bench_only_queries())
 
     # same warmup discipline as bench.py
     spark.range(100_000).selectExpr("sum(id)").write.mode("overwrite").format("noop").save()

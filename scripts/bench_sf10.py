@@ -123,6 +123,21 @@ SUBSET = [
     "anomaly_mad_hourly_rates",
     "profile_source_length_histogram",
     "ann_pq_recall_report",
+    # Round-7 additions: the sampled/aggregate twins (same joins as
+    # their excluded full-result siblings), the now-tractable component
+    # queries, BPE (train loop + encode kernel + tokenizer-unit
+    # packing), the KMV sketch merge, and the JPEG decode kernel.
+    "dedup_fuzzy_levenshtein_sampled",
+    "dedup_winnowing_pair_stats",
+    "dedup_minhash_components",
+    "dedup_components_best_quality",
+    "decontaminate_semantic_cosine",
+    "multimodal_jpeg_decode_stats",
+    "agg_distinct_users_kmv_sketch",
+    "bpe_train_merges",
+    "bpe_encode_stats",
+    "pack_bpe_token_bins",
+    "dedup_provenance_report",
 ]
 
 
