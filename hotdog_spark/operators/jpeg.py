@@ -226,11 +226,23 @@ def decode_jpeg_gray(content: bytes):
     """Decode a baseline sequential grayscale JPEG to a height×width
     uint8 numpy array.  Returns None for non-JPEG input; raises
     ValueError on unsupported variants (progressive, multi-component)
-    so unsupported files fail loudly rather than silently wrong."""
-    import numpy as np
-
+    AND on any malformed stream — corruption anywhere (truncated
+    segment, bad huffman table, short magnitude bits) surfaces as the
+    one well-typed error the divert path catches, never a stray
+    IndexError/KeyError/struct.error (pinned by the corruption-fuzz
+    test)."""
     if len(content) < 4 or content[:2] != b"\xff\xd8":
         return None
+    try:
+        return _decode_jpeg_gray(content)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, struct.error) as e:
+        raise ValueError(f"malformed JPEG stream: {type(e).__name__}") from e
+
+
+def _decode_jpeg_gray(content: bytes):
+    import numpy as np
     pos = 2
     quant = None
     huff = {}

@@ -406,3 +406,43 @@ def test_jpeg_property_random_exact_subspace_roundtrips():
             assert np.array_equal(got, want.astype(np.uint8)), (bw, bh, b, c)
 
     check()
+
+
+def test_jpeg_corruption_fuzz_never_silently_wrong():
+    """Deterministic corruption sweep: truncations and single-byte flips
+    of a valid JPEG must either decode to the SAME pixels (flip landed
+    in a don't-care byte), raise ValueError/return None, or at worst
+    produce a differently-valued image — never crash with a non-Error
+    exception and never hang.  Guards the segment walker and bit reader
+    against malformed 100 TB-scale inputs (corrupt blobs are a
+    certainty, and the divert path depends on loud failure)."""
+    from hotdog_spark.operators import jpeg as J
+
+    _, _, data = J.synth_exact_jpeg(17)
+    baseline = J.decode_jpeg_gray(data)
+
+    outcomes = {"ok_same": 0, "rejected": 0, "decoded_diff": 0}
+
+    def probe(blob):
+        try:
+            out = J.decode_jpeg_gray(blob)
+        except ValueError:
+            outcomes["rejected"] += 1
+            return
+        if out is None:
+            outcomes["rejected"] += 1
+        elif out.shape == baseline.shape and (out == baseline).all():
+            outcomes["ok_same"] += 1
+        else:
+            outcomes["decoded_diff"] += 1
+
+    for cut in range(2, len(data), 7):          # truncations
+        probe(data[:cut])
+    for pos in range(0, len(data), 5):          # single-byte flips
+        mutated = bytearray(data)
+        mutated[pos] ^= 0x5A
+        probe(bytes(mutated))
+    # the sweep must exercise the loud-rejection path; ValueError is the
+    # ONLY exception type allowed out (any other type fails the test)
+    assert outcomes["rejected"] > 0
+    assert sum(outcomes.values()) > 50
