@@ -256,6 +256,7 @@ def compile_rule(
     variables = _rule_variables(rule, field_col, msg, iso8601)
 
     output: Column = F.lit("")          # the per-rule output buffer
+    output_set = False                  # did any action write the buffer?
     topic: Column | None = None
     emitted = False
     stopped = False
@@ -268,6 +269,7 @@ def compile_rule(
             break  # forward breaks the action loop (src/connection.rs:210)
         if action.kind == "replace":
             output = compile_template(action.template, variables)
+            output_set = True
         elif action.kind == "merge":
             valid = is_valid_json(msg)
             if isinstance(action.json_value, dict):
@@ -277,6 +279,7 @@ def compile_rule(
                 # Non-object patch: buffer passes through un-merged
                 # (src/connection.rs:317-322).
                 output = F.when(valid, msg).otherwise(output)
+            output_set = True
             fail = ~valid
             merge_fail = fail if merge_fail is None else (merge_fail | fail)
         elif action.kind == "stop":
@@ -290,7 +293,17 @@ def compile_rule(
         terminal = F.lit(False)
 
     if emitted:
-        payload = F.when(output == F.lit(""), msg).otherwise(output)
+        # Empty buffer forwards the raw message.  Build the runtime
+        # comparison only when some action actually wrote the buffer:
+        # with no replace/merge the buffer is statically the '' literal,
+        # and `lit('') == lit('')` trips Spark's trivially-true-predicate
+        # warning twice per run (VERDICT r7 item 6) while folding to the
+        # same constant anyway.
+        payload = (
+            F.when(output == F.lit(""), msg).otherwise(output)
+            if output_set
+            else msg
+        )
         topic_expr = topic
     else:
         # Terminal without forward = drop (stop-only rule, or failed merge).

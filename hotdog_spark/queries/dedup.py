@@ -691,10 +691,32 @@ def dedup_provenance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: Sampled-key threshold for the sf10-verifiable fuzzy twin: first two
-#: md5 hex chars < '01' keeps ~1/256 of doc ids (≈ 1,973 of 500 k at
-#: sf10 → 172 k blocked candidates, oracle measured 44 s there).
-_FUZZY_SAMPLE_THR = "01"
+#: Sampled-key thresholds for the sf10-verifiable fuzzy twin, keyed on
+#: corpus size so the sample is NEVER empty at the driver's sf0.01 gate
+#: (VERDICT r7 item 1: a 1/256 sample of 500 docs yielded 0 pairs — a
+#: vacuous green).  First two md5 hex chars < thr keeps ~int(thr,16)/256
+#: of doc ids:
+#:   n ≤ 1,000   → '20' (1/8):   1 pair at sf0.001, 2 at sf0.01
+#:   n ≤ 10,000  → '04' (1/64):  22 pairs at sf0.1
+#:   n > 10,000  → '01' (1/256): 351 at sf1; ≈1,973 of 500k ids at sf10
+#:                 → 172k blocked candidates, oracle measured 44 s.
+#: All measured against the committed synthetic tables; the tier bound
+#: is derived from count(*) on the SAME table in both engines, so the
+#: Spark query and the DuckDB oracle always pick the same tier.
+_FUZZY_TIERS = ((1_000, "20"), (10_000, "04"))
+_FUZZY_THR_DEFAULT = "01"
+_FUZZY_THR_SQL = (
+    "CASE WHEN (SELECT count(*) FROM documents) <= 1000 THEN '20' "
+    "WHEN (SELECT count(*) FROM documents) <= 10000 THEN '04' "
+    "ELSE '01' END"
+)
+
+
+def _fuzzy_sample_thr(n_docs: int) -> str:
+    for bound, thr in _FUZZY_TIERS:
+        if n_docs <= bound:
+            return thr
+    return _FUZZY_THR_DEFAULT
 
 
 @register(
@@ -710,27 +732,34 @@ _FUZZY_SAMPLE_THR = "01"
            levenshtein(a.text, b.text) AS dist
     FROM blocked a JOIN blocked b ON a.n = b.n AND a.t0 = b.t0
     WHERE a.doc_id < b.doc_id
-      AND substring(md5(CAST(a.doc_id AS VARCHAR)), 1, 2) < '{_FUZZY_SAMPLE_THR}'
+      AND substring(md5(CAST(a.doc_id AS VARCHAR)), 1, 2)
+          < ({_FUZZY_THR_SQL})
       AND levenshtein(a.text, b.text) <= 120
     """,
 )
 def dedup_fuzzy_levenshtein_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampled-key twin of dedup_fuzzy_levenshtein (VERDICT r6 item 3):
     the SAME blocking + exact-Levenshtein semantics, restricted to pairs
-    whose lower doc id falls in a deterministic md5 1/256 sample.  The
-    full query's oracle is measured-intractable at sf10 (every blocked
+    whose lower doc id falls in a deterministic md5 sample.  The full
+    query's oracle is measured-intractable at sf10 (every blocked
     candidate pays an O(len²) edit distance); the sampled population
     keeps the verification honest at every scale — same trick as the
-    LSH recall reports' sample-bounded ground truth."""
+    LSH recall reports' sample-bounded ground truth.
+
+    The sample fraction is corpus-size-keyed (VERDICT r7 item 1) so the
+    result is nonempty at every verified scale: both the Spark side
+    (a count() here — parquet-footer cheap) and the oracle (a scalar
+    count(*) subquery) derive the tier from the same table, so they
+    cannot disagree."""
     from hotdog_spark.operators.dedup import fuzzy_pairs_levenshtein
 
+    docs = table(spark, sf_dir, "documents")
+    thr = _fuzzy_sample_thr(docs.count())
     sampled = (
-        F.substring(F.md5(F.col("id").cast("string")), 1, 2)
-        < F.lit(_FUZZY_SAMPLE_THR)
+        F.substring(F.md5(F.col("id").cast("string")), 1, 2) < F.lit(thr)
     )
     return fuzzy_pairs_levenshtein(
-        table(spark, sf_dir, "documents"), "text", "doc_id",
-        max_dist=120, left_filter=sampled,
+        docs, "text", "doc_id", max_dist=120, left_filter=sampled,
     )
 
 

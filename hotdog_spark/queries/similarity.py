@@ -6,7 +6,7 @@ are bit-identical across engines (see operators/similarity.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hotdog_spark.operators import similarity as ops
@@ -389,6 +389,30 @@ FROM tot"""
     )
 
 
+#: Exactness bound for the ppm diversity report: 10^6 * N^2 must stay
+#: within signed-64 (9.22e18), so N ≤ ~3.03e6; enforced in-plan below.
+#: DuckDB needs no twin guard — its bigint multiply already raises on
+#: overflow, which is exactly the loud failure the Spark side now matches.
+_CLUSTER_PPM_N_BOUND = 3_000_000
+
+
+def _guarded_simpson_ppm() -> Column:
+    """simpson_ppm with the exactness bound enforced in-plan: raises via
+    ``raise_error`` (on whichever executor evaluates the aggregate row)
+    when n_vectors exceeds _CLUSTER_PPM_N_BOUND, instead of letting the
+    10^6·N² bigint multiply wrap silently.  Split out so the guard can
+    be unit-tested on a synthetic over-bound row without materializing
+    3e6 vectors (tests/test_ops.py::test_cluster_ppm_guard_fires)."""
+    return F.expr(
+        f"CASE WHEN n_vectors > {_CLUSTER_PPM_N_BOUND} THEN "
+        f"raise_error(concat('corpus_cluster_diversity: n_vectors=', "
+        f"CAST(n_vectors AS STRING), ' exceeds the {_CLUSTER_PPM_N_BOUND} "
+        f"exact-bigint bound (10^6*N^2 overflows); shard the report by "
+        f"corpus slice')) "
+        f"ELSE (1000000 * sum_sq_occupancy) div (n_vectors * n_vectors) END"
+    ).alias("simpson_ppm")
+
+
 @register("corpus_cluster_diversity", oracle=_cluster_diversity_oracle())
 def corpus_cluster_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-occupancy diversity report over the k-means assignment —
@@ -408,10 +432,14 @@ def corpus_cluster_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus is never shuffled), then one k-row aggregate of an 8-row
     table.  BIGINT headroom: 10^6·N² caps at 9.2e18 → exact up to
     N ≈ 3·10^6 vectors per report; shard the report by corpus slice
-    beyond that.  Past the bound the engines DIVERGE, not fail
+    beyond that.  Past the bound the engines would DIVERGE, not fail
     together: Spark's non-ANSI bigint multiply wraps silently while
-    DuckDB raises on overflow — so the N-bound is a hard operating
-    limit for this report shape, not a cosmetic caveat."""
+    DuckDB raises on overflow — so the bound is ENFORCED (VERDICT r7
+    item 3): the simpson_ppm expression itself raises via
+    ``raise_error`` when n_vectors exceeds _CLUSTER_PPM_N_BOUND.  The
+    guard lives inside the plan (evaluated on the one aggregate row, no
+    driver collect), so a 100× corpus fails loudly in BOTH engines
+    instead of silently wrapping in one."""
     emb = table(spark, sf_dir, "embeddings")
     assigned, _cents = ops.kmeans_quantized(emb, "embedding", "vec_id", k=8, iters=3)
     occ = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_c"))
@@ -425,9 +453,7 @@ def corpus_cluster_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k_nonempty",
         "n_vectors",
         "sum_sq_occupancy",
-        F.expr("(1000000 * sum_sq_occupancy) div (n_vectors * n_vectors)").alias(
-            "simpson_ppm"
-        ),
+        _guarded_simpson_ppm(),
         F.expr("(1000000 * n_vectors * n_vectors) div sum_sq_occupancy").alias(
             "eff_clusters_ppm"
         ),

@@ -519,17 +519,28 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE c.c_acctbal > (
         SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)
         FROM customer WHERE c_acctbal > 0.0)
-      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderpriority IN ('1-URGENT', '2-HIGH'))
     GROUP BY c_nationkey
     """,
 )
 def q22_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape (c_phone country code absent — nationkey is the
     country bucket): customers richer than the positive-balance average
-    who never ordered.  The average is a one-row broadcast; the NOT EXISTS
-    is a left-anti join against orders."""
+    with no urgent/high-priority order.  The average is a one-row
+    broadcast; the NOT EXISTS is a left-anti join against orders.
+
+    Dormancy predicate tuned to the synthetic generator (VERDICT r7
+    item 1): every sf0.01 customer has at least one order, so the
+    literal never-ordered population is empty at the driver's gate
+    scale.  'Never placed an urgent/high order' keeps the identical
+    anti-join-under-scalar-threshold shape and is nonempty at every
+    verified scale: 1 group at sf0.001, 7 at sf0.01, 25 at
+    sf0.1/sf1/sf10 (measured)."""
     c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
     avg_bal = (
         c.filter(F.col("c_acctbal") > 0.0)
         .agg(
@@ -658,26 +669,34 @@ def q2_best_regional_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l.l_suppkey
       FROM lineitem l
       WHERE l.l_partkey IN (
-        SELECT p_partkey FROM part WHERE p_name LIKE '%green%'
+        SELECT p_partkey FROM part WHERE p_name LIKE '%blue%'
       )
       GROUP BY l.l_suppkey
-      HAVING SUM(CAST(l.l_quantity AS DECIMAL(12,2))) > 400
+      HAVING SUM(CAST(l.l_quantity AS DECIMAL(12,2))) > 1700
     )
     """,
 )
 def q20_heavy_shippers_of_green_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q20 shape: two-level nested IN — an inner IN (green parts)
-    pruning the fact aggregate whose HAVING feeds the outer IN (heavy
-    suppliers), ending in a dim join.  Both INs decorrelate to left-semi
-    joins; the part-side semi is a broadcast, the supplier-side list is a
-    tiny aggregate output."""
-    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%green%"))
+    """TPC-H Q20 shape: two-level nested IN — an inner IN (a part-name
+    family) pruning the fact aggregate whose HAVING feeds the outer IN
+    (heavy suppliers), ending in a dim join.  Both INs decorrelate to
+    left-semi joins; the part-side semi is a broadcast, the supplier-side
+    list is a tiny aggregate output.
+
+    Predicate tuned to the synthetic generator (VERDICT r7 item 1): the
+    original TPC-H '%green%' colour token does not exist in the synthetic
+    ``p_name`` vocabulary (colours are red/blue/…), and per-supplier
+    shipped qty over a 10% name family is scale-stable at ~1.0k-2.8k, so
+    '%blue%' + HAVING > 1700 selects a real, nonempty strict subset at
+    every scale: 2/10 suppliers at sf0.001, 82/100 at sf0.01, 740/1000 at
+    sf0.1, 7,831/10,000 at sf1, 79,716/100,000 at sf10 (measured)."""
+    p = table(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%"))
     l = table(spark, sf_dir, "lineitem")
     heavy = (
         l.join(broadcast(p), l.l_partkey == p.p_partkey, "left_semi")
         .groupBy("l_suppkey")
         .agg(F.sum(_dec(F.col("l_quantity"))).alias("qty"))
-        .filter(F.col("qty") > 400)
+        .filter(F.col("qty") > 1700)
     )
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")

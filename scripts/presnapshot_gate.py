@@ -7,11 +7,15 @@ suite wasn't re-run against the CURRENT data.  This script is the gate:
 
 1. Probe the dtypes the engine depends on (events.ts et al.) directly
    from the parquet footers and fail loudly if they changed.
-2. Re-run the full pytest suite against the current testdata.
+2. Zero-row audit (scripts/zero_row_audit.py): every registered oracle
+   must return >0 rows at the driver's gate scale, or carry an explicit
+   justified waiver — a hash-match over an empty result verifies
+   nothing (VERDICT r7: q20 sat green for six rounds on 0 rows).
+3. Re-run the full pytest suite against the current testdata.
 
 Run it immediately before every end-of-round snapshot:
 
-    python scripts/presnapshot_gate.py          # probe + full suite
+    python scripts/presnapshot_gate.py          # probe + audit + suite
     python scripts/presnapshot_gate.py --probe  # dtype probe only
 
 Exit code 0 = safe to snapshot.
@@ -70,6 +74,14 @@ def main() -> int:
     print(f"dtype probe OK ({len(EXPECTED)} pinned columns x {len(SFS)} SFs)")
     if "--probe" in sys.argv:
         return 0
+    import os
+
+    rc = subprocess.call(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "zero_row_audit.py")]
+    )
+    if rc != 0:
+        print("presnapshot gate: RED (zero-row audit)")
+        return rc
     rc = subprocess.call([sys.executable, "-m", "pytest", "tests/", "-q"])
     print("presnapshot gate:", "GREEN — safe to snapshot" if rc == 0 else "RED")
     return rc

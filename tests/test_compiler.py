@@ -527,3 +527,39 @@ def test_actions_after_forward_are_skipped(spark):
     )
     out = route(spark, settings, ["plain line"])
     assert out["plain line"] == ("t", "plain line")
+
+
+def test_forward_only_rule_builds_no_trivially_true_predicate(spark, canonical):
+    """A forward-only rule's buffer is statically the '' literal; the
+    compiler must forward msg directly rather than emit a
+    `lit('') == lit('')` comparison, which trips Spark's
+    trivially-true-predicate warning twice per run (VERDICT r7 item 6)."""
+    from hotdog_spark.plans.compiler import compile_cascade
+
+    cascade = compile_cascade(canonical)
+    expr = str(cascade.payload)
+    assert "('' = '')" not in expr
+    # the replace rule (rule 0) keeps its runtime empty-buffer check
+    assert " = '')" in expr or "= )" not in expr
+
+
+def test_forward_only_payload_still_forwards_raw_msg(spark):
+    """Semantics unchanged by the trivially-true fix: no replace/merge
+    → the raw message is the payload."""
+    import hotdog_spark.config as cfg
+
+    settings = cfg.load_dict(
+        {
+            "global": {"listen": {"port": 1}},
+            "rules": [
+                {
+                    "regex": ".*",
+                    "field": "msg",
+                    "actions": [{"type": "forward", "topic": "raw"}],
+                }
+            ],
+        },
+        environ={},
+    )
+    out = route(spark, settings, ["untouched payload"])
+    assert out["untouched payload"] == ("raw", "untouched payload")
