@@ -144,6 +144,7 @@ HEADLINE = [
     "multimodal_jpeg_decode_stats",     # baseline JPEG huffman+IDCT decode
     "agg_distinct_users_kmv_sketch",    # mergeable KMV sketch, k-array shuffle only
     "pack_bpe_token_bins",              # BPE-token-budget packing (train→encode→pack)
+    "multimodal_jpeg_color_decode_stats",  # 4:2:0 colour JPEG MCU-interleaved decode
 ]
 
 
@@ -172,7 +173,31 @@ def _run_paired_baseline(spec: str, head_timings: dict, head_total: float):
             rnd = (_current_round() or 1) - 1
         short = commit[:8]
         wt = f"/tmp/bench_baseline_{short}"
-        if not os.path.isdir(wt):
+        if os.path.isdir(wt):
+            # A leftover worktree may be dirty (baseline runs write
+            # artifacts into it) or even sitting at a different commit;
+            # silently benching that would mis-attribute the baseline.
+            # Verify HEAD and restore tracked files before reuse.
+            at = subprocess.run(
+                ["git", "-C", wt, "rev-parse", "HEAD"],
+                capture_output=True, text=True,
+            ).stdout.strip()
+            dirty = subprocess.run(
+                ["git", "-C", wt, "status", "--porcelain",
+                 "--untracked-files=no"],
+                capture_output=True, text=True,
+            ).stdout.strip()
+            if at != commit:
+                subprocess.run(
+                    ["git", "-C", wt, "checkout", "--detach", commit],
+                    capture_output=True, text=True, check=True,
+                )
+            if dirty:
+                subprocess.run(
+                    ["git", "-C", wt, "checkout", "--", "."],
+                    capture_output=True, text=True, check=True,
+                )
+        else:
             subprocess.run(
                 ["git", "-C", REPO, "worktree", "add", "--detach", wt, commit],
                 capture_output=True, text=True, check=True,

@@ -231,22 +231,41 @@ def decode_jpeg_gray(content: bytes):
     one well-typed error the divert path catches, never a stray
     IndexError/KeyError/struct.error (pinned by the corruption-fuzz
     test)."""
+    planes = decode_jpeg(content)
+    if planes is None:
+        return None
+    if len(planes) != 1:
+        raise ValueError("only 8-bit single-component supported")
+    return planes[0]
+
+
+def decode_jpeg(content: bytes):
+    """Decode a baseline sequential JPEG (1 or 3 components, any legal
+    sampling factors whose MCU grid tiles the frame exactly) to a list
+    of uint8 planes in SOF component order, each at its NATIVE
+    (subsampled) resolution — for 4:2:0 that is [Y h×w, Cb h/2×w/2,
+    Cr h/2×w/2].  No chroma upsampling and no YCbCr→RGB conversion is
+    applied: both are presentation steps with engine-specific rounding,
+    while the decoded planes are the exact T.81-defined output the
+    oracle can verify.  Same error contract as decode_jpeg_gray."""
     if len(content) < 4 or content[:2] != b"\xff\xd8":
         return None
     try:
-        return _decode_jpeg_gray(content)
+        return _decode_planes(content)
     except ValueError:
         raise
     except (IndexError, KeyError, struct.error) as e:
         raise ValueError(f"malformed JPEG stream: {type(e).__name__}") from e
 
 
-def _decode_jpeg_gray(content: bytes):
+def _decode_planes(content: bytes):
     import numpy as np
     pos = 2
-    quant = None
+    quant: dict[int, list[int]] = {}
     huff = {}
     width = height = None
+    comps = None        # [(component id, h, v, quant table id), ...]
+    scan_sel = None     # component id -> (dc table id, ac table id)
     scan_start = None
     while pos + 4 <= len(content):
         if content[pos] != 0xFF:
@@ -257,15 +276,25 @@ def _decode_jpeg_gray(content: bytes):
         seg_len = struct.unpack(">H", content[pos + 2 : pos + 4])[0]
         body = content[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:
-            if body[0] & 0xF0:
-                raise ValueError("16-bit quant tables unsupported")
-            quant = list(body[1:65])
+            off = 0
+            while off < len(body):          # a DQT can hold several tables
+                if body[off] & 0xF0:
+                    raise ValueError("16-bit quant tables unsupported")
+                quant[body[off] & 0x0F] = list(body[off + 1 : off + 65])
+                off += 65
         elif marker in (0xC1, 0xC2, 0xC3):
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xC0:
             precision, height, width, ncomp = struct.unpack(">BHHB", body[:6])
-            if precision != 8 or ncomp != 1:
-                raise ValueError("only 8-bit single-component supported")
+            if precision != 8 or ncomp not in (1, 3):
+                raise ValueError("only 8-bit 1- or 3-component supported")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                h, v = hv >> 4, hv & 0x0F
+                if not (1 <= h <= 4 and 1 <= v <= 4):
+                    raise ValueError("illegal sampling factor")
+                comps.append((cid, h, v, tq))
         elif marker == 0xC4:
             off = 0
             while off < len(body):
@@ -278,58 +307,190 @@ def _decode_jpeg_gray(content: bytes):
                 )
                 off += 17 + n
         elif marker == 0xDA:
+            ns = body[0]
+            scan_sel = {}
+            for c in range(ns):
+                cid, tt = body[1 + 2 * c : 3 + 2 * c]
+                scan_sel[cid] = (tt >> 4, tt & 0x0F)
             scan_start = pos + 2 + seg_len
             break
         pos += 2 + seg_len
-    if quant is None or width is None or scan_start is None:
+    if not quant or width is None or scan_start is None or comps is None:
         raise ValueError("missing DQT/SOF0/SOS")
-    if width % 8 or height % 8:
-        raise ValueError("dimensions must be multiples of 8")
+    if scan_sel is None or set(scan_sel) != {c[0] for c in comps}:
+        raise ValueError("scan components do not match frame components")
 
-    dc_tab, ac_tab = huff[(0, 0)], huff[(1, 0)]
-    entropy = content[scan_start : content.rfind(b"\xff\xd9")]
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if width % (8 * hmax) or height % (8 * vmax):
+        # honest scope: frames must tile into whole MCUs (no partial-MCU
+        # edge padding); rejected loudly rather than decoded approximately
+        raise ValueError("dimensions must be multiples of the MCU size")
+
+    eoi = content.rfind(b"\xff\xd9")
+    if eoi < scan_start:
+        # rfind returns -1 when EOI is absent (or only appears before the
+        # scan); the old slice [scan_start:-1] silently dropped the final
+        # byte and let a truncated-at-EOI stream decode "cleanly".
+        raise ValueError("missing EOI marker")
+    entropy = content[scan_start:eoi]
     r = _BitReader(entropy)
 
-    # de-zigzagged quant table and IDCT basis
-    qmat = np.zeros((8, 8))
-    for i, (row, col) in enumerate(ZIGZAG):
-        qmat[row, col] = quant[i]
+    # per-quant-table de-zigzag and the shared IDCT basis
+    def dezig(q):
+        m = np.zeros((8, 8))
+        for i, (row, col) in enumerate(ZIGZAG):
+            m[row, col] = q[i]
+        return m
+
+    qmats = {tid: dezig(q) for tid, q in quant.items()}
     u = np.arange(8)
     A = np.cos((2 * u[None, :] + 1) * u[:, None] * np.pi / 16)
     A[0, :] = 1 / np.sqrt(2)
 
-    bw, bh = width // 8, height // 8
-    img = np.zeros((height, width), dtype=np.uint8)
-    prev_dc = 0
-    for b in range(bw * bh):
-        zz = np.zeros(64)
-        s = _read_huff(r, dc_tab)
-        diff = _extend(r.read_bits(s), s) if s else 0
-        prev_dc += diff
-        zz[0] = prev_dc
-        i = 1
-        while i < 64:
-            sym = _read_huff(r, ac_tab)
-            if sym == 0x00:       # EOB
-                break
-            if sym == 0xF0:       # ZRL: 16 zeros
-                i += 16
+    mcux = width // (8 * hmax)
+    mcuy = height // (8 * vmax)
+    planes = []
+    tabs = []
+    for cid, h, v, tq in comps:
+        planes.append(
+            np.zeros((height * v // vmax, width * h // hmax), dtype=np.uint8)
+        )
+        td, ta = scan_sel[cid]
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("scan references missing huffman table")
+        if tq not in qmats:
+            raise ValueError("frame references missing quant table")
+        tabs.append((huff[(0, td)], huff[(1, ta)], qmats[tq]))
+
+    prev_dc = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (cid, h, v, tq) in enumerate(comps):
+                dc_tab, ac_tab, qmat = tabs[ci]
+                for by in range(v):
+                    for bx in range(h):
+                        zz = np.zeros(64)
+                        s = _read_huff(r, dc_tab)
+                        diff = _extend(r.read_bits(s), s) if s else 0
+                        prev_dc[ci] += diff
+                        zz[0] = prev_dc[ci]
+                        i = 1
+                        while i < 64:
+                            sym = _read_huff(r, ac_tab)
+                            if sym == 0x00:       # EOB
+                                break
+                            if sym == 0xF0:       # ZRL: 16 zeros
+                                i += 16
+                                continue
+                            run, size = sym >> 4, sym & 0xF
+                            i += run
+                            if i > 63:
+                                raise ValueError("AC run overflows block")
+                            zz[i] = _extend(r.read_bits(size), size)
+                            i += 1
+                        F = np.zeros((8, 8))
+                        for i, (row, col) in enumerate(ZIGZAG):
+                            F[row, col] = zz[i]
+                        F *= qmat
+                        block = 0.25 * (A.T @ F @ A)
+                        px = np.clip(np.round(block + 128), 0, 255).astype(
+                            np.uint8
+                        )
+                        py = (my * v + by) * 8
+                        pxo = (mx * h + bx) * 8
+                        planes[ci][py : py + 8, pxo : pxo + 8] = px
+    return planes
+
+
+#: Component layout of the colour writer: (h, v, quant table id,
+#: huffman table id) per SOF position — Y at 2×2 (4:2:0), chroma shares
+#: one table pair distinct from luma's, as real encoders emit.
+_COLOR_SAMPLING = ((2, 2, 0, 0), (1, 1, 1, 1), (1, 1, 1, 1))
+
+
+def synth_jpeg_color(width: int, height: int, coefs) -> bytes:
+    """Write a baseline 3-component 4:2:0 JPEG (the dominant real-world
+    shape).  ``coefs(comp, b)`` maps (component index 0=Y/1=Cb/2=Cr,
+    row-major PLANE block index) -> {(row, col): dequantized coefficient,
+    multiple of QUANT}.  Real structure throughout: two DQT tables (luma
+    id 0, chroma id 1), four DHT tables (dc/ac × luma/chroma), MCU-
+    interleaved entropy coding (per MCU: 4 Y blocks raster, then Cb,
+    then Cr), and an independent DC predictor per component — the parts
+    a colour decoder must get right beyond grayscale."""
+    assert width % 16 == 0 and height % 16 == 0, "whole 4:2:0 MCUs"
+    mcux, mcuy = width // 16, height // 16
+
+    out = bytearray(b"\xff\xd8")                                   # SOI
+    dqt = (
+        bytes([0x00]) + bytes([QUANT] * 64)
+        + bytes([0x01]) + bytes([QUANT] * 64)
+    )
+    out += b"\xff\xdb" + struct.pack(">H", len(dqt) + 2) + dqt     # DQT ×2
+    sof = struct.pack(">BHHB", 8, height, width, 3)
+    for pos_, (cid, (h, v, tq, _th)) in enumerate(
+        zip((1, 2, 3), _COLOR_SAMPLING)
+    ):
+        sof += bytes([cid, (h << 4) | v, tq])
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof     # SOF0
+    out += _dht(0, 0, _DC_COUNTS, _DC_ORDER)                       # DHT dc-Y
+    out += _dht(1, 0, _AC_COUNTS, _AC_ORDER)                       # DHT ac-Y
+    out += _dht(0, 1, _DC_COUNTS, _DC_ORDER)                       # DHT dc-C
+    out += _dht(1, 1, _AC_COUNTS, _AC_ORDER)                       # DHT ac-C
+    sos = bytes([3])
+    for cid, (_h, _v, _tq, th) in zip((1, 2, 3), _COLOR_SAMPLING):
+        sos += bytes([cid, (th << 4) | th])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos     # SOS
+
+    w = _BitWriter()
+    prev_dc = [0, 0, 0]
+
+    def _encode_block(comp: int, b: int) -> None:
+        fmap = coefs(comp, b)
+        zz = [0] * 64
+        for rc, f in fmap.items():
+            assert f % QUANT == 0, "exactness contract: F multiple of QUANT"
+            zz[_ZZ_OF[rc]] = f // QUANT
+        diff = zz[0] - prev_dc[comp]
+        prev_dc[comp] = zz[0]
+        s = _bit_size(diff)
+        code, ln = _DC_ENC[s]
+        w.write(code, ln)
+        if s:
+            w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for i in range(1, last_nz + 1):
+            v = zz[i]
+            if v == 0:
+                run += 1
                 continue
-            run, size = sym >> 4, sym & 0xF
-            i += run
-            if i > 63:
-                raise ValueError("AC run overflows block")
-            zz[i] = _extend(r.read_bits(size), size)
-            i += 1
-        F = np.zeros((8, 8))
-        for i, (row, col) in enumerate(ZIGZAG):
-            F[row, col] = zz[i]
-        F *= qmat
-        block = 0.25 * (A.T @ F @ A)
-        px = np.clip(np.round(block + 128), 0, 255).astype(np.uint8)
-        by, bx = divmod(b, bw)
-        img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
-    return img
+            while run >= 16:
+                code, ln = _AC_ENC[0xF0]
+                w.write(code, ln)
+                run -= 16
+            s = _bit_size(v)
+            code, ln = _AC_ENC[(run << 4) | s]
+            w.write(code, ln)
+            w.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            code, ln = _AC_ENC[0x00]
+            w.write(code, ln)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for comp, (h, v, _tq, _th) in enumerate(_COLOR_SAMPLING):
+                bwc = mcux * h           # plane blocks per row
+                for by in range(v):
+                    for bx in range(h):
+                        b = (my * v + by) * bwc + (mx * h + bx)
+                        _encode_block(comp, b)
+    w.flush()
+    out += w.out
+    out += b"\xff\xd9"                                             # EOI
+    return bytes(out)
 
 
 # ---- the closed-form fixture family (shared by query + oracle) ----
@@ -355,6 +516,91 @@ def synth_exact_jpeg(doc_id: int) -> tuple[int, int, bytes]:
         bw * 8, bh * 8, lambda b: exact_block_coefs(doc_id, b)
     )
     return bw * 8, bh * 8, data
+
+
+def exact_color_block_coefs(doc_id: int, comp: int, b: int) -> dict:
+    """Per-(component, plane block) coefficients in the exact-IDCT
+    subspace, closed-form from (doc_id, component index, block index) —
+    the SQL oracle recomputes these.  Same rational subspace as the
+    grayscale family, keyed by component so Y/Cb/Cr carry distinct
+    content (a swapped chroma plane or crossed DC predictor shifts the
+    stats)."""
+    g = doc_id * 7 + b * 13 + comp * 37
+    return {
+        (0, 0): ((g % 64) - 32) * 8,
+        (4, 0): ((g % 16) - 8) * 8,
+        (0, 4): (((g // 3) % 16) - 8) * 8,
+        (4, 4): (((g // 5) % 8) - 4) * 8,
+    }
+
+
+def synth_exact_color_jpeg(doc_id: int) -> tuple[int, int, bytes]:
+    """(width, height, jpeg bytes) for one document id — a 4:2:0 colour
+    frame of 1-6 MCUs."""
+    mx = doc_id % 3 + 1
+    my = doc_id % 2 + 1
+    data = synth_jpeg_color(
+        mx * 16, my * 16,
+        lambda comp, b: exact_color_block_coefs(doc_id, comp, b),
+    )
+    return mx * 16, my * 16, data
+
+
+_COMP_NAMES = ("Y", "Cb", "Cr")
+
+
+def jpeg_color_decode_stats(df, id_col: str):
+    """Spark stage: per row synthesize the exact-subspace 4:2:0 colour
+    JPEG, decode it with the REAL general decoder (MCU interleave,
+    per-component predictors/tables, chroma at native resolution), and
+    emit one integer-stats row per (media, component).  Arrow-batched
+    mapInPandas; images are ~1 KB, so batch memory is rows × O(1).  At
+    100 TB the same kernel reads a binary `content` column instead of
+    synthesizing — the plumbing (schema, batching, per-plane stats) is
+    identical."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from hotdog_spark.dist import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("component", StringType()),
+            StructField("width", LongType()),
+            StructField("height", LongType()),
+            StructField("n_pixels", LongType()),
+            StructField("sum_val", LongType()),
+            StructField("min_val", LongType()),
+            StructField("max_val", LongType()),
+        ]
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "component", "width", "height", "n_pixels",
+                "sum_val", "min_val", "max_val",
+            )}
+            for did in pdf[id_col]:
+                did = int(did)
+                _w, _h, data = synth_exact_color_jpeg(did)
+                planes = decode_jpeg(data)
+                for name, plane in zip(_COMP_NAMES, planes):
+                    rows["media_id"].append(did)
+                    rows["component"].append(name)
+                    rows["height"].append(int(plane.shape[0]))
+                    rows["width"].append(int(plane.shape[1]))
+                    rows["n_pixels"].append(int(plane.size))
+                    rows["sum_val"].append(int(plane.sum()))
+                    rows["min_val"].append(int(plane.min()))
+                    rows["max_val"].append(int(plane.max()))
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col).mapInPandas(kernel, schema)
 
 
 def jpeg_decode_stats(df, id_col: str):

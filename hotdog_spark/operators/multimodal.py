@@ -71,31 +71,54 @@ def decode_image(content: bytes) -> dict:
     """REAL image pixel decode (stdlib+numpy; no codec library needed).
 
     PNG is fully decoded — IDAT zlib inflate + per-row unfilter per the
-    public PNG spec (see :func:`decode_png`) — and baseline grayscale
-    JPEG through the full entropy + IDCT pipeline (see
-    :mod:`hotdog_spark.operators.jpeg`), both returning raw row-major
-    interleaved samples.  Raises ``ValueError`` for formats that would
-    need an external codec (WebP, progressive/chroma JPEG, ...), which
-    keeps the failure loud instead of silently fake.
+    public PNG spec (see :func:`decode_png`) — and baseline JPEG
+    (grayscale AND 3-component 4:2:0 colour) through the full entropy +
+    IDCT pipeline (see :mod:`hotdog_spark.operators.jpeg`), both
+    returning raw row-major interleaved samples.  Colour JPEG chroma is
+    upsampled to full resolution by EXACT sample replication (an
+    integer op, deterministic in every engine) and emitted as
+    interleaved YCbCr — deliberately NOT converted to RGB, whose
+    fixed-point rounding is implementation-defined.  Raises
+    ``ValueError`` for formats that would need an external codec
+    (WebP, progressive JPEG, ...), which keeps the failure loud instead
+    of silently fake.
     """
     out = decode_png(content)
     if out is not None:
         return out
     if content[:2] == b"\xff\xd8":
-        from hotdog_spark.operators.jpeg import decode_jpeg_gray
+        import numpy as np
 
-        img = decode_jpeg_gray(content)  # raises ValueError on variants
+        from hotdog_spark.operators.jpeg import decode_jpeg
+
+        planes = decode_jpeg(content)  # raises ValueError on variants
+        y = planes[0]
+        h, w = y.shape
+        if len(planes) == 1:
+            return {
+                "width": int(w),
+                "height": int(h),
+                "channels": 1,
+                "bit_depth": 8,
+                "pixels": y.tobytes(),
+            }
+        ups = [y] + [
+            np.repeat(
+                np.repeat(p, h // p.shape[0], axis=0), w // p.shape[1], axis=1
+            )
+            for p in planes[1:]
+        ]
         return {
-            "width": int(img.shape[1]),
-            "height": int(img.shape[0]),
-            "channels": 1,
+            "width": int(w),
+            "height": int(h),
+            "channels": 3,
             "bit_depth": 8,
-            "pixels": img.tobytes(),
+            "pixels": np.stack(ups, axis=-1).tobytes(),
         }
     raise ValueError(
         "unsupported or malformed image payload: PNG (8-bit, "
-        "non-interlaced, color types 0/2/4/6) and baseline grayscale "
-        "JPEG decode with stdlib+numpy"
+        "non-interlaced, color types 0/2/4/6) and baseline JPEG "
+        "(grayscale + 4:2:0 colour) decode with stdlib+numpy"
     )
 
 

@@ -67,9 +67,20 @@ def _seed_cte() -> str:
 )"""
 
 
-def _round_ctes(r: int) -> str:
+def _round_ctes(r: int, min_pair_count: int = 2) -> str:
     """One merge round: pair counts over the symbol lists (weighted by
-    word frequency), argmax with the total-order tie-break, rewrite."""
+    word frequency), argmax with the total-order tie-break, rewrite.
+
+    The argmax carries the engine's early-stop threshold (``bpe_train``
+    default min_pair_count=2, operators/bpe.py:107): without the HAVING,
+    the oracle would keep merging pc=1 pairs after the engine stopped —
+    and once b{r} is empty, the un-coalesced scalar subqueries would
+    turn ``replace(s, NULL, NULL)`` into NULL and poison every
+    downstream encode row.  The coalesce fallback pattern is a triple
+    separator, which can never occur (symbols are non-empty, boundaries
+    are single/double SEP), so an empty b{r} passes s through unchanged
+    and every later round stays empty too — matching the engine's
+    break."""
     return f"""b{r} AS MATERIALIZED (
   WITH e{r} AS (
     SELECT cnt, l, unnest(range(1, len(l))) AS i
@@ -79,13 +90,16 @@ def _round_ctes(r: int) -> str:
   )
   SELECT l[i] AS a, l[i + 1] AS b, sum(cnt)::BIGINT AS pc
   FROM e{r} GROUP BY 1, 2
+  HAVING sum(cnt) >= {min_pair_count}
   ORDER BY pc DESC, a ASC, b ASC LIMIT 1
 ),
 w{r + 1} AS MATERIALIZED (
   SELECT word, cnt,
          replace(s,
-                 (SELECT {_S1} || a || {_S2} || b || {_S1} FROM b{r}),
-                 (SELECT {_S1} || a || b || {_S1} FROM b{r})) AS s
+                 coalesce((SELECT {_S1} || a || {_S2} || b || {_S1}
+                           FROM b{r}), {_S1} || {_S1} || {_S1}),
+                 coalesce((SELECT {_S1} || a || b || {_S1} FROM b{r}),
+                          {_S1} || {_S1} || {_S1})) AS s
   FROM w{r}
 )"""
 

@@ -427,3 +427,64 @@ def multimodal_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hotdog_spark.operators.jpeg import jpeg_decode_stats
 
     return jpeg_decode_stats(table(spark, sf_dir, "documents"), "doc_id")
+
+
+@register(
+    "multimodal_jpeg_color_decode_stats",
+    oracle="""
+    WITH imgs AS (
+      SELECT doc_id, doc_id % 3 + 1 AS mx, doc_id % 2 + 1 AS my FROM documents
+    ), comps AS (
+      SELECT doc_id, c.comp, c.name,
+             CASE WHEN c.comp = 0 THEN mx * 2 ELSE mx END AS bw,
+             CASE WHEN c.comp = 0 THEN my * 2 ELSE my END AS bh
+      FROM imgs, LATERAL (SELECT unnest([0, 1, 2]) AS comp,
+                                 unnest(['Y', 'Cb', 'Cr']) AS name) c
+    ), blocks AS (
+      SELECT doc_id, comp, name, bw, bh,
+             doc_id * 7 + b.b * 13 + comp * 37 AS g
+      FROM comps,
+        LATERAL (SELECT unnest(generate_series(0, bw * bh - 1)) AS b) b
+    ), coef AS (
+      SELECT doc_id, name, bw, bh,
+             ((g % 64) - 32) * 8 AS f00,
+             ((g % 16) - 8) * 8 AS f40,
+             (((g // 3) % 16) - 8) * 8 AS f04,
+             (((g // 5) % 8) - 4) * 8 AS f44
+      FROM blocks
+    ), vals AS (
+      SELECT doc_id, name, bw, bh,
+             128 + (f00 + ex.e * f40 + ey.e * f04 + ex.e * ey.e * f44) // 8 AS v
+      FROM coef,
+        LATERAL (SELECT unnest([1, -1]) AS e) ex,
+        LATERAL (SELECT unnest([1, -1]) AS e) ey
+    )
+    SELECT doc_id AS media_id,
+           name AS component,
+           CAST(bw * 8 AS BIGINT) AS width,
+           CAST(bh * 8 AS BIGINT) AS height,
+           CAST(bw * bh * 64 AS BIGINT) AS n_pixels,
+           CAST(SUM(v) * 16 AS BIGINT) AS sum_val,
+           CAST(MIN(v) AS BIGINT) AS min_val,
+           CAST(MAX(v) AS BIGINT) AS max_val
+    FROM vals GROUP BY doc_id, name, bw, bh
+    """,
+)
+def multimodal_jpeg_color_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 3-component 4:2:0 colour JPEG decode end-to-end — the
+    dominant real-world image shape (VERDICT r7 item 4).  Per row,
+    synthesize an actual colour JPEG (two DQT tables, four DHT tables,
+    MCU-interleaved entropy coding, independent per-component DC
+    predictors) and DECODE it through the general multi-component
+    pipeline, emitting exact integer stats per plane at its NATIVE
+    subsampled resolution (Y at w×h, Cb/Cr at w/2×h/2 — no chroma
+    upsampling or RGB conversion, which are presentation steps with
+    engine-specific rounding).  Oracle-checkable for the same reason as
+    the grayscale family: each component's fixtures live in the
+    exact-IDCT subspace {F00, F40, F04, F44}, closed-form per
+    (doc, component, block), so a crossed chroma table id, a broken MCU
+    traversal, or a shared-instead-of-per-component DC predictor shifts
+    the stats."""
+    from hotdog_spark.operators.jpeg import jpeg_color_decode_stats
+
+    return jpeg_color_decode_stats(table(spark, sf_dir, "documents"), "doc_id")

@@ -36,7 +36,10 @@ for p in sorted(glob.glob("/tmp/sf1_part_*.json")):
     with open(p) as f:
         part = json.load(f)
     for k, v in part.get("queries", {}).items():
-        v["commit"] = HEAD
+        # verify_sf1.py stamps `commit` when the partial is written;
+        # preserve it (ADVICE r7 — merge-time HEAD may be several
+        # commits later) and fall back to HEAD only for old partials.
+        v.setdefault("commit", HEAD)
         merged[k] = v
 
 dropped = sorted(k for k in merged if k not in KNOWN)

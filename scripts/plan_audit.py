@@ -6,6 +6,22 @@ Reproducible evidence that the plans are the ones we designed for, not
 just the first ones that passed:
 
     python scripts/plan_audit.py          # rewrites PLANS.md
+    python scripts/plan_audit.py --check  # regression gate (see below)
+
+``--check`` (VERDICT r7 item 7): PLANS.md was regenerated every round
+but nothing FAILED when a query's exchange/scan/Python counts silently
+grew — the exact class of plan regression the table exists to catch.
+The check parses the full-registry table out of the COMMITTED PLANS.md
+(``git show HEAD:PLANS.md``, so a regenerated working tree cannot mask
+a regression), re-probes every currently registered query, and exits
+nonzero when any query present in both has MORE exchanges, MORE scans,
+or a Python stage where the committed plan had none.  New queries have
+no baseline and pass; decreases pass (and should be re-recorded).
+
+Intentional-change override: ``--allow name1,name2`` (or
+``$SPARK_GRAFT_PLAN_ALLOW``) waives named queries for one run — the
+waiver is printed so it lands in the gate log, and the same commit
+should regenerate PLANS.md so the new shape becomes the baseline.
 """
 
 from __future__ import annotations
@@ -95,7 +111,108 @@ def audit_one(spark, name, fn, sf_dir):
     }
 
 
+_ROW_RE = re.compile(
+    r"^\| `([^`]+)`(?: \^)? \| ([✓✗]) \| (\d+) \| (\d+) \| ([✓✗]) "
+    r"\| (\d+) \| (\d+) \| (\d+) \| (✓|—) \| (yes|—) \|$"
+)
+
+
+def _committed_baseline() -> dict[str, dict]:
+    """Parse the full-registry table out of HEAD's PLANS.md."""
+    import subprocess
+
+    text = subprocess.run(
+        ["git", "-C", REPO, "show", "HEAD:PLANS.md"],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    # rows after the '## Full-registry audit' heading are the inventory;
+    # rows before it are the curated table (same probe values — both
+    # parse fine, the inventory simply overwrites on duplicate names)
+    base: dict[str, dict] = {}
+    for line in text.splitlines():
+        m = _ROW_RE.match(line.strip())
+        if m:
+            base[m.group(1)] = {
+                "scans": int(m.group(4)),
+                "exchanges": int(m.group(8)),
+                "python": m.group(10) == "yes",
+            }
+    if not base:
+        raise RuntimeError("no parsable rows in committed PLANS.md")
+    return base
+
+
+def check(allow: set[str]) -> int:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entry_mod
+
+    base = _committed_baseline()
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("plan-check")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.adaptive.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = entry_mod.queries()
+    from hotdog_spark.queries import bench_only_queries
+
+    queries.update(bench_only_queries())
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+    regressions, new, waived, errors = [], [], [], []
+    for name in sorted(queries):
+        if name not in base:
+            new.append(name)
+            continue
+        if name in allow:
+            waived.append(name)
+            continue
+        try:
+            a = audit_one(spark, name, queries[name], sf_dir)
+        except Exception as e:  # noqa: BLE001 — a now-unplannable query is a regression too
+            errors.append(f"{name}: plan build failed: {type(e).__name__}: {e}")
+            continue
+        b = base[name]
+        msgs = []
+        if a["exchanges"] > b["exchanges"]:
+            msgs.append(f"exchanges {b['exchanges']} -> {a['exchanges']}")
+        if a["scans"] > b["scans"]:
+            msgs.append(f"scans {b['scans']} -> {a['scans']}")
+        if a["python"] and not b["python"]:
+            msgs.append("Python stage appeared in a previously JVM-only plan")
+        if msgs:
+            regressions.append(f"{name}: " + "; ".join(msgs))
+    spark.stop()
+    print(
+        f"plan check: {len(base)} baseline rows, {len(queries)} registered, "
+        f"{len(new)} new (no baseline), {len(waived)} waived, "
+        f"{len(regressions)} regressions, {len(errors)} errors"
+    )
+    for n in waived:
+        print(f"  WAIVED {n} (intentional change — regenerate PLANS.md)")
+    for r in regressions:
+        print(f"  PLAN REGRESSION {r}")
+    for e in errors:
+        print(f"  ERROR {e}")
+    return 1 if (regressions or errors) else 0
+
+
 def main() -> None:
+    if "--check" in sys.argv:
+        i = sys.argv.index("--allow") if "--allow" in sys.argv else -1
+        allow = set()
+        if i >= 0 and i + 1 < len(sys.argv):
+            allow = {n for n in sys.argv[i + 1].split(",") if n}
+        allow |= {
+            n for n in os.environ.get("SPARK_GRAFT_PLAN_ALLOW", "").split(",") if n
+        }
+        sys.exit(check(allow))
+
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entry_mod

@@ -11,7 +11,12 @@ suite wasn't re-run against the CURRENT data.  This script is the gate:
    must return >0 rows at the driver's gate scale, or carry an explicit
    justified waiver — a hash-match over an empty result verifies
    nothing (VERDICT r7: q20 sat green for six rounds on 0 rows).
-3. Re-run the full pytest suite against the current testdata.
+3. Plan-regression check (scripts/plan_audit.py --check): every
+   registered query's exchange/scan/Python counts vs the COMMITTED
+   PLANS.md — silently grown shuffles fail the gate (VERDICT r7 item 7;
+   waive intentional changes with $SPARK_GRAFT_PLAN_ALLOW and
+   regenerate PLANS.md in the same commit).
+4. Re-run the full pytest suite against the current testdata.
 
 Run it immediately before every end-of-round snapshot:
 
@@ -81,6 +86,13 @@ def main() -> int:
     )
     if rc != 0:
         print("presnapshot gate: RED (zero-row audit)")
+        return rc
+    rc = subprocess.call(
+        [sys.executable,
+         os.path.join(os.path.dirname(__file__), "plan_audit.py"), "--check"]
+    )
+    if rc != 0:
+        print("presnapshot gate: RED (plan regression)")
         return rc
     rc = subprocess.call([sys.executable, "-m", "pytest", "tests/", "-q"])
     print("presnapshot gate:", "GREEN — safe to snapshot" if rc == 0 else "RED")

@@ -402,6 +402,21 @@ def main() -> None:
         if not ok:
             bad.append(name)
             print(f"MISMATCH {name}", file=sys.stderr)
+    # Stamp provenance AT RECORD TIME (ADVICE r7): /tmp partials may be
+    # merged several commits later, and the merge scripts previously
+    # re-stamped every row with merge-time HEAD, misattributing which
+    # code produced a record.  The merge scripts now preserve this.
+    try:
+        import subprocess
+
+        head = subprocess.run(
+            ["git", "-C", REPO, "rev-parse", "HEAD"],
+            capture_output=True, text=True, check=True,
+        ).stdout.strip()
+        for r in results.values():
+            r.setdefault("commit", head)
+    except Exception:
+        pass  # provenance is best-effort; the record itself still lands
     n_match = sum(1 for r in results.values() if r["status"] == "match")
     payload = {
         "sf": args.sf,

@@ -146,3 +146,37 @@ def test_driver_and_distributed_training_paths_agree(spark):
     local = bpe_train(df, "text", n_merges=12)
     dist = bpe_train(df, "text", n_merges=12, vocab_collect_limit=0)
     assert local == dist and len(local) == 12
+
+
+def test_oracle_mirrors_engine_early_stop_on_exhausted_pairs(spark):
+    """ADVICE r7: the unrolled oracle must carry the engine's
+    min_pair_count=2 early-stop.  On a corpus whose count>=2 pairs
+    exhaust well before 20 rounds, the engine breaks — the oracle's
+    HAVING must stop at the same round (same merge table), and the
+    encode chain must pass symbols through unchanged afterwards rather
+    than NULL-poisoning every word via replace(s, NULL, NULL)."""
+    import duckdb
+
+    from hotdog_spark.queries._bpe_oracle import (
+        bpe_encode_oracle,
+        bpe_train_oracle,
+    )
+
+    docs = pd.DataFrame(
+        [(1, "ab ab cd"), (2, "qq")], columns=["doc_id", "text"]
+    )
+    df = spark.createDataFrame(docs)
+    got = bpe_train(df, "text", n_merges=20)
+    # count>=2 pairs exhaust after a handful of merges
+    assert 0 < len(got) < 20
+    assert all(pc >= 2 for _, _, pc in got)
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    oracle_rows = con.execute(bpe_train_oracle(20)).fetchall()
+    assert [(a, b, pc) for _, a, b, pc in sorted(oracle_rows)] == got
+
+    enc = con.execute(bpe_encode_oracle(20)).fetchdf()
+    assert enc["n_bpe_tokens"].notna().all()
+    assert (enc["n_bpe_tokens"] > 0).all()
+    con.close()

@@ -446,3 +446,159 @@ def test_jpeg_corruption_fuzz_never_silently_wrong():
     # ONLY exception type allowed out (any other type fails the test)
     assert outcomes["rejected"] > 0
     assert sum(outcomes.values()) > 50
+
+
+# ---- 3-component 4:2:0 colour JPEG (VERDICT r7 item 4) ----
+
+
+def test_jpeg_color_roundtrip_exact_subspace():
+    """Every plane of the 4:2:0 colour fixture must decode to the
+    closed-form pixels: Y at full resolution, Cb/Cr at half, each block
+    carrying its own component-keyed coefficients through the MCU
+    interleave and per-component DC predictors."""
+    import numpy as np
+
+    from hotdog_spark.operators import jpeg as J
+
+    for did in (0, 1, 2, 3, 5, 11, 17):
+        w, h, data = J.synth_exact_color_jpeg(did)
+        planes = J.decode_jpeg(data)
+        assert len(planes) == 3
+        assert planes[0].shape == (h, w)
+        assert planes[1].shape == planes[2].shape == (h // 2, w // 2)
+        for comp, plane in enumerate(planes):
+            bw = plane.shape[1] // 8
+            for b in range(bw * (plane.shape[0] // 8)):
+                coefs = J.exact_color_block_coefs(did, comp, b)
+                f00, f40 = coefs[(0, 0)], coefs[(4, 0)]
+                f04, f44 = coefs[(0, 4)], coefs[(4, 4)]
+                sgn = np.array([1, -1, -1, 1, 1, -1, -1, 1])
+                # pixel(y,x) = 128 + (f00 + s(y)f40 + s(x)f04 + s(y)s(x)f44)/8
+                # — F(4,0) is the VERTICAL u=4 basis (varies along y),
+                # F(0,4) the horizontal one.
+                want = (
+                    128
+                    + (
+                        f00
+                        + sgn[:, None] * f40
+                        + sgn[None, :] * f04
+                        + (sgn[:, None] * sgn[None, :]) * f44
+                    )
+                    // 8
+                ).astype(np.uint8)
+                by, bx = divmod(b, bw)
+                got = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                assert np.array_equal(got, want), (did, comp, b)
+
+
+def test_jpeg_color_per_component_dc_predictors_are_independent():
+    """T.81 F.1.1.5.1: each scan component carries its OWN DC predictor.
+    A frame whose Y DC ramps while chroma stays constant decodes wrongly
+    if the predictors are shared (the chroma would inherit Y's last DC)."""
+    import numpy as np
+
+    from hotdog_spark.operators import jpeg as J
+
+    def coefs(comp, b):
+        if comp == 0:
+            return {(0, 0): 8 * 8 * (b + 1)}  # ramping luma DC
+        return {(0, 0): -64 if comp == 1 else 64}  # flat chroma
+
+    data = J.synth_jpeg_color(32, 16, coefs)
+    y, cb, cr = J.decode_jpeg(data)
+    # Y blocks: value 128 + 8(b+1)
+    for b in range(8):
+        by, bx = divmod(b, 4)
+        assert (y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                == 128 + 8 * (b + 1)).all()
+    assert (cb == 128 - 8).all()
+    assert (cr == 128 + 8).all()
+
+
+def test_jpeg_gray_api_rejects_color_and_color_api_decodes_gray():
+    from hotdog_spark.operators import jpeg as J
+
+    import pytest
+
+    _, _, color = J.synth_exact_color_jpeg(3)
+    with pytest.raises(ValueError, match="single-component"):
+        J.decode_jpeg_gray(color)
+    # the general API handles grayscale as a 1-plane frame
+    _, _, gray = J.synth_exact_jpeg(4)
+    planes = J.decode_jpeg(gray)
+    assert len(planes) == 1
+    import numpy as np
+
+    assert np.array_equal(planes[0], J.decode_jpeg_gray(gray))
+
+
+def test_jpeg_color_corruption_fuzz_never_silently_wrong():
+    """Same single-exception contract as grayscale, over the colour
+    stream: truncations and byte flips → same pixels, ValueError/None,
+    or differently-valued planes — never a stray exception type."""
+    import numpy as np
+
+    from hotdog_spark.operators import jpeg as J
+
+    _, _, data = J.synth_exact_color_jpeg(17)
+    baseline = J.decode_jpeg(data)
+
+    def probe(blob):
+        try:
+            out = J.decode_jpeg(blob)
+        except ValueError:
+            return
+        if out is None or len(out) != 3:
+            return
+        for a, b in zip(out, baseline):
+            if a.shape != b.shape or not (a == b).all():
+                return
+
+    for cut in range(2, len(data), 7):
+        probe(data[:cut])
+    for i in range(0, len(data), 3):
+        for flip in (0x01, 0x80, 0xFF):
+            blob = bytearray(data)
+            blob[i] ^= flip
+            probe(bytes(blob))
+
+
+def test_jpeg_color_missing_eoi_rejected():
+    """ADVICE r7: a stream truncated exactly at the EOI marker must be
+    rejected, not decoded from a silently-shortened entropy slice."""
+    import pytest
+
+    from hotdog_spark.operators import jpeg as J
+
+    _, _, data = J.synth_exact_color_jpeg(5)
+    assert data.endswith(b"\xff\xd9")
+    with pytest.raises(ValueError, match="EOI"):
+        J.decode_jpeg(data[:-2])
+    _, _, gray = J.synth_exact_jpeg(5)
+    with pytest.raises(ValueError, match="EOI"):
+        J.decode_jpeg_gray(gray[:-2])
+
+
+def test_decode_image_color_jpeg_interleaved_ycbcr():
+    """decode_image dispatches colour JPEG: chroma upsampled by exact
+    replication, interleaved YCbCr, channels=3 — and grayscale JPEG
+    stays channels=1."""
+    import numpy as np
+
+    from hotdog_spark.operators import jpeg as J
+    from hotdog_spark.operators.multimodal import decode_image
+
+    _, _, data = J.synth_exact_color_jpeg(7)
+    out = decode_image(data)
+    y, cb, cr = J.decode_jpeg(data)
+    assert (out["width"], out["height"], out["channels"]) == (
+        y.shape[1], y.shape[0], 3,
+    )
+    px = np.frombuffer(out["pixels"], dtype=np.uint8).reshape(
+        out["height"], out["width"], 3
+    )
+    assert np.array_equal(px[:, :, 0], y)
+    # replication: every full-res chroma sample equals its 2x2 source
+    assert np.array_equal(px[::2, ::2, 1], cb)
+    assert np.array_equal(px[1::2, 1::2, 1], cb)
+    assert np.array_equal(px[::2, ::2, 2], cr)

@@ -1748,3 +1748,148 @@ def test_streaming_kmv_sketch_rollup_parity(spark, tmp_path):
         ).collect()
     )
     assert streamed == want and len(streamed) == 2
+
+
+def test_streaming_provenance_report_state_parity(spark, tmp_path):
+    """Streaming dedup provenance (VERDICT r7 item 8): each micro-batch
+    appends its per-doc MERGEABLE signals (content hash + MinHash
+    signature rows — pure map-stage outputs) to state tables via
+    foreachBatch; finalizing the accumulated state must equal the
+    one-shot batch report bit-for-bit, including the first-match-wins
+    removal stage.  Same monoid pattern as the KMV rollup parity."""
+    from hotdog_spark.operators import dedup as D
+
+    near_a = "the quick brown fox jumps over the lazy dog again and again ok"
+    near_b = "the quick brown fox jumps over the lazy dog again and again no"
+    rows = [
+        (1, "an exactly duplicated document body"),
+        (2, "an exactly duplicated document body"),     # exact dup of 1
+        (3, near_a),
+        (4, near_b),                                    # near dup of 3
+        (5, "a completely unrelated singleton text"),
+        (6, near_a),                                    # exact dup of 3
+    ]
+    src = str(tmp_path / "docs")
+    h_state = str(tmp_path / "prov_hashes")
+    s_state = str(tmp_path / "prov_sigs")
+    spark.createDataFrame(rows[:3], "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def sink(batch_df, _bid):
+        hashes, sigs = D.provenance_state(batch_df, "text", "doc_id", bands=4, k=3)
+        hashes.write.mode("append").parquet(h_state)
+        sigs.write.mode("append").parquet(s_state)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(rows[3:], "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = sorted(
+        tuple(r)
+        for r in D.provenance_report_from_state(
+            spark.read.parquet(h_state), spark.read.parquet(s_state)
+        ).collect()
+    )
+    full = spark.createDataFrame(rows, "doc_id long, text string")
+    bh, bs = D.provenance_state(full, "text", "doc_id", bands=4, k=3)
+    want = sorted(
+        tuple(r) for r in D.provenance_report_from_state(bh, bs).collect()
+    )
+    assert streamed == want and len(streamed) == 6
+    by_id = {r[0]: r for r in streamed}
+    assert by_id[2][3] == "exact"           # exact dup of doc 1
+    assert by_id[6][3] == "exact"           # exact wins over near
+    assert by_id[4][3] == "near_dup"        # LSH pair (3,4), larger id
+    assert by_id[1][3] == "kept" and by_id[5][3] == "kept"
+
+
+def test_streaming_bpe_pack_state_parity(spark, tmp_path):
+    """Streaming tokenizer-aware packing (VERDICT r7 item 8): merges are
+    trained once on the static corpus; each micro-batch ENCODES its docs
+    with the frozen merge table (per-doc kernel — delta-sized) and
+    appends (doc_id, lang, n_bpe_tokens) to a state table; finalizing
+    the accumulated state through the packing window must equal the
+    one-shot batch pack_bpe_token_bins composition bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators import bpe
+    from hotdog_spark.operators.sampling import pack_token_budget
+
+    rows = [
+        (1, "low low lower lowest", "en"),
+        (2, "new newer newest low", "en"),
+        (3, "wider wide wide new", "de"),
+        (4, "newest newest wide lower", "de"),
+        (5, "low wide new lowest newer", "en"),
+    ]
+    src = str(tmp_path / "bpe_docs")
+    state = str(tmp_path / "bpe_state")
+    spark.createDataFrame(
+        rows[:2], "doc_id long, text string, lang string"
+    ).coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    full = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    merges = bpe.bpe_train(full, "text", n_merges=10)
+    assert merges
+
+    def pack(stats_df):
+        packed = pack_token_budget(
+            stats_df, "doc_id", "n_bpe_tokens", 12, group_col="lang"
+        )
+        return packed.groupBy("lang", "bin").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bpe_tokens").alias("bin_tokens"),
+        )
+
+    def sink(batch_df, _bid):
+        stats = bpe.bpe_encode_stats(batch_df, "text", "doc_id", merges).select(
+            "doc_id", "n_bpe_tokens"
+        )
+        batch_df.select("doc_id", "lang").join(stats, "doc_id").write.mode(
+            "append"
+        ).parquet(state)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            rows[2:], "doc_id long, text string, lang string"
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = sorted(
+        tuple(r) for r in pack(spark.read.parquet(state)).collect()
+    )
+    stats_full = bpe.bpe_encode_stats(full, "text", "doc_id", merges).select(
+        "doc_id", "n_bpe_tokens"
+    )
+    want = sorted(
+        tuple(r)
+        for r in pack(full.select("doc_id", "lang").join(stats_full, "doc_id")).collect()
+    )
+    assert streamed == want and len(streamed) >= 2
