@@ -145,6 +145,8 @@ HEADLINE = [
     "agg_distinct_users_kmv_sketch",    # mergeable KMV sketch, k-array shuffle only
     "pack_bpe_token_bins",              # BPE-token-budget packing (train→encode→pack)
     "multimodal_jpeg_color_decode_stats",  # 4:2:0 colour JPEG MCU-interleaved decode
+    "matryoshka_truncation_recall",     # embedding-prefix truncation quality report
+    "bpe_fertility_by_lang",            # tokens-per-word tokenizer equity metric
 ]
 
 

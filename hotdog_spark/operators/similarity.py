@@ -98,6 +98,97 @@ def cosine_topk(
     )
 
 
+def matryoshka_overlap(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    probe_filter: Column,
+    k: int = 5,
+    dims: tuple[int, ...] = (16, 32),
+) -> DataFrame:
+    """Matryoshka/truncation quality report (Kusupati et al. 2022,
+    public): for each probe, how many of the FULL-dimension cosine
+    top-k neighbours survive when embeddings are truncated to their
+    first ``d`` components — the measurement behind the "can we store
+    16 of the 64 dims?" compression decision an embedding pipeline
+    makes before re-indexing a corpus.
+
+    Returns (query_id, trunc_dim, k, n_overlap) with n_overlap ∈ [0,k].
+
+    Scale shape: ONE corpus × broadcast-probes pass computes the full
+    score AND every truncated score as extra projection columns
+    (slicing an already-materialized quantized array is free relative
+    to the scan), then one ranking window per scoring — all windows
+    partition on query_id, so they ride a single exchange.  Output is
+    probes × |dims| rows.  Determinism: integer dot/norms from the
+    shared quantization; the double division + IEEE sqrt is the same
+    proven-cross-engine scoring as cosine_topk; a truncated
+    all-zero vector scores the sentinel -2.0 (below any cosine) so
+    rank order never depends on engine NULL placement."""
+    base = with_quantized(df, vec_col, id_col)
+    probes = base.filter(probe_filter).select(
+        F.col("vid").alias("query_id"),
+        F.col("q").alias("q_probe"),
+        F.col("n2").alias("n2_probe"),
+    )
+    pairs = base.crossJoin(broadcast(probes)).filter(
+        (F.col("vid") != F.col("query_id"))
+        & (F.col("n2") > 0)
+        & (F.col("n2_probe") > 0)
+    )
+
+    def _score(qc: Column, qp: Column, n2c: Column, n2p: Column) -> Column:
+        full = _dot(qc, qp).cast("double") / F.sqrt((n2c * n2p).cast("double"))
+        return F.when((n2c == 0) | (n2p == 0), F.lit(-2.0)).otherwise(full)
+
+    score_cols = [
+        _score(F.col("q"), F.col("q_probe"), F.col("n2"), F.col("n2_probe")).alias(
+            "s_full"
+        )
+    ]
+    for d in dims:
+        qc, qp = F.slice(F.col("q"), 1, d), F.slice(F.col("q_probe"), 1, d)
+        score_cols.append(
+            _score(qc, qp, _norm2(qc), _norm2(qp)).alias(f"s_{d}")
+        )
+    scored = pairs.select(
+        "query_id", F.col("vid").alias("neighbor_id"), *score_cols
+    )
+
+    def _topk(col: str) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col(col).desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= k)
+            .select("query_id", "neighbor_id")
+        )
+
+    full_top = _topk("s_full")
+    out = None
+    for d in dims:
+        overlap = (
+            full_top.join(_topk(f"s_{d}"), ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_overlap"))
+        )
+        rep = (
+            probes.select("query_id")
+            .join(overlap, "query_id", "left")
+            .select(
+                "query_id",
+                F.lit(d).cast("int").alias("trunc_dim"),
+                F.lit(k).cast("int").alias("k"),
+                F.coalesce(F.col("n_overlap"), F.lit(0))
+                .cast("bigint")
+                .alias("n_overlap"),
+            )
+        )
+        out = rep if out is None else out.unionByName(rep)
+    return out
+
+
 def sign_bucket(qvec: Column, bits: int = 4) -> Column:
     """LSH bucket key: concatenated sign bits of the first ``bits``
     quantized components ('1' for ≥0, '0' for <0)."""

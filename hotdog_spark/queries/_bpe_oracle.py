@@ -176,3 +176,20 @@ def bpe_pack_oracle(n_merges: int = 20, budget: int = 4096) -> str:
        CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
 FROM packed GROUP BY lang, bin"""
     return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+def bpe_fertility_oracle(n_merges: int = 20) -> str:
+    """Oracle for ``bpe_fertility_by_lang``: per-language totals off the
+    encode chain plus the exact scaled-integer fertility ratio
+    (tokens-per-word in ppm — floor division over bigints, so the ratio
+    itself hash-matches; a float division would not)."""
+    ctes = _encode_ctes(n_merges)
+    final = """SELECT d.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(coalesce(a.n_words, 0)) AS BIGINT) AS n_words,
+       CAST(SUM(coalesce(a.n_bpe_tokens, 0)) AS BIGINT) AS n_bpe_tokens,
+       CAST((1000000 * SUM(coalesce(a.n_bpe_tokens, 0)))
+            // SUM(coalesce(a.n_words, 0)) AS BIGINT) AS fertility_ppm
+FROM documents d LEFT JOIN agg a USING (doc_id)
+GROUP BY d.lang"""
+    return "WITH " + ",\n".join(ctes) + "\n" + final

@@ -389,6 +389,87 @@ FROM tot"""
     )
 
 
+def _matryoshka_oracle(k: int = 5, dims: tuple[int, ...] = (16, 32)) -> str:
+    """Per-dim replay of matryoshka_overlap: one pairs CTE carrying the
+    full score plus every truncated score (list slices of the SAME
+    quantized vectors), one ranking per scoring, overlap counts
+    LEFT-joined back to probes so zero-overlap probes still emit."""
+    sdim_cols = []
+    for d in dims:
+        dot = (
+            f"list_sum(list_transform(list_zip(c.qv[1:{d}], p.qp[1:{d}]), "
+            f"s -> s[1] * s[2]))"
+        )
+        n2c = f"list_sum(list_transform(c.qv[1:{d}], x -> x * x))"
+        n2p = f"list_sum(list_transform(p.qp[1:{d}], x -> x * x))"
+        sdim_cols.append(
+            f"CASE WHEN ({n2c}) = 0 OR ({n2p}) = 0 THEN -2.0\n"
+            f"  ELSE CAST({dot} AS DOUBLE) / sqrt(CAST(({n2c}) * ({n2p}) AS DOUBLE))\n"
+            f"  END AS s_{d}"
+        )
+    tops = [
+        f"""t_{d} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY s_{d} DESC, neighbor_id) AS r
+    FROM pairs) q WHERE r <= {k}
+),
+o_{d} AS (
+  SELECT query_id, COUNT(*) AS n_overlap
+  FROM tf JOIN t_{d} USING (query_id, neighbor_id) GROUP BY query_id
+)"""
+        for d in dims
+    ]
+    finals = "\nUNION ALL\n".join(
+        f"SELECT p.query_id, CAST({d} AS INTEGER) AS trunc_dim, "
+        f"CAST({k} AS INTEGER) AS k, "
+        f"CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap "
+        f"FROM probes p LEFT JOIN o_{d} o USING (query_id)"
+        for d in dims
+    )
+    return f"""
+    WITH n AS (
+      SELECT vec_id, {_QUANT} AS qv,
+             list_sum(list_transform({_QUANT}, x -> x * x)) AS n2
+      FROM embeddings
+    ), probes AS (
+      SELECT vec_id AS query_id, qv AS qp, n2 AS n2p FROM n WHERE vec_id < 10
+    ), pairs AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(list_zip(c.qv, p.qp), s -> s[1] * s[2])) AS DOUBLE)
+               / sqrt(CAST(c.n2 * p.n2p AS DOUBLE)) AS s_full,
+             {", ".join(sdim_cols)}
+      FROM n c, probes p
+      WHERE c.vec_id != p.query_id AND c.n2 > 0 AND p.n2p > 0
+    ), tf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY s_full DESC, neighbor_id) AS r
+        FROM pairs) q WHERE r <= {k}
+    ),
+    {",".join(tops)}
+    {finals}"""
+
+
+@register("matryoshka_truncation_recall", oracle=_matryoshka_oracle())
+def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-truncation quality report (Matryoshka representation
+    learning, Kusupati et al. 2022 — public): per probe, how many of
+    the full-64-dim cosine top-5 neighbours survive at the first 16 and
+    first 32 dims — the measurement behind storing a prefix of each
+    embedding (4× / 2× cheaper index) instead of the full vector.  One
+    corpus × broadcast-probes pass scores every dim variant as extra
+    projection columns; all ranking windows share the query_id
+    exchange; output is 10 probes × 2 dims of exact integers."""
+    emb = table(spark, sf_dir, "embeddings")
+    return ops.matryoshka_overlap(
+        emb, "embedding", "vec_id", probe_filter=F.col("vid") < 10, k=5,
+        dims=(16, 32),
+    )
+
+
 #: Exactness bound for the ppm diversity report: 10^6 * N^2 must stay
 #: within signed-64 (9.22e18), so N ≤ ~3.03e6; enforced in-plan below.
 #: DuckDB needs no twin guard — its bigint multiply already raises on

@@ -899,6 +899,35 @@ def pack_bpe_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("bpe_fertility_by_lang", oracle=_bpe.bpe_fertility_oracle(20))
+def bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY by language — BPE tokens per word, the
+    standard multilingual-tokenizer equity metric (a language whose
+    fertility is 2× pays 2× the context budget per sentence; tokenizer
+    papers report it before training commits to a vocab).  Composes the
+    oracle-backed train → encode chain with one lang-keyed aggregate;
+    the ratio is emitted as scaled-integer ppm via exact bigint floor
+    division, so the metric itself hash-matches cross-engine (a float
+    ratio would not).  Plan shape: the trainer's bounded loop + one
+    corpus encode kernel + one doc-keyed join + one 10-row aggregate."""
+    from hotdog_spark.operators import bpe
+
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe.bpe_train(docs, "text", n_merges=20)
+    stats = bpe.bpe_encode_stats(docs, "text", "doc_id", merges).select(
+        "doc_id", "n_words", "n_bpe_tokens"
+    )
+    joined = docs.select("doc_id", "lang").join(stats, "doc_id")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+        F.expr(
+            "CAST((1000000 * sum(n_bpe_tokens)) div sum(n_words) AS BIGINT)"
+        ).alias("fertility_ppm"),
+    )
+
+
 @register(
     "chunk_documents_overlap",
     oracle=f"""

@@ -1429,3 +1429,36 @@ def test_cluster_ppm_guard_fires_past_exactness_bound(spark):
     )
     [row] = under.select(_guarded_simpson_ppm()).collect()
     assert row.simpson_ppm == (1_000_000 * 250_000) // (1000 * 1000)
+
+
+def test_matryoshka_overlap_detects_truncation_rank_changes(spark):
+    """Construct vectors where the FIRST components mislead: probe q
+    points along dims 0-1 AND 2-3; neighbor A matches only the tail
+    (dims 2-3), neighbor B only the head (dims 0-1), C is orthogonal.
+    Full-dim top-1 = tie broken by id; truncating to d=2 must flip the
+    ranking toward B, and the overlap report must see it.  Also pins
+    the zero-truncated-norm sentinel: D's first 2 dims are zero, so at
+    d=2 it scores -2.0 (last), never NULL-ordered."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.similarity import matryoshka_overlap
+
+    rows = [
+        (0, [1.0, 1.0, 1.0, 1.0]),    # probe
+        (1, [0.0, 0.0, 1.0, 1.0]),    # A: tail match only
+        (2, [1.0, 1.0, 0.0, 0.0]),    # B: head match only
+        (3, [-1.0, 1.0, -1.0, 1.0]),  # C: orthogonal to probe
+        (4, [0.0, 0.0, 2.0, 2.0]),    # D: zero head -> -2.0 at d=2
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {
+        (r.query_id, r.trunc_dim): r.n_overlap
+        for r in matryoshka_overlap(
+            df, "embedding", "vec_id", probe_filter=F.col("vid") == 0,
+            k=2, dims=(2,),
+        ).collect()
+    }
+    # full top-2 by cosine: A and B tie (cos=0.707...), D also 0.707 —
+    # tie-break by id keeps {1, 2}.  At d=2: B is cos=1, A and D are -2.0
+    # sentinel (zero head), C is 0 → top-2 = {2, 3}.  Overlap = |{2}| = 1.
+    assert out == {(0, 2): 1}
