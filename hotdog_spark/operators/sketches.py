@@ -147,3 +147,115 @@ def kmv_distinct(
     ``est_distinct`` the (k-1)·2^52 // kth estimator.
     """
     return kmv_finalize(kmv_partials(df, key_col, val_col, k), key_col, k)
+
+
+#: est_union is multiplied by jaccard_ppm (≤ 10^6) in pure BIGINT, so the
+#: estimate must stay under (2^63-1)/10^6 ≈ 9.2e12 distinct values.  Any
+#: real corpus is orders of magnitude below this; the bound exists to fail
+#: LOUDLY on pathological hash clustering instead of wrapping silently
+#: (same guard idiom as queries/similarity.py::_guarded_simpson_ppm).
+SET_EST_BOUND = ((1 << 63) - 1) // 1_000_000
+
+
+def guarded_est_union() -> "F.Column":
+    """``est_union`` with the overflow bound enforced in-plan: raises via
+    ``raise_error`` when the estimate exceeds SET_EST_BOUND instead of
+    letting the downstream jaccard_ppm·est_union BIGINT multiply wrap
+    silently.  Split out so the guard is unit-testable on a forged
+    over-bound row (an organic trigger needs a kth-min hash below
+    ~3·10⁴ out of 2⁵², i.e. never at any feasible corpus size)."""
+    return F.expr(
+        f"CASE WHEN est_union > {SET_EST_BOUND} THEN "
+        f"raise_error(concat('kmv_set_relations: est_union=', "
+        f"CAST(est_union AS STRING), ' exceeds the {SET_EST_BOUND} "
+        f"exact-bigint bound (jaccard_ppm*est_union would overflow); "
+        f"use kmv_distinct per key instead')) "
+        f"ELSE est_union END"
+    ).alias("est_union")
+
+
+def kmv_set_relations(
+    df: DataFrame, key_col: str, val_col: str, k: int = 64
+) -> DataFrame:
+    """Pairwise SET RELATIONS between every pair of key groups, computed
+    entirely from their KMV sketches — the classic theta-sketch-style
+    union/intersection estimate (Beyer et al. 2007, "On synopses for
+    distinct-value estimation under multiset operations", public), kept
+    deterministic and oracle-checkable by the same 52-bit md5 hash
+    contract as :func:`kmv_distinct`.
+
+    Algebra: the k smallest hashes of A ∪ B are exactly the k smallest
+    of (mins_A ∪ mins_B) — k-min merge is a semilattice — so the union
+    sketch needs no second data pass.  Within the union sketch U, the
+    fraction ρ = |U ∩ mins_A ∩ mins_B| / |U| is an unbiased Jaccard
+    estimator, and |A ∩ B| ≈ ρ · est(|A ∪ B|).  When |U| < k the union
+    sketch IS the full union, every member set is exact, and the
+    intersection count is exact (reported verbatim).
+
+    All arithmetic is BIGINT with floor division, identical in Spark and
+    DuckDB, so estimates hash-match cross-engine including collision
+    effects.  est_union is range-guarded (raise_error past
+    SET_EST_BOUND) so the jaccard_ppm·est_union product can never wrap.
+
+    Scale shape: ONE sketch pass over the data (bounded per-key heaps,
+    k·P longs per key on the wire), then an all-pairs join over the
+    per-key sketch table — bounded by n_keys² ROWS OF k LONGS, never by
+    data size; at 100 TB with a bounded key domain (event types,
+    sources, languages) this is a broadcast-sized self-join.
+
+    Returns one row per unordered key pair (key_a < key_b):
+    (key_a, key_b, n_union_sketch, est_union, inter_in_sketch,
+    jaccard_ppm, est_intersection).
+    """
+    partials = kmv_partials(df, key_col, val_col, k)
+    merged = partials.groupBy("key").agg(
+        F.slice(
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("mins")))),
+            1,
+            k,
+        ).alias("mins")
+    )
+    a = merged.select(F.col("key").alias("key_a"), F.col("mins").alias("mins_a"))
+    b = merged.select(F.col("key").alias("key_b"), F.col("mins").alias("mins_b"))
+    pairs = a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+
+    u = F.slice(
+        F.array_sort(F.array_distinct(F.concat("mins_a", "mins_b"))), 1, k
+    )
+    paired = pairs.select(
+        "key_a",
+        "key_b",
+        u.alias("mu"),
+        F.size(F.array_intersect(F.array_intersect(u, "mins_a"), "mins_b"))
+        .cast("bigint")
+        .alias("inter_in_sketch"),
+    )
+    n_u = F.size("mu")
+    est_union_full = F.expr(
+        f"CAST({(k - 1) * HASH_SPACE} AS BIGINT) div "
+        "greatest(element_at(mu, size(mu)), CAST(1 AS BIGINT))"
+    )
+    paired = paired.select(
+        "key_a",
+        "key_b",
+        n_u.cast("bigint").alias("n_union_sketch"),
+        F.when(n_u < k, n_u.cast("bigint")).otherwise(est_union_full)
+        .alias("est_union"),
+        "inter_in_sketch",
+    )
+    paired = paired.withColumn("est_union", guarded_est_union())
+    jac = F.expr("(1000000 * inter_in_sketch) div n_union_sketch")
+    return paired.select(
+        "key_a",
+        "key_b",
+        "n_union_sketch",
+        "est_union",
+        "inter_in_sketch",
+        jac.alias("jaccard_ppm"),
+        # exact mode (|U| < k): U is the full union and inter_in_sketch
+        # IS |A ∩ B| — report it verbatim, no estimator rounding
+        F.when(F.col("n_union_sketch") < k, F.col("inter_in_sketch"))
+        .otherwise(F.expr("((1000000 * inter_in_sketch) div n_union_sketch)"
+                          " * est_union div 1000000"))
+        .alias("est_intersection"),
+    )

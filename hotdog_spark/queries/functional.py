@@ -795,3 +795,55 @@ def agg_distinct_users_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame
     from hotdog_spark.operators.sketches import kmv_distinct
 
     return kmv_distinct(table(spark, sf_dir, "events"), "event_type", "user_id", k=64)
+
+
+@register(
+    "agg_kmv_set_jaccard",
+    oracle="""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT
+               AS hv
+      FROM events WHERE user_id IS NOT NULL
+    ), s AS (
+      SELECT event_type,
+             list_slice(list_sort(list(hv)), 1, 64) AS mins
+      FROM h GROUP BY event_type
+    ), p AS (
+      SELECT a.event_type AS key_a, b.event_type AS key_b,
+             a.mins AS ma, b.mins AS mb,
+             list_slice(list_sort(list_distinct(list_concat(a.mins, b.mins))),
+                        1, 64) AS mu
+      FROM s a JOIN s b ON a.event_type < b.event_type
+    ), rel AS (
+      SELECT key_a, key_b,
+             CAST(len(mu) AS BIGINT) AS n_union_sketch,
+             CAST(CASE WHEN len(mu) < 64 THEN len(mu)
+                       ELSE (63::BIGINT << 52) // greatest(mu[len(mu)], 1)
+                  END AS BIGINT) AS est_union,
+             CAST(len(list_intersect(list_intersect(mu, ma), mb)) AS BIGINT)
+               AS inter_in_sketch
+      FROM p
+    )
+    SELECT key_a, key_b, n_union_sketch, est_union, inter_in_sketch,
+           (1000000 * inter_in_sketch) // n_union_sketch AS jaccard_ppm,
+           CASE WHEN n_union_sketch < 64 THEN inter_in_sketch
+                ELSE ((1000000 * inter_in_sketch) // n_union_sketch)
+                     * est_union // 1000000
+           END AS est_intersection
+    FROM rel
+    """,
+)
+def agg_kmv_set_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch SET OPERATIONS: union / intersection / Jaccard estimates
+    between every pair of event types' distinct-user sets, computed purely
+    from the per-type KMV sketches (operators/sketches.py::
+    kmv_set_relations; Beyer et al. 2007).  One sketch pass over events
+    (k·P longs per type on the wire, never rows-per-user), then a
+    broadcast-sized self-join over the bounded type domain.  Every number
+    — union sketch, kth-min estimator, in-sketch intersection count,
+    jaccard_ppm, estimated intersection — is a pure BIGINT function of
+    the md5 hashes, so the oracle re-derives identical values in SQL."""
+    from hotdog_spark.operators.sketches import kmv_set_relations
+
+    return kmv_set_relations(table(spark, sf_dir, "events"), "event_type", "user_id", k=64)

@@ -1462,3 +1462,63 @@ def test_matryoshka_overlap_detects_truncation_rank_changes(spark):
     # tie-break by id keeps {1, 2}.  At d=2: B is cos=1, A and D are -2.0
     # sentinel (zero head), C is 0 → top-2 = {2, 3}.  Overlap = |{2}| = 1.
     assert out == {(0, 2): 1}
+
+
+def test_kmv_set_relations_exact_mode_small_sets(spark):
+    """When the union's distinct count is < k, the union sketch IS the
+    full union: est_union and est_intersection must equal the exact
+    |A ∪ B| and |A ∩ B| — verified against set arithmetic on a corpus
+    with a known overlap."""
+    from hotdog_spark.operators.sketches import kmv_set_relations
+
+    a_vals = list(range(0, 30))        # A = 0..29
+    b_vals = list(range(20, 45))       # B = 20..44 → |A∩B|=10, |A∪B|=45
+    rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+    # duplicates must not change anything (sketches are over DISTINCT)
+    rows += rows[:7]
+    df = spark.createDataFrame(rows, "k string, v long")
+    [r] = kmv_set_relations(df, "k", "v", k=64).collect()
+    assert (r.key_a, r.key_b) == ("a", "b")
+    assert r.n_union_sketch == 45 and r.est_union == 45
+    assert r.inter_in_sketch == 10 and r.est_intersection == 10
+    assert r.jaccard_ppm == (1_000_000 * 10) // 45
+
+
+def test_kmv_set_relations_estimate_mode_and_partition_invariance(spark):
+    """Above k the estimator engages; the result must be identical under
+    different partitionings (the k-min merge is a semilattice) and the
+    union estimate must track the true union within KMV's ~1/sqrt(k)
+    band."""
+    from hotdog_spark.operators.sketches import kmv_set_relations
+
+    rows = [("a", v) for v in range(0, 600)] + [("b", v) for v in range(300, 900)]
+    df1 = spark.createDataFrame(rows, "k string, v long").repartition(1)
+    df7 = spark.createDataFrame(rows, "k string, v long").repartition(7)
+    [r1] = kmv_set_relations(df1, "k", "v", k=64).collect()
+    [r7] = kmv_set_relations(df7, "k", "v", k=64).collect()
+    assert r1 == r7
+    assert r1.n_union_sketch == 64
+    # true union 900, k=64 → rse ≈ 12.5%; allow 4 sigma
+    assert abs(r1.est_union - 900) < 900 * 0.5
+    assert 0 < r1.est_intersection < 900
+
+
+def test_kmv_set_relations_overflow_guard_fires(spark):
+    """est_union beyond SET_EST_BOUND must raise loudly (the
+    jaccard_ppm·est_union product would wrap signed-64), never wrap —
+    exercises the operator's actual in-plan guard on a forged over-bound
+    row (organic triggering needs a kth-min below ~3e4 of 2^52, which no
+    feasible corpus produces)."""
+    import pytest
+
+    from hotdog_spark.operators.sketches import SET_EST_BOUND, guarded_est_union
+
+    over = spark.createDataFrame(
+        [(SET_EST_BOUND + 1,)], "est_union long"
+    )
+    with pytest.raises(Exception, match="exceeds the"):
+        over.select(guarded_est_union()).collect()
+
+    under = spark.createDataFrame([(12345,)], "est_union long")
+    [row] = under.select(guarded_est_union()).collect()
+    assert row.est_union == 12345
