@@ -1107,3 +1107,95 @@ def prefix_filter_jaccard_pairs(
         "jaccard", F.col("inter_n").cast("double") / F.col("union_n").cast("double")
     )
     return out.filter(F.col("jaccard") >= threshold)
+
+
+def repeated_ngram_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """EXACT repeated-substring dedup report (the distributed equivalent
+    of the suffix-array scan in Lee et al. 2021, "Deduplicating Training
+    Data Makes Language Models Better", public): find every token
+    position covered by an n-gram that occurs in >= min_docs DISTINCT
+    documents, merge overlapping/adjacent hits into maximal duplicated
+    SPANS per document, and report per-document span statistics — the
+    signal used to strip boilerplate/licence blocks that document-level
+    dedup (exact, MinHash) cannot see because the *containing* documents
+    are unique.
+
+    Plan shape: tokenize (projection) → positional n-gram hashes
+    (md5 of the n-gram, so the shuffle key is a fixed 32-char digest,
+    never the raw n-gram text) → one keyed aggregate for cross-document
+    frequency → one hash join back onto the positions → per-document
+    gaps-and-islands window (running max of span end) → two keyed
+    aggregates.  Everything is built-in expressions; no Python in the
+    plan.  At 100 TB the positional table is token-count-sized — the
+    unavoidable cost of exact substring matching — but it is never
+    collected and both shuffles key on the digest.  A viral n-gram
+    (boilerplate in millions of docs) skews its join partition; the
+    dup-key side stays one row per digest, so AQE's skew-join split
+    handles the probe side — and the doc-frequency count before it is
+    map-side partial-aggregated, so the hot key arrives pre-combined.
+
+    Returns (doc, n_tokens, n_dup_spans, dup_tokens, max_span_tokens,
+    dup_token_ppm) for documents with at least one duplicated span.
+    """
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        normalized_tokens(F.col(text_col)).alias("w"),
+    ).withColumn("n_tokens", F.size("w")).filter(F.col("n_tokens") >= n)
+
+    grams = toks.select(
+        "doc",
+        "n_tokens",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("w", i, n))),
+            )
+        ).alias("p0", "h"),
+    ).select(
+        "doc", "n_tokens", (F.col("p0") + 1).alias("pos"), "h"
+    )
+
+    dup_keys = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    hits = grams.join(dup_keys, "h").select(
+        "doc", "n_tokens", "pos", (F.col("pos") + (n - 1)).alias("e")
+    )
+
+    w_ord = Window.partitionBy("doc").orderBy("pos")
+    prev_end = F.max("e").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end + 1), F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = hits.withColumn(
+        "island",
+        F.sum(new_island).over(
+            w_ord.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    spans = islands.groupBy("doc", "n_tokens", "island").agg(
+        (F.max("e") - F.min("pos") + 1).alias("span_tokens")
+    )
+    return spans.groupBy("doc", "n_tokens").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dup_spans"),
+        F.sum("span_tokens").cast("bigint").alias("dup_tokens"),
+        F.max("span_tokens").cast("bigint").alias("max_span_tokens"),
+    ).select(
+        "doc",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "n_dup_spans",
+        "dup_tokens",
+        "max_span_tokens",
+        F.expr("(1000000 * dup_tokens) div n_tokens").alias("dup_token_ppm"),
+    )

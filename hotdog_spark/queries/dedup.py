@@ -926,3 +926,62 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.prefix_filter_jaccard_pairs(
         table(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.8
     )
+
+
+@register(
+    "dedup_repeated_ngram_spans",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, {_TOKS} AS ws FROM documents
+    ), t AS (
+      SELECT doc_id, len(ws) AS n_tokens, ws FROM w WHERE len(ws) >= 5
+    ), g AS MATERIALIZED (
+      SELECT doc_id, n_tokens, u.i AS pos,
+             md5(array_to_string(ws[u.i:u.i+4], ' ')) AS h
+      FROM t, LATERAL (SELECT unnest(range(1, len(ws) - 3)) AS i) u
+    ), dup AS (
+      SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ), hits AS (
+      SELECT g.doc_id, g.n_tokens, g.pos, g.pos + 4 AS e
+      FROM g JOIN dup ON g.h = dup.h
+    ), marked AS (
+      SELECT doc_id, n_tokens, pos, e,
+             CASE WHEN max(e) OVER prev IS NULL
+                    OR pos > max(e) OVER prev + 1
+                  THEN 1 ELSE 0 END AS ni
+      FROM hits
+      WINDOW prev AS (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), numbered AS (
+      SELECT doc_id, n_tokens, pos, e,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM marked
+    ), spans AS (
+      SELECT doc_id, n_tokens, island,
+             MAX(e) - MIN(pos) + 1 AS span_tokens
+      FROM numbered GROUP BY doc_id, n_tokens, island
+    )
+    SELECT doc_id AS doc,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+           CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens,
+           CAST(MAX(span_tokens) AS BIGINT) AS max_span_tokens,
+           (1000000 * CAST(SUM(span_tokens) AS BIGINT))
+             // CAST(n_tokens AS BIGINT) AS dup_token_ppm
+    FROM spans GROUP BY doc_id, n_tokens
+    """,
+)
+def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-SUBSTRING dedup report (Lee et al. 2021's signal,
+    re-expressed as the distributed n-gram blocking scan —
+    operators/dedup.py::repeated_ngram_spans): per document, the maximal
+    spans of tokens covered by 5-grams occurring in >= 2 distinct
+    documents, with coverage ppm.  This is the boilerplate/licence-block
+    detector that document-level dedup cannot see.  Plan: digest-keyed
+    frequency agg + join back, then a per-doc gaps-and-islands window —
+    no Python, no collect."""
+    return ops.repeated_ngram_spans(
+        table(spark, sf_dir, "documents"), "text", "doc_id", n=5, min_docs=2
+    )

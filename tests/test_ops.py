@@ -1522,3 +1522,42 @@ def test_kmv_set_relations_overflow_guard_fires(spark):
     under = spark.createDataFrame([(12345,)], "est_union long")
     [row] = under.select(guarded_est_union()).collect()
     assert row.est_union == 12345
+
+
+def test_repeated_ngram_spans_merges_overlaps_and_counts_coverage(spark):
+    """Handcrafted corpus: docs 1 and 2 share an 8-token boilerplate
+    block (four overlapping duplicated 5-grams -> ONE maximal span of 8
+    tokens); doc 3 shares nothing and must be absent from the report."""
+    from hotdog_spark.operators.dedup import repeated_ngram_spans
+
+    block = "the quick brown fox jumps over lazy dogs"          # 8 tokens
+    d1 = block + " alpha beta gamma delta epsilon zeta"          # 14 tokens
+    d2 = "intro words here " + block                             # 11 tokens
+    d3 = "completely different text with no shared five grams at all"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    rows = {r.doc: r for r in repeated_ngram_spans(df, "text", "doc_id").collect()}
+    assert set(rows) == {1, 2}
+    r1, r2 = rows[1], rows[2]
+    assert r1.n_dup_spans == 1 and r1.dup_tokens == 8 and r1.max_span_tokens == 8
+    assert r2.n_dup_spans == 1 and r2.dup_tokens == 8
+    assert r1.n_tokens == 14 and r1.dup_token_ppm == (1_000_000 * 8) // 14
+    assert r2.n_tokens == 11 and r2.dup_token_ppm == (1_000_000 * 8) // 11
+
+
+def test_repeated_ngram_spans_distinct_islands_not_merged(spark):
+    """Two duplicated blocks separated by a unique gap inside one doc
+    must report as TWO spans, not one."""
+    from hotdog_spark.operators.dedup import repeated_ngram_spans
+
+    a = "one two three four five"       # block A, 5 tokens
+    b = "six seven eight nine ten"      # block B, 5 tokens
+    d1 = a + " uniquegapword " + b      # hits at pos 1 and pos 7
+    d2 = a + " othermiddlebit " + b
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2)], "doc_id long, text string"
+    )
+    rows = {r.doc: r for r in repeated_ngram_spans(df, "text", "doc_id").collect()}
+    for r in rows.values():
+        assert r.n_dup_spans == 2 and r.dup_tokens == 10 and r.max_span_tokens == 5
