@@ -1199,3 +1199,115 @@ def repeated_ngram_spans(
         "max_span_tokens",
         F.expr("(1000000 * dup_tokens) div n_tokens").alias("dup_token_ppm"),
     )
+
+
+def simhash_bits(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 48
+) -> DataFrame:
+    """Generalized SimHash (Charikar 2002) over whitespace tokens: per
+    token take the first ``bits`` bits of md5, sum ±1 per bit position
+    over the doc, set bit where the sum is positive.  Same integer-exact
+    contract and hex-digit bit layout as :func:`simhash16` (bit j lives
+    in hex digit j//4, MSB-first, at in-digit position j%4), widened so
+    blocked Hamming search has enough selectivity.  ``bits`` ≤ 52 keeps
+    2^j terms inside exact BIGINT/double-free arithmetic everywhere.
+    Returns (id, simhash)."""
+    assert bits % 4 == 0 and 4 <= bits <= 52
+    hexchars = bits // 4
+    toks = fan_out(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(normalized_tokens(F.col(text_col))).alias("tok"),
+    ).withColumn(
+        "v",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, hexchars), 16, 10)
+        .cast("long"),
+    )
+    agg_cols = []
+    for j in range(bits):
+        shift = 4 * (hexchars - 1 - j // 4) + (j % 4)
+        bit = F.shiftright(F.col("v"), shift).bitwiseAND(F.lit(1))
+        agg_cols.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
+    sums = toks.groupBy("id").agg(*agg_cols)
+    simhash = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        simhash = term if simhash is None else (simhash + term)
+    return sums.select("id", simhash.cast("bigint").alias("simhash"))
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bits: int = 48,
+    n_blocks: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate PAIRS within a SimHash Hamming ball — the blocked
+    search of Manku, Jain & Das Sarma 2007 ("Detecting near-duplicates
+    for web crawling", public): split the ``bits``-bit simhash into
+    ``n_blocks`` equal blocks; by pigeonhole every pair within Hamming
+    distance ``max_hamming`` ≤ n_blocks-1 agrees exactly on at least one
+    block, so candidates are generated by n_blocks block-equality
+    self-joins (LSH-banding shape — one shuffle keyed on (block,
+    value), never all-pairs) and verified with one exact
+    ``bit_count(xor)`` per candidate.
+
+    ``max_bucket`` is the saturation guard (same philosophy as the
+    winnowing operator's): a block value shared by more than
+    ``max_bucket`` documents is a boilerplate CLUSTER — exact-dedup
+    territory with a quadratic candidate bill — and is excluded from
+    pair generation.  The rule is a deterministic function of the data
+    (bucket row-counts), applied identically in the DuckDB oracle, so
+    results stay hash-checkable at every scale.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b, hamming ≤ max_hamming.
+    """
+    assert max_hamming <= n_blocks - 1, "pigeonhole needs hamming < blocks"
+    assert bits % n_blocks == 0
+    width = bits // n_blocks
+    mask = (1 << width) - 1
+
+    sh = simhash_bits(df, text_col, id_col, bits=bits)
+    blocks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("b"),
+                    F.shiftright("simhash", width * b)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bv"),
+                )
+                for b in range(n_blocks)
+            ])
+        ).alias("blk"),
+    ).select("id", "simhash", "blk.b", "blk.bv")
+
+    keep = (
+        blocks.groupBy("b", "bv")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= max_bucket)
+        .select("b", "bv")
+    )
+    blocks = blocks.join(keep, ["b", "bv"])
+
+    left = blocks.select(
+        "b", "bv", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a")
+    )
+    right = blocks.select(
+        "b", "bv", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b")
+    )
+    cand = (
+        left.join(right, ["b", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("bit_count(sh_a ^ sh_b)").cast("bigint").alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)

@@ -985,3 +985,71 @@ def dedup_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.repeated_ngram_spans(
         table(spark, sf_dir, "documents"), "text", "doc_id", n=5, min_docs=2
     )
+
+
+def _simhash48_hamming_oracle(
+    bits: int = 48,
+    n_blocks: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> str:
+    """Replays simhash_bits + blocked Hamming pairing in pure SQL: the
+    same hex-digit bit derivation as _simhash_oracle widened to 48 bits,
+    the same block split / bucket-size cap / pigeonhole candidate join,
+    and the same exact bit_count(xor) verification."""
+    hexchars = bits // 4
+    width = bits // n_blocks
+    mask = (1 << width) - 1
+    sums = []
+    for j in range(bits):
+        digit = f"(strpos('0123456789abcdef', substring(h, {j // 4 + 1}, 1)) - 1)"
+        bit = f"(({digit} // {2 ** (j % 4)}) % 2)"
+        sums.append(f"SUM(2 * {bit} - 1) AS s{j}")
+    terms = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2**j}::BIGINT ELSE 0 END)"
+        for j in range(bits)
+    )
+    assert hexchars == 12  # bit layout below assumes 12 leading hex chars
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+    ), h AS (
+      SELECT doc_id, md5(tok) AS h FROM tok
+    ), bits AS (
+      SELECT doc_id, {", ".join(sums)} FROM h GROUP BY doc_id
+    ), sh AS MATERIALIZED (
+      SELECT doc_id AS id, CAST({terms} AS BIGINT) AS simhash FROM bits
+    ), blocks AS MATERIALIZED (
+      SELECT id, simhash, b.b AS b, (simhash >> ({width} * b.b)) & {mask} AS bv
+      FROM sh, (SELECT unnest(range(0, {n_blocks})) AS b) b
+    ), keep AS (
+      SELECT b, bv FROM blocks GROUP BY b, bv
+      HAVING COUNT(*) <= {max_bucket}
+    ), kept AS MATERIALIZED (
+      SELECT blocks.* FROM blocks JOIN keep USING (b, bv)
+    )
+    SELECT DISTINCT a.id AS id_a, c.id AS id_b,
+           CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
+    FROM kept a JOIN kept c ON a.b = c.b AND a.bv = c.bv AND a.id < c.id
+    WHERE bit_count(xor(a.simhash, c.simhash)) <= {max_hamming}
+    """
+
+
+@register("dedup_simhash_hamming", oracle=_simhash48_hamming_oracle())
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate PAIRS within Hamming distance 3 — the
+    blocked search of Manku, Jain & Das Sarma 2007 (WWW; the production
+    near-dup design behind web-crawl dedup), completing the simhash
+    family: where `dedup_simhash` emits per-doc hashes, this finds the
+    actual pairs, at scale, without all-pairs comparison
+    (operators/dedup.py::simhash_hamming_pairs).  48-bit simhash split
+    into 4×12-bit blocks; pigeonhole guarantees every Hamming≤3 pair
+    agrees on ≥1 block, so candidates come from 4 block-equality
+    self-joins (one shuffle keyed on (block, value)) and one exact
+    bit_count(xor) verifies each.  Saturated block values (> 1000 docs —
+    boilerplate clusters, exact-dedup territory) are excluded by a
+    deterministic bucket cap mirrored in the oracle."""
+    return ops.simhash_hamming_pairs(
+        table(spark, sf_dir, "documents"), "text", "doc_id",
+        bits=48, n_blocks=4, max_hamming=3, max_bucket=1000,
+    )

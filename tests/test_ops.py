@@ -1561,3 +1561,39 @@ def test_repeated_ngram_spans_distinct_islands_not_merged(spark):
     rows = {r.doc: r for r in repeated_ngram_spans(df, "text", "doc_id").collect()}
     for r in rows.values():
         assert r.n_dup_spans == 2 and r.dup_tokens == 10 and r.max_span_tokens == 5
+
+
+def test_simhash_hamming_pairs_equals_bruteforce(spark):
+    """The blocked Manku search must find EXACTLY the all-pairs
+    Hamming<=3 set (pigeonhole completeness, xor-verification
+    soundness) on the sf0.001 corpus, where brute force is trivial."""
+    from itertools import combinations
+
+    from hotdog_spark.operators.dedup import simhash_bits, simhash_hamming_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hashes = {
+        r.id: r.simhash for r in simhash_bits(docs, "text", "doc_id").collect()
+    }
+    expected = {
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for a, b in combinations(sorted(hashes), 2)
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    }
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in simhash_hamming_pairs(docs, "text", "doc_id").collect()
+    }
+    assert got == expected and len(expected) > 0
+
+
+def test_simhash_hamming_bucket_cap_excludes_saturated_blocks(spark):
+    """max_bucket=1 excludes every bucket that could generate a pair
+    (any candidate needs a shared bucket of size >= 2) -> empty result;
+    identical rule on the oracle side keeps results hash-checkable."""
+    from hotdog_spark.operators.dedup import simhash_hamming_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assert simhash_hamming_pairs(
+        docs, "text", "doc_id", max_bucket=1
+    ).count() == 0
