@@ -1656,3 +1656,68 @@ def int8_quantization_report(df: DataFrame, vec_col: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_values"),
         )
     )
+
+
+def _signbits_word(vec_col: str, lo_bit: int, n: int = 32) -> Column:
+    """Pack sign bits lo_bit..lo_bit+n-1 of a float vector into one
+    BIGINT word: bit i set iff CAST(vec[i+1] AS DOUBLE) > 0 (zero and
+    negative → 0 — a deterministic tie rule both engines share).  The
+    float32→double cast is exact, so the comparison is engine-portable."""
+    return F.expr(
+        f"aggregate(transform(sequence(0, {n - 1}), i -> "
+        f"CASE WHEN CAST(element_at({vec_col}, i + {lo_bit} + 1) AS DOUBLE) > 0 "
+        f"THEN shiftleft(CAST(1 AS BIGINT), i) ELSE CAST(0 AS BIGINT) END), "
+        f"CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+
+
+def binary_hamming_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    probe_filter: Column,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k retrieval over BINARY (sign-quantized) embeddings — the
+    classic 32×-compression ANN path (Charikar 2002 hyperplane LSH in
+    its degenerate axis-aligned form; the layout modern vector stores
+    ship as 'binary quantization'): each 64-dim float vector collapses
+    to 64 sign bits packed in two 32-bit BIGINT halves, similarity is
+    Hamming distance via two bit_count(xor) ops per candidate — integer
+    ALU work on 16 bytes per vector instead of 256+ bytes of float
+    math, which is the whole point at 100 TB: the packed corpus is
+    small enough to sit in memory/cache a full replica per executor,
+    and the scan is one whole-stage-codegen projection, no Python.
+
+    Bit layout: word lo holds dims 0-31 (bit i = dim i), word hi dims
+    32-63 — two halves so no sign bit is ever set (packing dim 63 into
+    a single BIGINT would need 1<<63, which overflows signed-64
+    differently per engine).
+
+    Returns (query_id, neighbor_id, hamming, rank): rank by ascending
+    Hamming, neighbor_id tiebreak, self excluded."""
+    packed = df.select(
+        F.col(id_col).alias("vid"),
+        _signbits_word(vec_col, 0).alias("b_lo"),
+        _signbits_word(vec_col, 32).alias("b_hi"),
+    )
+    probes = packed.filter(probe_filter).select(
+        F.col("vid").alias("query_id"),
+        F.col("b_lo").alias("p_lo"),
+        F.col("b_hi").alias("p_hi"),
+    )
+    pairs = packed.crossJoin(broadcast(probes)).filter(
+        F.col("vid") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("vid").alias("neighbor_id"),
+        F.expr("bit_count(b_lo ^ p_lo) + bit_count(b_hi ^ p_hi)")
+        .cast("bigint")
+        .alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1277,3 +1277,46 @@ def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "neighbor_id", "score", "query_label", "neighbor_label",
         "rank",
     )
+
+
+_SIGNW = (
+    "CAST(list_sum(list_transform(range(0, 32), i -> "
+    "CASE WHEN CAST(embedding[i + {lo} + 1] AS DOUBLE) > 0 "
+    "THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT)"
+)
+
+
+@register(
+    "ann_binary_hamming_topk",
+    oracle=f"""
+    WITH packed AS (
+      SELECT vec_id, {_SIGNW.format(lo=0)} AS b_lo, {_SIGNW.format(lo=32)} AS b_hi
+      FROM embeddings
+    ), probes AS (
+      SELECT vec_id AS query_id, b_lo AS p_lo, b_hi AS p_hi
+      FROM packed WHERE vec_id < 10
+    ), scored AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             CAST(bit_count(xor(c.b_lo, p.p_lo))
+                  + bit_count(xor(c.b_hi, p.p_hi)) AS BIGINT) AS hamming
+      FROM packed c, probes p WHERE c.vec_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, hamming, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY hamming, neighbor_id) AS rank
+      FROM scored
+    ) t WHERE rank <= 5
+    """,
+)
+def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN: 64 sign bits per embedding packed into two
+    BIGINT halves, Hamming top-5 for 10 probes via bit_count(xor) —
+    16 bytes and two popcounts per candidate instead of 256 bytes of
+    float math (operators/similarity.py::binary_hamming_topk).  The
+    32×-compression retrieval path every large-scale vector system
+    offers; whole-stage-codegen projection + broadcast probes, no
+    Python, no shuffle of the corpus."""
+    emb = table(spark, sf_dir, "embeddings")
+    return ops.binary_hamming_topk(
+        emb, "embedding", "vec_id", probe_filter=F.col("vid") < 10, k=5
+    ).select("query_id", "neighbor_id", "hamming", "rank")

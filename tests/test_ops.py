@@ -1597,3 +1597,35 @@ def test_simhash_hamming_bucket_cap_excludes_saturated_blocks(spark):
     assert simhash_hamming_pairs(
         docs, "text", "doc_id", max_bucket=1
     ).count() == 0
+
+
+def test_binary_hamming_topk_equals_python_bruteforce(spark):
+    """Sign-bit packing + Hamming ranking must equal a plain Python
+    reimplementation (sign rule: > 0 -> 1, ties at 0 -> 0; rank by
+    (hamming, neighbor_id)) on the sf0.001 embeddings."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.similarity import binary_hamming_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.collect()
+    sig = {
+        r.vec_id: sum(1 << i for i, v in enumerate(r.embedding) if float(v) > 0)
+        for r in rows
+    }
+    expected = set()
+    for q in sorted(sig):
+        if q >= 10:
+            continue
+        scored = sorted(
+            (bin(sig[q] ^ sig[c]).count("1"), c) for c in sig if c != q
+        )
+        for rank, (h, c) in enumerate(scored[:5], start=1):
+            expected.add((q, c, h, rank))
+    got = {
+        (r.query_id, r.neighbor_id, r.hamming, r.rank)
+        for r in binary_hamming_topk(
+            emb, "embedding", "vec_id", probe_filter=F.col("vid") < 10, k=5
+        ).collect()
+    }
+    assert got == expected and len(expected) > 0
