@@ -1213,3 +1213,101 @@ def image_ahash_dedup(df: DataFrame, grid: int = 8) -> DataFrame:
         "canonical_id",
         (F.col("media_id") != F.col("canonical_id")).cast("long").alias("is_dup"),
     )
+
+
+def image_dhash(df: DataFrame, grid: int = 8) -> DataFrame:
+    """Perceptual DIFFERENCE-HASH (dHash) over decoded image pixels —
+    the gradient sibling of :func:`image_ahash`: downsample to a
+    (``grid``+1)×``grid`` brightness grid (9 columns × 8 rows at the
+    default) and emit one bit per horizontal NEIGHBOR COMPARISON —
+    bit(i, j) = 1 iff cell(i, j+1) is brighter than cell(i, j).  dHash
+    survives global brightness/contrast shifts that flip aHash bits
+    (the mean moves with the image; local gradients do not), so the two
+    hashes catch different near-duplicate classes.
+
+    Exact-integer contract (oracle-reproducible without decoding):
+
+    - gray and cell binning as in aHash, but columns divide by grid+1:
+      (x, y) → cell (i, j) = ((grid·y)//h, ((grid+1)·x)//w),
+    - brighter-than = cross-multiplied mean comparison
+      cs(i, j+1)·cn(i, j) > cs(i, j)·cn(i, j+1) — no division, no
+      floats; any empty cell (w or h below the grid) makes both
+      products 0 → bit 0,
+    - grid² comparison bits packed as two sub-2^32 halves
+      (``dhash_hi`` = bits 32.., ``dhash_lo`` = bits 0..31), bit
+      k = i·grid + j for the j vs j+1 comparison.
+
+    Same decode/divert posture and Arrow batch shape as
+    :func:`image_ahash`; one output row per decodable image."""
+    from hotdog_spark.dist import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    cols = grid + 1
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "width", "height", "dhash_hi", "dhash_lo",
+            )}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                dec = decode_png(bytes(blob) if blob is not None else b"")
+                if dec is None:
+                    continue  # divert, never fatal
+                w, h, ch = dec["width"], dec["height"], dec["channels"]
+                a = np.frombuffer(dec["pixels"], dtype=np.uint8)
+                a = a.reshape(h, w, ch).astype(np.int64)
+                if ch >= 3:
+                    gray = a[:, :, 0] + a[:, :, 1] + a[:, :, 2]
+                else:
+                    gray = a[:, :, 0] * 3
+                jj = (cols * np.arange(w)) // w
+                ii = (grid * np.arange(h)) // h
+                idx = (ii[:, None] * cols + jj[None, :]).ravel()
+                flat = gray.ravel()
+                cs = np.bincount(idx, weights=flat, minlength=grid * cols)
+                cs = cs.astype(np.int64).reshape(grid, cols)
+                cn = np.bincount(idx, minlength=grid * cols)
+                cn = cn.astype(np.int64).reshape(grid, cols)
+                bits = cs[:, 1:] * cn[:, :-1] > cs[:, :-1] * cn[:, 1:]
+                flatbits = bits.ravel()
+                lo = hi = 0
+                for k in range(min(32, grid * grid)):
+                    if flatbits[k]:
+                        lo |= 1 << k
+                for k in range(32, grid * grid):
+                    if flatbits[k]:
+                        hi |= 1 << (k - 32)
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["dhash_hi"].append(hi)
+                rows["dhash_lo"].append(lo)
+            yield pd.DataFrame(rows)
+
+    staged = df.select("media_id", "content")
+    return staged.mapInPandas(
+        kernel,
+        "media_id long, width int, height int, dhash_hi long, dhash_lo long",
+    )
+
+
+def image_dhash_dedup(df: DataFrame, grid: int = 8) -> DataFrame:
+    """dHash-keyed image dedup: identical plan shape to
+    :func:`image_ahash_dedup` (one Arrow projection, one keyed
+    aggregate, one group join — collisions ARE the candidate groups),
+    keyed on the gradient hash instead of the mean hash."""
+    hashes = image_dhash(df, grid=grid)
+    groups = hashes.groupBy("dhash_hi", "dhash_lo").agg(
+        F.count(F.lit(1)).alias("group_n"),
+        F.min("media_id").alias("canonical_id"),
+    )
+    return hashes.join(groups, ["dhash_hi", "dhash_lo"]).select(
+        "media_id",
+        "dhash_hi",
+        "dhash_lo",
+        "group_n",
+        "canonical_id",
+        (F.col("media_id") != F.col("canonical_id")).cast("long").alias("is_dup"),
+    )

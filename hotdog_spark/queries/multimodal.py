@@ -488,3 +488,92 @@ def multimodal_jpeg_color_decode_stats(spark: SparkSession, sf_dir: str) -> Data
     from hotdog_spark.operators.jpeg import jpeg_color_decode_stats
 
     return jpeg_color_decode_stats(table(spark, sf_dir, "documents"), "doc_id")
+
+
+@register(
+    "dedup_image_dhash",
+    oracle="""
+    WITH png AS (
+      SELECT doc_id, n_chars % 64 + 1 AS w, n_chars % 48 + 1 AS h
+      FROM documents WHERE doc_id % 2 = 1
+    ),
+    g AS (
+      SELECT doc_id, w, h, x.x AS x,
+             (doc_id*31 + x.x) % 256 + (doc_id*31 + 7 + x.x) % 256
+               + (doc_id*31 + 14 + x.x) % 256 AS gray,
+             (9 * x.x) // w AS j
+      FROM png, LATERAL (SELECT unnest(generate_series(0, w - 1)) AS x) x
+    ),
+    colcell AS (
+      SELECT doc_id, j, CAST(SUM(gray) AS BIGINT) AS cs,
+             CAST(COUNT(*) AS BIGINT) AS cn
+      FROM g GROUP BY doc_id, j
+    ),
+    spinebase AS (
+      SELECT png.doc_id, s.j
+      FROM png CROSS JOIN (SELECT unnest(range(0, 9)) AS j) s
+    ),
+    spine AS (
+      SELECT sb.doc_id, sb.j,
+             COALESCE(c.cs, 0) AS cs, COALESCE(c.cn, 0) AS cn
+      FROM spinebase sb
+      LEFT JOIN colcell c ON c.doc_id = sb.doc_id AND c.j = sb.j
+    ),
+    colbit AS (
+      -- The synth pixels are y-independent: cell sums factor as
+      -- colsum*rows_i and the rows_i^2 cancels from BOTH sides of the
+      -- cross-multiplied mean comparison, so each row band shares one
+      -- column-comparison bit (empty bands/columns -> 0 > 0 -> 0).
+      SELECT l.doc_id, l.j,
+             CASE WHEN r.cs * l.cn > l.cs * r.cn THEN 1 ELSE 0 END AS bj
+      FROM spine l JOIN spine r ON l.doc_id = r.doc_id AND r.j = l.j + 1
+      WHERE l.j < 8
+    ),
+    rowsi AS (
+      SELECT doc_id, DISTINCT_I.i AS i FROM (
+        SELECT DISTINCT doc_id, (8 * y.y) // h AS i
+        FROM png, LATERAL (SELECT unnest(generate_series(0, h - 1)) AS y) y
+      ) DISTINCT_I
+    ),
+    bits AS (
+      SELECT cb.doc_id, r.i, cb.j, cb.bj AS bit
+      FROM colbit cb JOIN rowsi r ON cb.doc_id = r.doc_id
+    ),
+    hashes AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN i*8 + j < 32
+                  THEN bit * (CAST(1 AS BIGINT) << (i*8 + j))
+                  ELSE 0 END) AS BIGINT) AS dhash_lo,
+             CAST(SUM(CASE WHEN i*8 + j >= 32
+                  THEN bit * (CAST(1 AS BIGINT) << (i*8 + j - 32))
+                  ELSE 0 END) AS BIGINT) AS dhash_hi
+      FROM bits GROUP BY doc_id
+    ),
+    grp AS (
+      SELECT dhash_hi, dhash_lo, CAST(COUNT(*) AS BIGINT) AS group_n,
+             MIN(doc_id) AS canonical_id
+      FROM hashes GROUP BY dhash_hi, dhash_lo
+    )
+    SELECT h.doc_id AS media_id, h.dhash_hi, h.dhash_lo,
+           g2.group_n, g2.canonical_id,
+           CAST(CASE WHEN h.doc_id <> g2.canonical_id THEN 1 ELSE 0 END
+                AS BIGINT) AS is_dup
+    FROM hashes h
+    JOIN grp g2 ON h.dhash_hi = g2.dhash_hi AND h.dhash_lo = g2.dhash_lo
+    """,
+)
+def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gradient perceptual-hash IMAGE dedup: the dHash sibling of
+    `dedup_image_ahash` — same synthesized-PNG decode path (inflate +
+    unfilters), but bits come from horizontal NEIGHBOR comparisons on a
+    9×8 brightness grid, so global brightness shifts that flip aHash
+    bits leave dHash invariant (operators/multimodal.py::image_dhash).
+    The oracle reproduces every gradient bit arithmetically from the
+    closed-form pixel formula (y-independence cancels the row-band
+    factor from both sides of the cross-multiplied comparison); the
+    Spark side only matches if decode, 9-column binning, integer mean
+    comparison and bit packing are all exact.  Same collision-bearing
+    fixture → the dedup path (group_n > 1) is exercised, not vacuous."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
+    media = ops.synth_decodable_media(docs, "doc_id", "n_chars")
+    return ops.image_dhash_dedup(media, grid=8)

@@ -602,3 +602,111 @@ def test_decode_image_color_jpeg_interleaved_ycbcr():
     assert np.array_equal(px[::2, ::2, 1], cb)
     assert np.array_equal(px[1::2, 1::2, 1], cb)
     assert np.array_equal(px[::2, ::2, 2], cr)
+
+
+def _reference_dhash(pixels: bytes, w: int, h: int, ch: int, grid: int = 8):
+    """Independent pure-Python dHash: nested loops over a (grid+1)-column
+    grid, cross-multiplied neighbor comparison — pins the vectorized
+    kernel's binning, comparison rule and bit packing."""
+    cols = grid + 1
+    cell_sum = [[0] * cols for _ in range(grid)]
+    cell_n = [[0] * cols for _ in range(grid)]
+    for y in range(h):
+        for x in range(w):
+            base = (y * w + x) * ch
+            if ch >= 3:
+                g = pixels[base] + pixels[base + 1] + pixels[base + 2]
+            else:
+                g = pixels[base] * 3
+            i, j = (grid * y) // h, (cols * x) // w
+            cell_sum[i][j] += g
+            cell_n[i][j] += 1
+    lo = hi = 0
+    for i in range(grid):
+        for j in range(grid):
+            if (cell_sum[i][j + 1] * cell_n[i][j]
+                    > cell_sum[i][j] * cell_n[i][j + 1]):
+                k = i * grid + j
+                if k < 32:
+                    lo |= 1 << k
+                else:
+                    hi |= 1 << (k - 32)
+    return hi, lo
+
+
+def test_image_dhash_matches_reference(spark):
+    """The Spark dHash kernel must equal the loop-reference hash on
+    uneven grids, sub-grid widths (w < 9 leaves empty columns -> bit 0)
+    and the 1x1 degenerate."""
+    import pandas as pd
+
+    from hotdog_spark.operators.multimodal import image_dhash
+
+    cases = [(13, 9, "a"), (64, 48, "b"), (5, 3, "c"), (9, 8, "d"), (1, 1, "e")]
+    rows = []
+    expected = {}
+    for n, (w, h, seed) in enumerate(cases):
+        pix = _pseudo_pixels(seed, w * h * 4)
+        rows.append((n, synth_png(w, h, 8, 6, pixels=pix)))
+        expected[n] = _reference_dhash(pix, w, h, 4)
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "content"])
+    )
+    got = {
+        r["media_id"]: (r["dhash_hi"], r["dhash_lo"])
+        for r in image_dhash(df).collect()
+    }
+    assert got == expected
+
+
+def test_image_dhash_brightness_invariance_vs_ahash(spark):
+    """The motivating property: a global brightness shift changes aHash
+    (the mean moves with the image) but leaves dHash bits untouched
+    (neighbor gradients are shift-invariant).  Built from a horizontal
+    ramp whose mean splits the cells, +20 on every channel value."""
+    import pandas as pd
+
+    from hotdog_spark.operators.multimodal import image_ahash, image_dhash
+
+    w, h = 18, 8
+    base = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = 40 + 10 * x + (5 if (x % 3 == 0) else 0)
+            base += bytes((v, v, v, 255))
+    shifted = bytes(min(255, b + 20) if i % 4 != 3 else b
+                    for i, b in enumerate(base))
+    df = spark.createDataFrame(pd.DataFrame(
+        [(0, synth_png(w, h, 8, 6, pixels=bytes(base))),
+         (1, synth_png(w, h, 8, 6, pixels=shifted))],
+        columns=["media_id", "content"],
+    ))
+    d = {r["media_id"]: (r["dhash_hi"], r["dhash_lo"])
+         for r in image_dhash(df).collect()}
+    a = {r["media_id"]: (r["ahash_hi"], r["ahash_lo"])
+         for r in image_ahash(df).collect()}
+    assert d[0] == d[1], "dHash must be brightness-shift invariant"
+    assert d[0] != (0, 0)
+
+
+def test_image_dhash_dedup_groups(spark):
+    """Identical content collides on dhash; canonical = min id; corrupt
+    blobs diverted."""
+    import pandas as pd
+
+    from hotdog_spark.operators.multimodal import image_dhash_dedup
+
+    pix = _pseudo_pixels("dup", 16 * 8 * 4)
+    rows = [
+        (7, synth_png(16, 8, 8, 6, pixels=pix)),
+        (3, synth_png(16, 8, 8, 6, pixels=pix)),
+        (5, synth_png(16, 8, 8, 6, pixels=_pseudo_pixels("other", 16 * 8 * 4))),
+        (9, b"not a png"),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "content"])
+    )
+    out = {r["media_id"]: r.asDict() for r in image_dhash_dedup(df).collect()}
+    assert set(out) == {3, 5, 7}
+    assert out[3]["group_n"] == 2 and out[7]["is_dup"] == 1
+    assert out[3]["canonical_id"] == 3 and out[3]["is_dup"] == 0
