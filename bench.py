@@ -147,6 +147,11 @@ HEADLINE = [
     "multimodal_jpeg_color_decode_stats",  # 4:2:0 colour JPEG MCU-interleaved decode
     "matryoshka_truncation_recall",     # embedding-prefix truncation quality report
     "bpe_fertility_by_lang",            # tokens-per-word tokenizer equity metric
+    "agg_kmv_set_jaccard",              # KMV sketch set algebra (union/Jaccard)
+    "dedup_repeated_ngram_spans",       # cross-doc repeated-substring span report
+    "dedup_simhash_hamming",            # blocked Manku Hamming-ball pair search
+    "ann_binary_hamming_topk",          # sign-bit binary embeddings, popcount top-k
+    "dedup_image_dhash",                # PNG decode → 9x8 gradient hash dedup
 ]
 
 

@@ -207,7 +207,17 @@ def kmv_set_relations(
     (key_a, key_b, n_union_sketch, est_union, inter_in_sketch,
     jaccard_ppm, est_intersection).
     """
-    partials = kmv_partials(df, key_col, val_col, k)
+    return kmv_set_relations_from_partials(
+        kmv_partials(df, key_col, val_col, k), k
+    )
+
+
+def kmv_set_relations_from_partials(partials: DataFrame, k: int = 64) -> DataFrame:
+    """Set relations from ACCUMULATED (key, mins) partials — the
+    incremental/streaming form: partials appended per micro-batch / day
+    / slice merge to exactly the sketch of the union (semilattice), so
+    finalizing accumulated state equals the one-shot batch answer
+    bit-for-bit (tests/test_streaming.py pins the parity)."""
     merged = partials.groupBy("key").agg(
         F.slice(
             F.array_sort(F.array_distinct(F.flatten(F.collect_list("mins")))),

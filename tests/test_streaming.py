@@ -1893,3 +1893,61 @@ def test_streaming_bpe_pack_state_parity(spark, tmp_path):
         for r in pack(full.select("doc_id", "lang").join(stats_full, "doc_id")).collect()
     )
     assert streamed == want and len(streamed) >= 2
+
+
+def test_streaming_kmv_set_relations_rollup_parity(spark, tmp_path):
+    """Streaming SET-ALGEBRA rollup on mergeable KMV state: the same
+    accumulated (key, mins) partials that answer per-key distinct counts
+    also answer pairwise union/intersection/Jaccard — finalizing
+    accumulated state through kmv_set_relations_from_partials must equal
+    the one-shot batch kmv_set_relations of everything seen, bit-equal
+    including the integer estimators (the k-min semilattice makes the
+    union sketch independent of how the data was sliced)."""
+    from hotdog_spark.operators import sketches as sk
+
+    src = str(tmp_path / "ev")
+    state = str(tmp_path / "kmv_state")
+    b1 = [("click", i) for i in range(120)] + [("view", i) for i in range(60, 200)]
+    b2 = [("click", i) for i in range(80, 300)] + [("buy", i) for i in range(40)]
+    spark.createDataFrame(b1, "event_type string, user_id long").coalesce(
+        1
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def sink(batch_df, _bid):
+        sk.kmv_partials(batch_df, "event_type", "user_id").write.mode(
+            "append"
+        ).parquet(state)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(b2, "event_type string, user_id long").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    streamed = sorted(
+        tuple(r)
+        for r in sk.kmv_set_relations_from_partials(
+            spark.read.parquet(state)
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in sk.kmv_set_relations(
+            spark.createDataFrame(b1 + b2, "event_type string, user_id long"),
+            "event_type",
+            "user_id",
+        ).collect()
+    )
+    assert streamed == want and len(streamed) == 3  # 3 unordered type pairs
