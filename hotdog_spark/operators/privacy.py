@@ -72,3 +72,64 @@ def pii_scrub(
             "redacted_fp"
         ),
     )
+
+
+def k_anonymity_report(
+    df: "DataFrame",
+    quasi_cols: list[Column],
+    k_threshold: int = 5,
+) -> "DataFrame":
+    """k-ANONYMITY audit over a quasi-identifier tuple (Sweeney 2002,
+    public): group rows into equivalence classes by the quasi-identifier
+    columns, measure each class size k, and report the class-size
+    distribution — the standard pre-release privacy check for a corpus:
+    any row in a class with k below threshold is re-identifiable by
+    joining the quasi-identifiers against an external dataset.
+
+    Output is one row per class-size bucket ('1', '2-4', '5-9', '10+'
+    by default threshold geometry) with the number of equivalence
+    classes, the number of rows, and each bucket's row share in ppm —
+    plus an `at_risk` flag (bucket entirely below ``k_threshold``).
+
+    Scale shape: one keyed aggregate over the quasi-identifier tuple
+    (map-side combinable) and one tiny re-aggregate over class sizes —
+    the whole report is two shuffles of bounded-cardinality rows; no
+    row-level data ever leaves the executors."""
+    classes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("k"))
+    bucket = (
+        F.when(F.col("k") == 1, F.lit("1"))
+        .when(F.col("k") < k_threshold, F.lit("2-4"))
+        .when(F.col("k") < 2 * k_threshold, F.lit("5-9"))
+        .otherwise(F.lit("10+"))
+    )
+    buckets = classes.select(bucket.alias("k_bucket"), "k").groupBy(
+        "k_bucket"
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("k").cast("bigint").alias("n_rows"),
+        F.min("k").cast("bigint").alias("min_k"),
+    )
+    # total = window-sum over the ≤4 bucket rows themselves — no second
+    # pass over df or classes (at 100 TB an extra count() scan would
+    # double the report's cost for one denominator)
+    from pyspark.sql.window import Window
+
+    total = F.sum("n_rows").over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return buckets.select(
+        "k_bucket",
+        "n_classes",
+        "n_rows",
+        (F.col("min_k") < k_threshold).cast("bigint").alias("at_risk"),
+        total.alias("n_total"),
+    ).select(
+        "k_bucket",
+        "n_classes",
+        "n_rows",
+        F.expr("(1000000 * n_rows) div greatest(n_total, 1)")
+        .alias("row_share_ppm"),
+        "at_risk",
+    )

@@ -521,3 +521,51 @@ def decontaminate_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_bloom(
         docs.filter(~is_bench), docs.filter(is_bench), "text", "doc_id", n=5
     )
+
+
+@register(
+    "privacy_k_anonymity_report",
+    oracle="""
+    WITH classes AS (
+      SELECT lang, source, n_chars // 16 AS len_bucket,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM documents GROUP BY lang, source, n_chars // 16
+    ), buckets AS (
+      SELECT CASE WHEN k = 1 THEN '1'
+                  WHEN k < 5 THEN '2-4'
+                  WHEN k < 10 THEN '5-9'
+                  ELSE '10+' END AS k_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(SUM(k) AS BIGINT) AS n_rows,
+             CAST(MIN(k) AS BIGINT) AS min_k
+      FROM classes GROUP BY 1
+    ), tot AS (
+      -- CAST: DuckDB SUM(BIGINT) yields HUGEINT, which pandas converts
+      -- to float64 and the ppm division would come back float-typed
+      SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total FROM buckets
+    )
+    SELECT k_bucket, n_classes, n_rows,
+           (1000000 * n_rows) // greatest(n_total, 1) AS row_share_ppm,
+           CAST(CASE WHEN min_k < 5 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+    FROM buckets, tot
+    """,
+)
+def privacy_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (Sweeney 2002) over the documents table's
+    quasi-identifier tuple (lang, source, 16-char length bucket): the
+    pre-release privacy check — rows in small equivalence classes are
+    re-identifiable by joining quasi-identifiers against external data
+    (operators/privacy.py::k_anonymity_report).  Two bounded keyed
+    aggregates; class-size distribution with at-risk flags; no
+    row-level data leaves the executors."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.privacy import k_anonymity_report
+
+    docs = table(spark, sf_dir, "documents")
+    return k_anonymity_report(
+        docs,
+        [F.col("lang"), F.col("source"),
+         F.expr("n_chars div 16").alias("len_bucket")],
+        k_threshold=5,
+    )

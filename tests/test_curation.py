@@ -299,3 +299,34 @@ def test_curation_config_rejects_inconsistent_group_by():
          + [{"step": "pack", "group_by": "lang"},
             {"step": "bin_report", "group_by": "lang"}]}
     )
+
+
+def test_k_anonymity_report_pinned(spark):
+    """Handcrafted equivalence classes: sizes 1, 1, 3, 7, 12 ->
+    buckets '1'(2 classes, 2 rows), '2-4'(1, 3), '5-9'(1, 7),
+    '10+'(1, 12); at_risk on the sub-threshold buckets only; ppm
+    shares sum to ~1e6."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.privacy import k_anonymity_report
+
+    rows = (
+        [("a", 0)] + [("b", 0)]     # two singleton classes
+        + [("c", 0)] * 3            # class of 3
+        + [("d", 0)] * 7            # class of 7
+        + [("e", 0)] * 12           # class of 12
+    )
+    df = spark.createDataFrame(rows, "qid string, pad long")
+    out = {
+        r.k_bucket: r
+        for r in k_anonymity_report(df, [F.col("qid")], k_threshold=5).collect()
+    }
+    assert out["1"].n_classes == 2 and out["1"].n_rows == 2
+    assert out["2-4"].n_classes == 1 and out["2-4"].n_rows == 3
+    assert out["5-9"].n_classes == 1 and out["5-9"].n_rows == 7
+    assert out["10+"].n_classes == 1 and out["10+"].n_rows == 12
+    assert out["1"].at_risk == 1 and out["2-4"].at_risk == 1
+    assert out["5-9"].at_risk == 0 and out["10+"].at_risk == 0
+    total = 24
+    for b, r in out.items():
+        assert r.row_share_ppm == (1_000_000 * r.n_rows) // total
