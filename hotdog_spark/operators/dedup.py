@@ -355,33 +355,14 @@ def minhash_jaccard_estimates(
 
 
 def simhash16(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """16-bit SimHash over whitespace tokens: per token take the first 16
-    bits of md5, sum ±1 per bit position over the doc, set bit where the
-    sum is positive.  Integer-exact, engine-independent.
-    Returns (id, simhash).
-
-    The 4 leading hex digits convert to ONE int per token (conv base
-    16), and each bit comes from a shift+mask — 1 conversion + 16 cheap
-    bit ops instead of 16 substring/instr digit extractions per row.
-    Bit layout matches the digit-wise definition exactly: bit j lives in
-    hex digit j//4 (MSB-first string order) at in-digit position j%4."""
-    toks = fan_out(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(normalized_tokens(F.col(text_col))).alias("tok"),
-    ).withColumn(
-        "v", F.conv(F.substring(F.md5(F.col("tok")), 1, 4), 16, 10).cast("int")
-    )
-    agg_cols = []
-    for j in range(16):
-        shift = 4 * (3 - j // 4) + (j % 4)
-        bit = F.shiftright(F.col("v"), shift).bitwiseAND(F.lit(1))
-        agg_cols.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
-    sums = toks.groupBy("id").agg(*agg_cols)
-    simhash = None
-    for j in range(16):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
-        simhash = term if simhash is None else (simhash + term)
-    return sums.select("id", simhash.cast("bigint").alias("simhash"))
+    """16-bit SimHash over whitespace tokens — delegates to
+    :func:`simhash_bits` at bits=16 (one bit-derivation contract for the
+    whole simhash family; the generalized shift formula
+    4*(hexchars-1-j//4)+(j%4) reduces to the original
+    4*(3-j//4)+(j%4) at hexchars=4, so hashes are bit-identical to the
+    pre-refactor implementation and every oracle still matches).
+    Returns (id, simhash)."""
+    return simhash_bits(df, text_col, id_col, bits=16)
 
 
 def _drop_hot_tokens(

@@ -1142,6 +1142,9 @@ def image_ahash(df: DataFrame, grid: int = 8) -> DataFrame:
     from hotdog_spark.dist import ensure_shipped
 
     ensure_shipped(df.sparkSession)
+    # same bound as image_dhash: grid*grid bits must fit the two
+    # sub-2^32 halves the cross-engine contract promises
+    assert 2 <= grid <= 8, "ahash grid must keep grid*grid <= 64 bits"
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -1242,6 +1245,9 @@ def image_dhash(df: DataFrame, grid: int = 8) -> DataFrame:
     from hotdog_spark.dist import ensure_shipped
 
     ensure_shipped(df.sparkSession)
+    # grid*grid comparison bits must fit the two sub-2^32 halves the
+    # cross-engine contract promises: grid 9+ would overflow bit 63
+    assert 2 <= grid <= 8, "dhash grid must keep grid*grid <= 64 bits"
     cols = grid + 1
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -96,11 +96,17 @@ def k_anonymity_report(
     the whole report is two shuffles of bounded-cardinality rows; no
     row-level data ever leaves the executors."""
     classes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("k"))
+    # bucket labels derive from the threshold so a non-default
+    # k_threshold never mislabels a class (boundaries and names move
+    # together); at the default 5 they read '1', '2-4', '5-9', '10+'
     bucket = (
         F.when(F.col("k") == 1, F.lit("1"))
-        .when(F.col("k") < k_threshold, F.lit("2-4"))
-        .when(F.col("k") < 2 * k_threshold, F.lit("5-9"))
-        .otherwise(F.lit("10+"))
+        .when(F.col("k") < k_threshold, F.lit(f"2-{k_threshold - 1}"))
+        .when(
+            F.col("k") < 2 * k_threshold,
+            F.lit(f"{k_threshold}-{2 * k_threshold - 1}"),
+        )
+        .otherwise(F.lit(f"{2 * k_threshold}+"))
     )
     buckets = classes.select(bucket.alias("k_bucket"), "k").groupBy(
         "k_bucket"

@@ -1677,6 +1677,7 @@ def binary_hamming_topk(
     id_col: str,
     probe_filter: Column,
     k: int = 5,
+    dims: int = 64,
 ) -> DataFrame:
     """Top-k retrieval over BINARY (sign-quantized) embeddings — the
     classic 32×-compression ANN path (Charikar 2002 hyperplane LSH in
@@ -1695,26 +1696,39 @@ def binary_hamming_topk(
     differently per engine).
 
     Returns (query_id, neighbor_id, hamming, rank): rank by ascending
-    Hamming, neighbor_id tiebreak, self excluded."""
-    packed = df.select(
+    Hamming, neighbor_id tiebreak, self excluded.
+
+    ``dims`` must equal the actual vector length (guarded in-plan with
+    raise_error — a shorter vector would silently pack NULL→0 bits and
+    a longer one would silently drop dimensions) and be a multiple of
+    32 (one packed word per 32 dims)."""
+    assert dims % 32 == 0 and dims > 0
+    n_words = dims // 32
+    guard = F.expr(
+        f"CASE WHEN size({vec_col}) <> {dims} THEN "
+        f"raise_error(concat('binary_hamming_topk: vector length ', "
+        f"CAST(size({vec_col}) AS STRING), ' != dims={dims}')) "
+        f"ELSE {vec_col} END"
+    )
+    packed = df.withColumn(vec_col, guard).select(
         F.col(id_col).alias("vid"),
-        _signbits_word(vec_col, 0).alias("b_lo"),
-        _signbits_word(vec_col, 32).alias("b_hi"),
+        *[
+            _signbits_word(vec_col, 32 * w).alias(f"b{w}")
+            for w in range(n_words)
+        ],
     )
     probes = packed.filter(probe_filter).select(
         F.col("vid").alias("query_id"),
-        F.col("b_lo").alias("p_lo"),
-        F.col("b_hi").alias("p_hi"),
+        *[F.col(f"b{w}").alias(f"p{w}") for w in range(n_words)],
     )
     pairs = packed.crossJoin(broadcast(probes)).filter(
         F.col("vid") != F.col("query_id")
     )
+    ham = " + ".join(f"bit_count(b{w} ^ p{w})" for w in range(n_words))
     scored = pairs.select(
         "query_id",
         F.col("vid").alias("neighbor_id"),
-        F.expr("bit_count(b_lo ^ p_lo) + bit_count(b_hi ^ p_hi)")
-        .cast("bigint")
-        .alias("hamming"),
+        F.expr(ham).cast("bigint").alias("hamming"),
     )
     w = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
     return (

@@ -138,6 +138,17 @@ SUBSET = [
     "bpe_encode_stats",
     "pack_bpe_token_bins",
     "dedup_provenance_report",
+    # Round-8 additions: sketch set algebra (k-array self-join), the
+    # token-position-sized substring scan, the blocked Hamming pair
+    # search (answer-proportional under the saturated corpus — cap
+    # guard), popcount ANN, the dhash decode kernel, and the bounded
+    # k-anonymity aggregate.
+    "agg_kmv_set_jaccard",
+    "dedup_repeated_ngram_spans",
+    "dedup_simhash_hamming",
+    "ann_binary_hamming_topk",
+    "dedup_image_dhash",
+    "privacy_k_anonymity_report",
 ]
 
 

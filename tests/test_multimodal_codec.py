@@ -659,34 +659,43 @@ def test_image_dhash_matches_reference(spark):
     assert got == expected
 
 
-def test_image_dhash_brightness_invariance_vs_ahash(spark):
-    """The motivating property: a global brightness shift changes aHash
-    (the mean moves with the image) but leaves dHash bits untouched
-    (neighbor gradients are shift-invariant).  Built from a horizontal
-    ramp whose mean splits the cells, +20 on every channel value."""
+def test_image_dhash_locality_vs_ahash_global_mean(spark):
+    """The motivating property, stated honestly: aHash bits are GLOBAL-
+    mean-relative, so one bright localized patch (a watermark) moves the
+    mean and flips cells FAR from the edit; dHash bits are local
+    gradients, so only comparisons touching the patch move.  (A uniform
+    brightness shift is a weaker claim — it leaves BOTH hashes unchanged
+    because the mean shifts with every cell.)  Fixture: 100/104
+    alternating column bands + one 255 patch in the top-left cell;
+    measured flips: 34 aHash bits vs 2 dHash bits."""
     import pandas as pd
 
     from hotdog_spark.operators.multimodal import image_ahash, image_dhash
 
-    w, h = 18, 8
+    w, h = 32, 16
     base = bytearray()
     for y in range(h):
         for x in range(w):
-            v = 40 + 10 * x + (5 if (x % 3 == 0) else 0)
+            v = 100 + (4 if (x // 4) % 2 else 0)
             base += bytes((v, v, v, 255))
-    shifted = bytes(min(255, b + 20) if i % 4 != 3 else b
-                    for i, b in enumerate(base))
+    edited = bytearray(base)
+    for y in range(4):
+        for x in range(4):
+            p = (y * w + x) * 4
+            edited[p:p + 3] = b"\xff\xff\xff"
     df = spark.createDataFrame(pd.DataFrame(
         [(0, synth_png(w, h, 8, 6, pixels=bytes(base))),
-         (1, synth_png(w, h, 8, 6, pixels=shifted))],
+         (1, synth_png(w, h, 8, 6, pixels=bytes(edited)))],
         columns=["media_id", "content"],
     ))
-    d = {r["media_id"]: (r["dhash_hi"], r["dhash_lo"])
+    d = {r["media_id"]: (r["dhash_hi"] << 32) | r["dhash_lo"]
          for r in image_dhash(df).collect()}
-    a = {r["media_id"]: (r["ahash_hi"], r["ahash_lo"])
+    a = {r["media_id"]: (r["ahash_hi"] << 32) | r["ahash_lo"]
          for r in image_ahash(df).collect()}
-    assert d[0] == d[1], "dHash must be brightness-shift invariant"
-    assert d[0] != (0, 0)
+    d_flips = bin(d[0] ^ d[1]).count("1")
+    a_flips = bin(a[0] ^ a[1]).count("1")
+    assert d_flips == 2 and a_flips == 34
+    assert d_flips < a_flips
 
 
 def test_image_dhash_dedup_groups(spark):
