@@ -152,6 +152,7 @@ HEADLINE = [
     "dedup_simhash_hamming",            # blocked Manku Hamming-ball pair search
     "ann_binary_hamming_topk",          # sign-bit binary embeddings, popcount top-k
     "dedup_image_dhash",                # PNG decode → 9x8 gradient hash dedup
+    "privacy_k_anonymity_report",       # quasi-identifier class-size audit
 ]
 
 
