@@ -153,6 +153,7 @@ HEADLINE = [
     "ann_binary_hamming_topk",          # sign-bit binary embeddings, popcount top-k
     "dedup_image_dhash",                # PNG decode → 9x8 gradient hash dedup
     "privacy_k_anonymity_report",       # quasi-identifier class-size audit
+    "wordpiece_train_merges",           # likelihood-argmax tokenizer trainer
 ]
 
 

@@ -259,3 +259,142 @@ def bpe_encode_stats(
             yield pd.DataFrame(rows)
 
     return df.select(id_col, text_col).mapInPandas(kernel, schema)
+
+
+def _wp_beats(
+    x: tuple[int, int, int, str, str], y: tuple[int, int, int, str, str]
+) -> bool:
+    """True iff candidate x outranks y under the WordPiece objective:
+    higher likelihood score pc/(ca·cb), ties broken by lexicographically
+    smaller (a, b).  The ratio comparison is done by exact integer
+    cross-multiplication — Python ints are unbounded, so no overflow at
+    any corpus size (the DuckDB oracle uses HUGEINT for the same
+    products)."""
+    (pcx, cax, cbx, ax, bx) = x
+    (pcy, cay, cby, ay, by) = y
+    lhs = pcx * cay * cby
+    rhs = pcy * cax * cbx
+    if lhs != rhs:
+        return lhs > rhs
+    return (ax, bx) < (ay, by)
+
+
+def _wordpiece_local(
+    wordcounts: list[tuple[str, int]],
+    n_merges: int,
+    min_pair_count: int,
+) -> list[tuple[str, str, int, int, int]]:
+    """WordPiece merge loop over a collected (word, cnt) table: same
+    rewrite machinery as BPE (:func:`_merge_once`), different SELECTION —
+    the pair maximizing count(ab)/(count(a)·count(b)) (Schuster &
+    Nakajima 2012, the BERT tokenizer's likelihood-gain rule) instead of
+    raw count(ab).  Returns [(left, right, pair_cnt, left_cnt,
+    right_cnt), ...] in merge order."""
+    vocab = {w: list(w) + [EOW] for w, _ in wordcounts}
+    counts = dict(wordcounts)
+    merges: list[tuple[str, str, int, int, int]] = []
+    for _ in range(n_merges):
+        pc: dict[tuple[str, str], int] = {}
+        sc: dict[str, int] = {}
+        for w, syms in vocab.items():
+            c = counts[w]
+            for s in syms:
+                sc[s] = sc.get(s, 0) + c
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + c
+        best = None
+        for (a, b), n_ab in pc.items():
+            if n_ab < min_pair_count:
+                continue
+            cand = (n_ab, sc[a], sc[b], a, b)
+            if best is None or _wp_beats(cand, best):
+                best = cand
+        if best is None:
+            break
+        n_ab, ca, cb, a, b = best
+        merges.append((a, b, n_ab, ca, cb))
+        for w in vocab:
+            vocab[w] = _merge_once(vocab[w], a, b)
+    return merges
+
+
+def wordpiece_train(
+    df: DataFrame,
+    text_col: str,
+    n_merges: int = 20,
+    min_pair_count: int = 2,
+    vocab_collect_limit: int = VOCAB_COLLECT_LIMIT,
+) -> list[tuple[str, str, int, int, int]]:
+    """Learn ``n_merges`` WordPiece merges (Schuster & Nakajima 2012 —
+    the BERT tokenizer family member).  Identical Spark shape to
+    :func:`bpe_train` — ONE corpus scan to the vocabulary-bounded
+    word-frequency table, then an iterative loop over that table — with
+    the likelihood-gain selection rule: argmax of
+    count(ab) / (count(a)·count(b)), compared by exact integer
+    cross-multiplication (no float scores anywhere, so the merge table
+    is a pure function of the corpus in any engine).
+
+    Distributed fallback (vocab above ``vocab_collect_limit``): per
+    round, pair counts AND symbol counts are keyed aggregates over the
+    segmentation table; the joined scored-pair table — bounded by the
+    active segmentation's adjacent-pair vocabulary, the same
+    vocab-bounded class as the table itself — is collected and the
+    argmax resolved driver-side with unbounded ints (a distributed
+    fixed-width argmax would overflow: pc·ca·cb exceeds signed-64 past
+    ~2 M tokens).
+
+    Returns [(left, right, pair_cnt, left_cnt, right_cnt), ...]."""
+    from hotdog_spark.dist import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+    wc = word_frequency_table(df, text_col).localCheckpoint(eager=True)
+    if wc.count() <= vocab_collect_limit:
+        rows = wc.select("word", "cnt").collect()
+        return _wordpiece_local(
+            [(r["word"], int(r["cnt"])) for r in rows], n_merges, min_pair_count
+        )
+    merges: list[tuple[str, str, int, int, int]] = []
+    for _ in range(n_merges):
+        pairs = wc.filter(F.size("syms") >= 2).select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(syms) - 2),"
+                    " i -> struct(syms[i] AS a, syms[i + 1] AS b))"
+                )
+            ).alias("p"),
+        )
+        pcdf = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("pc"))
+            .filter(F.col("pc") >= min_pair_count)
+        )
+        scdf = (
+            wc.select("cnt", F.explode("syms").alias("sym"))
+            .groupBy("sym")
+            .agg(F.sum("cnt").alias("c"))
+        )
+        sa = scdf.select(F.col("sym").alias("a"), F.col("c").alias("ca"))
+        sb = scdf.select(F.col("sym").alias("b"), F.col("c").alias("cb"))
+        scored = pcdf.join(sa, "a").join(sb, "b").collect()
+        best = None
+        for r in scored:
+            cand = (int(r["pc"]), int(r["ca"]), int(r["cb"]), r["a"], r["b"])
+            if best is None or _wp_beats(cand, best):
+                best = cand
+        if best is None:
+            break
+        n_ab, ca, cb, a, b = best
+        merges.append((a, b, n_ab, ca, cb))
+
+        def kernel(batches: Iterator[pd.DataFrame], _a=a, _b=b):
+            for pdf in batches:
+                pdf = pdf.copy()
+                pdf["syms"] = [
+                    _merge_once(list(s), _a, _b) for s in pdf["syms"]
+                ]
+                yield pdf
+
+        wc = wc.mapInPandas(kernel, _WC_SCHEMA).localCheckpoint(eager=True)
+    return merges

@@ -193,3 +193,70 @@ def bpe_fertility_oracle(n_merges: int = 20) -> str:
 FROM documents d LEFT JOIN agg a USING (doc_id)
 GROUP BY d.lang"""
     return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+def _wp_round_ctes(r: int, min_pair_count: int = 2) -> str:
+    """One WordPiece merge round (Schuster & Nakajima 2012): pair counts
+    AND symbol counts over the current segmentation, argmax of the
+    likelihood score pc/(ca·cb) resolved by EXACT HUGEINT
+    cross-multiplication in a NOT EXISTS anti-join (no float scores —
+    ordering by a float ratio could misorder near-equal rationals), ties
+    by lexicographically smallest (a, b), then the same separator-string
+    replace() rewrite as the BPE rounds."""
+    return f"""p{r} AS MATERIALIZED (
+  WITH e{r} AS (
+    SELECT cnt, l, unnest(range(1, len(l))) AS i
+    FROM (SELECT cnt,
+                 string_split(substring(s, 2, length(s) - 2), {_S2L}) AS l
+          FROM v{r})
+  )
+  SELECT l[i] AS a, l[i + 1] AS b, sum(cnt)::BIGINT AS pc
+  FROM e{r} GROUP BY 1, 2
+  HAVING sum(cnt) >= {min_pair_count}
+),
+sc{r} AS MATERIALIZED (
+  SELECT sym, sum(cnt)::BIGINT AS c FROM (
+    SELECT cnt,
+           unnest(string_split(substring(s, 2, length(s) - 2), {_S2L})) AS sym
+    FROM v{r}
+  ) GROUP BY 1
+),
+g{r} AS MATERIALIZED (
+  SELECT p.a, p.b, p.pc, sa.c AS ca, sb.c AS cb
+  FROM p{r} p
+  JOIN sc{r} sa ON sa.sym = p.a
+  JOIN sc{r} sb ON sb.sym = p.b
+),
+wb{r} AS MATERIALIZED (
+  SELECT a, b, pc, ca, cb FROM g{r} x
+  WHERE NOT EXISTS (
+    SELECT 1 FROM g{r} y
+    WHERE (y.pc::HUGEINT * x.ca * x.cb > x.pc::HUGEINT * y.ca * y.cb)
+       OR (y.pc::HUGEINT * x.ca * x.cb = x.pc::HUGEINT * y.ca * y.cb
+           AND (y.a < x.a OR (y.a = x.a AND y.b < x.b)))
+  )
+),
+v{r + 1} AS MATERIALIZED (
+  SELECT word, cnt,
+         replace(s,
+                 coalesce((SELECT {_S1} || a || {_S2} || b || {_S1}
+                           FROM wb{r}), {_S1} || {_S1} || {_S1}),
+                 coalesce((SELECT {_S1} || a || b || {_S1} FROM wb{r}),
+                          {_S1} || {_S1} || {_S1})) AS s
+  FROM v{r}
+)"""
+
+
+def wordpiece_train_oracle(n_merges: int = 20) -> str:
+    """Oracle for ``wordpiece_train_merges``: the ordered merge table
+    (rank, left, right, pair_count, left_count, right_count), replaying
+    the likelihood-argmax loop in unrolled CTEs."""
+    ctes = [_seed_cte(), "v0 AS (SELECT * FROM w0)"] + [
+        _wp_round_ctes(r) for r in range(n_merges)
+    ]
+    rows = "\nUNION ALL ".join(
+        f'SELECT {r}::BIGINT AS rank, a AS "left", b AS "right", '
+        f"pc AS pair_count, ca AS left_count, cb AS right_count FROM wb{r}"
+        for r in range(n_merges)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + rows

@@ -1120,3 +1120,29 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_words=25,
         min_stop_hits=1,
     )
+
+
+@register("wordpiece_train_merges", oracle=_bpe.wordpiece_train_oracle(20))
+def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer TRAINING (Schuster & Nakajima 2012 — the BERT
+    tokenizer's selection rule): learn 20 merges by likelihood gain
+    count(ab)/(count(a)·count(b)) instead of BPE's raw count, compared
+    by exact integer cross-multiplication so the merge table is a pure
+    function of the corpus (operators/bpe.py::wordpiece_train; same
+    one-scan / vocab-bounded-loop shape as bpe_train).  The DuckDB
+    oracle unrolls the 20 rounds with the argmax resolved by a HUGEINT
+    cross-multiplied NOT EXISTS anti-join — no float scores in either
+    engine (queries/_bpe_oracle.py::wordpiece_train_oracle)."""
+    from hotdog_spark.operators import bpe
+
+    merges = bpe.wordpiece_train(
+        table(spark, sf_dir, "documents"), "text", n_merges=20
+    )
+    rows = [
+        (i, a, b, pc, ca, cb) for i, (a, b, pc, ca, cb) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "rank long, left string, right string, pair_count long,"
+        " left_count long, right_count long",
+    )

@@ -149,6 +149,7 @@ SUBSET = [
     "ann_binary_hamming_topk",
     "dedup_image_dhash",
     "privacy_k_anonymity_report",
+    "wordpiece_train_merges",
 ]
 
 

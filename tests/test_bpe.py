@@ -180,3 +180,60 @@ def test_oracle_mirrors_engine_early_stop_on_exhausted_pairs(spark):
     assert enc["n_bpe_tokens"].notna().all()
     assert (enc["n_bpe_tokens"] > 0).all()
     con.close()
+
+
+def test_wordpiece_selection_differs_from_bpe(spark):
+    """The likelihood rule must pick the EXCLUSIVE pair over the merely
+    FREQUENT one: corpus where (x,y) occurs 2x with x,y occurring only
+    in that context (score 2/(2*2)=1/2) while (a,b) occurs 5x but a and
+    b are common elsewhere (score 5/(12*12)) — WordPiece merges 'xy'
+    first, BPE merges by raw count and picks something else."""
+    from hotdog_spark.operators.bpe import bpe_train, wordpiece_train
+
+    # words: 'xy' x2; 'ab' x5; 'a' alone x7; 'b' alone x7
+    text = " ".join(["xy"] * 2 + ["ab"] * 5 + ["a"] * 7 + ["b"] * 7)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    wp = wordpiece_train(df, "text", n_merges=1)
+    bp = bpe_train(df, "text", n_merges=1)
+    (a, b, pc, ca, cb) = wp[0]
+    assert (a, b) == ("x", "y") and pc == 2 and ca == 2 and cb == 2
+    assert (bp[0][0], bp[0][1]) != ("x", "y")  # BPE goes for frequency
+
+
+def test_wordpiece_driver_and_distributed_paths_agree(spark):
+    """Local (collected vocab) and forced-distributed
+    (vocab_collect_limit=0) WordPiece training must learn IDENTICAL
+    merge tables including the count provenance columns."""
+    import random
+
+    from hotdog_spark.operators.bpe import wordpiece_train
+
+    rng = random.Random(8)
+    vocab = ["spark", "sparse", "parse", "parquet", "shuffle", "huddle",
+             "row", "rows", "rowset", "set", "get", "jetset"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(30))) for i in range(12)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    local = wordpiece_train(df, "text", n_merges=10)
+    dist = wordpiece_train(df, "text", n_merges=10, vocab_collect_limit=0)
+    assert local == dist and len(local) == 10
+
+
+def test_wordpiece_handchecked_first_rounds(spark):
+    """Independent hand-derivation on a 2-word corpus: 'to' x4, 'too' x1.
+    Round 1 symbol counts: t=5, o=6, </w>=5; pairs: (t,o)=5 -> 5/30,
+    (o,</w>)=5 -> 5/30, (o,o)=1 -> 1/36.  Score tie 5/30: cross-mult
+    equal, lexicographic tiebreak 'o' < 't' picks ('o','</w>').
+    Round 2 after merging: 'to'=[t,o</w>], 'too'=[t,o,o</w>]; symbol
+    counts t=5, o</w>=5, o=1; pairs (t,o</w>)=4 -> 4/25,
+    (t,o)=1 -> 1/5, (o,o</w>)=1 -> 1/(1*5)=1/5.  Another exact tie at
+    1/5; 'o' < 't' picks ('o','o</w>') — count-1 beats count-4."""
+    from hotdog_spark.operators.bpe import wordpiece_train
+
+    df = spark.createDataFrame(
+        [(1, "to to to to too")], "doc_id long, text string"
+    )
+    merges = wordpiece_train(df, "text", n_merges=2, min_pair_count=1)
+    assert merges[0] == ("o", "</w>", 5, 6, 5)
+    assert merges[1] == ("o", "o</w>", 1, 1, 5)
