@@ -154,6 +154,8 @@ HEADLINE = [
     "dedup_image_dhash",                # PNG decode → 9x8 gradient hash dedup
     "privacy_k_anonymity_report",       # quasi-identifier class-size audit
     "wordpiece_train_merges",           # likelihood-argmax tokenizer trainer
+    "wordpiece_encode_stats",           # WordPiece-table encode kernel
+    "privacy_l_diversity_report",       # homogeneity-attack audit
 ]
 
 

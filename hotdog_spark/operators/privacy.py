@@ -139,3 +139,61 @@ def k_anonymity_report(
         .alias("row_share_ppm"),
         "at_risk",
     )
+
+
+def l_diversity_report(
+    df: "DataFrame",
+    quasi_cols: list[Column],
+    sensitive_col: Column,
+    l_threshold: int = 3,
+) -> "DataFrame":
+    """l-DIVERSITY audit (Machanavajjhala et al. 2007, public) — the
+    companion to :func:`k_anonymity_report`: k-anonymity alone fails
+    when an equivalence class is large but every member shares the same
+    SENSITIVE value (the homogeneity attack — the attacker learns the
+    secret without identifying the row).  Per quasi-identifier class,
+    count DISTINCT sensitive values l; report the class distribution by
+    l with row counts and an at-risk flag (l below threshold).
+
+    Same two-bounded-aggregate shape as the k report: one keyed
+    aggregate per class (count + approx-free exact distinct via a
+    two-level group), one tiny re-aggregate over l values."""
+    # project first, then group by the projected NAMES — grouping by the
+    # original expressions would re-resolve them against the projection,
+    # where their input columns no longer exist
+    qnames = [f"_q{i}" for i in range(len(quasi_cols))]
+    classes = (
+        df.select(
+            *[c.alias(n) for c, n in zip(quasi_cols, qnames)],
+            sensitive_col.alias("_sens"),
+        )
+        .groupBy(*qnames)
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.countDistinct("_sens").alias("l"),
+        )
+    )
+    buckets = classes.groupBy("l").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("k").cast("bigint").alias("n_rows"),
+    )
+    from pyspark.sql.window import Window
+
+    total = F.sum("n_rows").over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return buckets.select(
+        F.col("l").cast("bigint").alias("l"),
+        "n_classes",
+        "n_rows",
+        total.alias("n_total"),
+    ).select(
+        "l",
+        "n_classes",
+        "n_rows",
+        F.expr("(1000000 * n_rows) div greatest(n_total, 1)")
+        .alias("row_share_ppm"),
+        (F.col("l") < l_threshold).cast("bigint").alias("at_risk"),
+    )

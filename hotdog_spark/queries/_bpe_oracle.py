@@ -260,3 +260,42 @@ def wordpiece_train_oracle(n_merges: int = 20) -> str:
         for r in range(n_merges)
     )
     return "WITH " + ",\n".join(ctes) + "\n" + rows
+
+
+def wordpiece_encode_oracle(n_merges: int = 20) -> str:
+    """Oracle for ``wordpiece_encode_stats``: the WordPiece training
+    chain (v-CTEs) feeds the same per-word encoded-length read-off and
+    per-doc integer stats as the BPE encode oracle — encoding applies
+    the learned merge table with identical greedy left-to-right
+    mechanics; only the table differs."""
+    ctes = [_seed_cte(), "v0 AS (SELECT * FROM w0)"] + [
+        _wp_round_ctes(r) for r in range(n_merges)
+    ]
+    ctes.append(f"""enc AS (
+  SELECT word,
+         len(string_split(substring(s, 2, length(s) - 2), {_S2L}))::BIGINT
+           AS n_syms
+  FROM v{n_merges}
+)""")
+    ctes.append("""dw AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            x -> x <> '')) AS word
+  FROM documents
+)""")
+    ctes.append("""agg AS (
+  SELECT dw.doc_id,
+         count(*)::BIGINT AS n_words,
+         sum(length(dw.word))::BIGINT AS n_chars_tok,
+         sum(e.n_syms)::BIGINT AS n_wp_tokens
+  FROM dw JOIN enc e USING (word)
+  GROUP BY dw.doc_id
+)""")
+    final = """SELECT d.doc_id,
+       coalesce(a.n_words, 0)::BIGINT AS n_words,
+       coalesce(a.n_chars_tok, 0)::BIGINT AS n_chars_tok,
+       coalesce(a.n_wp_tokens, 0)::BIGINT AS n_wp_tokens,
+       coalesce(a.n_chars_tok + a.n_words - a.n_wp_tokens, 0)::BIGINT
+         AS n_merges_applied
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+    return "WITH " + ",\n".join(ctes) + "\n" + final

@@ -569,3 +569,44 @@ def privacy_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
          F.expr("n_chars div 16").alias("len_bucket")],
         k_threshold=5,
     )
+
+
+@register(
+    "privacy_l_diversity_report",
+    oracle="""
+    WITH classes AS (
+      SELECT source, n_chars // 16 AS len_bucket,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(COUNT(DISTINCT lang) AS BIGINT) AS l
+      FROM documents GROUP BY source, n_chars // 16
+    ), buckets AS (
+      SELECT l, CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(SUM(k) AS BIGINT) AS n_rows
+      FROM classes GROUP BY l
+    ), tot AS (
+      SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total FROM buckets
+    )
+    SELECT l, n_classes, n_rows,
+           (1000000 * n_rows) // greatest(n_total, 1) AS row_share_ppm,
+           CAST(CASE WHEN l < 3 THEN 1 ELSE 0 END AS BIGINT) AS at_risk
+    FROM buckets, tot
+    """,
+)
+def privacy_l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007) — k-anonymity's
+    companion against the homogeneity attack: per (source, length
+    bucket) quasi-identifier class, how many DISTINCT languages (the
+    sensitive attribute here) each class contains; classes where every
+    row shares one value leak the secret without re-identification
+    (operators/privacy.py::l_diversity_report)."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.privacy import l_diversity_report
+
+    docs = table(spark, sf_dir, "documents")
+    return l_diversity_report(
+        docs,
+        [F.col("source"), F.expr("n_chars div 16").alias("len_bucket")],
+        F.col("lang"),
+        l_threshold=3,
+    )

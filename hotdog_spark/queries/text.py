@@ -1146,3 +1146,28 @@ def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rank long, left string, right string, pair_count long,"
         " left_count long, right_count long",
     )
+
+
+@register("wordpiece_encode_stats", oracle=_bpe.wordpiece_encode_oracle(20))
+def wordpiece_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the learned WORDPIECE merge table and emit
+    exact per-document integer stats — the tokenizer-parity twin of
+    bpe_encode_stats: identical greedy in-order merge application
+    (operators/bpe.py::bpe_encode_stats — encoding is table-driven, so
+    the kernel is shared), only the learned table differs.  One corpus
+    scan for training, one Arrow-batched scan for encoding; merge table
+    travels in the kernel closure (vocabulary-sized)."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators import bpe
+
+    docs = table(spark, sf_dir, "documents")
+    merges = bpe.wordpiece_train(docs, "text", n_merges=20)
+    ranked = [(a, b, pc) for (a, b, pc, _ca, _cb) in merges]
+    return bpe.bpe_encode_stats(docs, "text", "doc_id", ranked).select(
+        "doc_id",
+        "n_words",
+        "n_chars_tok",
+        F.col("n_bpe_tokens").alias("n_wp_tokens"),
+        "n_merges_applied",
+    )

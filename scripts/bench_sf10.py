@@ -150,6 +150,8 @@ SUBSET = [
     "dedup_image_dhash",
     "privacy_k_anonymity_report",
     "wordpiece_train_merges",
+    "wordpiece_encode_stats",
+    "privacy_l_diversity_report",
 ]
 
 

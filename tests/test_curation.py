@@ -330,3 +330,27 @@ def test_k_anonymity_report_pinned(spark):
     total = 24
     for b, r in out.items():
         assert r.row_share_ppm == (1_000_000 * r.n_rows) // total
+
+
+def test_l_diversity_report_homogeneity_attack_flagged(spark):
+    """Classic homogeneity case: a class of 10 rows all sharing one
+    sensitive value is k-anonymous but l=1 (at risk); a mixed class of
+    4 rows with 3 distinct values is small but diverse (l=3, safe at
+    threshold 3)."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.privacy import l_diversity_report
+
+    rows = [("q1", "s_same")] * 10 + [
+        ("q2", "a"), ("q2", "b"), ("q2", "c"), ("q2", "a"),
+    ]
+    df = spark.createDataFrame(rows, "qid string, sens string")
+    out = {
+        r.l: r
+        for r in l_diversity_report(
+            df, [F.col("qid")], F.col("sens"), l_threshold=3
+        ).collect()
+    }
+    assert out[1].n_classes == 1 and out[1].n_rows == 10 and out[1].at_risk == 1
+    assert out[3].n_classes == 1 and out[3].n_rows == 4 and out[3].at_risk == 0
+    assert out[1].row_share_ppm == (1_000_000 * 10) // 14
