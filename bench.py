@@ -156,6 +156,7 @@ HEADLINE = [
     "wordpiece_train_merges",           # likelihood-argmax tokenizer trainer
     "wordpiece_encode_stats",           # WordPiece-table encode kernel
     "privacy_l_diversity_report",       # homogeneity-attack audit
+    "privacy_t_closeness_report",       # skewness-attack TVD audit
 ]
 
 

@@ -197,3 +197,100 @@ def l_diversity_report(
         .alias("row_share_ppm"),
         (F.col("l") < l_threshold).cast("bigint").alias("at_risk"),
     )
+
+
+def t_closeness_report(
+    df: "DataFrame",
+    quasi_cols: list[Column],
+    sensitive_col: Column,
+    t_ppm_threshold: int = 300_000,
+) -> "DataFrame":
+    """t-CLOSENESS audit (Li, Li & Venkatasubramanian 2007, public) —
+    the third classic privacy criterion after k-anonymity and
+    l-diversity: an equivalence class leaks information when its
+    SENSITIVE-value distribution diverges from the global one (the
+    skewness attack — l distinct values can still be 99% one value).
+    Per class, the total-variation distance to the global distribution,
+
+        TVD = 1/2 * sum_v | p_class(v) - p_global(v) |,
+
+    computed in EXACT integer ppm:
+    (1_000_000 * sum_v |n_cv*N - n_v*k|) div (2*k*N) — all BIGINT
+    (worst product n_v*k <= N^2 stays in signed-64 for corpora under
+    ~3e9 rows, the same exactness-bound class as the other ppm reports).
+
+    Output: one row per TVD decile bucket (tvd_ppm div 100_000, 0..10)
+    with class/row counts, row share ppm, and an at-risk flag for
+    buckets whose lower bound is at or above ``t_ppm_threshold``.
+
+    Scale shape: one keyed aggregate per (class, sensitive value), a
+    spine join against the BROADCAST global value distribution (the
+    sensitive domain is bounded — languages, sources), one per-class
+    aggregate, one tiny decile re-aggregate."""
+    from pyspark.sql.window import Window
+
+    qnames = [f"_q{i}" for i in range(len(quasi_cols))]
+    base = df.select(
+        *[c.alias(n) for c, n in zip(quasi_cols, qnames)],
+        sensitive_col.alias("_sens"),
+    )
+    cells = base.groupBy(*qnames, "_sens").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cv")
+    )
+    class_sizes = cells.groupBy(*qnames).agg(
+        F.sum("n_cv").cast("bigint").alias("k")
+    )
+    glob = cells.groupBy("_sens").agg(
+        F.sum("n_cv").cast("bigint").alias("n_v")
+    )
+    # global total via a window over the (bounded) value distribution —
+    # no extra corpus pass
+    glob = glob.withColumn(
+        "n_total",
+        F.sum("n_v").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("bigint"),
+    )
+    # every sensitive value contributes to every class (absence means
+    # |0 - n_v*k|), so join the observed cells onto the class x value
+    # spine
+    spine = class_sizes.crossJoin(F.broadcast(glob))
+    joined = spine.join(cells, [*qnames, "_sens"], "left").na.fill(
+        {"n_cv": 0}
+    )
+    per_class = joined.groupBy(*qnames, "k", "n_total").agg(
+        F.sum(F.abs(F.col("n_cv") * F.col("n_total") - F.col("n_v") * F.col("k")))
+        .cast("bigint")
+        .alias("tvd_num")
+    ).select(
+        "k",
+        F.expr("(1000000 * tvd_num) div (2 * k * n_total)").alias("tvd_ppm"),
+    )
+    buckets = per_class.select(
+        F.expr("tvd_ppm div 100000").cast("bigint").alias("tvd_decile"), "k"
+    ).groupBy("tvd_decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("k").cast("bigint").alias("n_rows"),
+    )
+    total = F.sum("n_rows").over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return buckets.select(
+        "tvd_decile",
+        "n_classes",
+        "n_rows",
+        total.alias("n_total"),
+    ).select(
+        "tvd_decile",
+        "n_classes",
+        "n_rows",
+        F.expr("(1000000 * n_rows) div greatest(n_total, 1)")
+        .alias("row_share_ppm"),
+        (F.col("tvd_decile") * 100_000 >= t_ppm_threshold)
+        .cast("bigint")
+        .alias("at_risk"),
+    )

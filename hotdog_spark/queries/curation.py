@@ -610,3 +610,67 @@ def privacy_l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang"),
         l_threshold=3,
     )
+
+
+@register(
+    "privacy_t_closeness_report",
+    oracle="""
+    WITH cells AS (
+      SELECT source, n_chars // 16 AS len_bucket, lang,
+             CAST(COUNT(*) AS BIGINT) AS n_cv
+      FROM documents GROUP BY source, n_chars // 16, lang
+    ), class_sizes AS (
+      SELECT source, len_bucket, CAST(SUM(n_cv) AS BIGINT) AS k
+      FROM cells GROUP BY source, len_bucket
+    ), gdist AS (
+      SELECT lang, CAST(SUM(n_cv) AS BIGINT) AS n_v FROM cells GROUP BY lang
+    ), tot AS (
+      SELECT CAST(SUM(n_v) AS BIGINT) AS n_total FROM gdist
+    ), spine AS (
+      SELECT cs.source, cs.len_bucket, cs.k, g.lang, g.n_v, t.n_total
+      FROM class_sizes cs CROSS JOIN gdist g CROSS JOIN tot t
+    ), joined AS (
+      SELECT s.source, s.len_bucket, s.k, s.n_total,
+             COALESCE(c.n_cv, 0) AS n_cv, s.n_v
+      FROM spine s
+      LEFT JOIN cells c ON c.source = s.source
+                       AND c.len_bucket = s.len_bucket AND c.lang = s.lang
+    ), per_class AS (
+      SELECT k,
+             (1000000 * CAST(SUM(ABS(n_cv * n_total - n_v * k)) AS BIGINT))
+               // (2 * k * n_total) AS tvd_ppm
+      FROM joined GROUP BY source, len_bucket, k, n_total
+    ), buckets AS (
+      SELECT tvd_ppm // 100000 AS tvd_decile,
+             CAST(COUNT(*) AS BIGINT) AS n_classes,
+             CAST(SUM(k) AS BIGINT) AS n_rows
+      FROM per_class GROUP BY 1
+    ), btot AS (
+      SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total FROM buckets
+    )
+    SELECT tvd_decile, n_classes, n_rows,
+           (1000000 * n_rows) // greatest(n_total, 1) AS row_share_ppm,
+           CAST(CASE WHEN tvd_decile * 100000 >= 300000 THEN 1 ELSE 0 END
+                AS BIGINT) AS at_risk
+    FROM buckets, btot
+    """,
+)
+def privacy_t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) completing
+    the classic privacy triple (k-anonymity → l-diversity →
+    t-closeness): per (source, length-bucket) class, the exact-integer
+    total-variation distance between the class's language distribution
+    and the global one, bucketed into TVD deciles with at-risk flags —
+    the skewness-attack check l-diversity misses
+    (operators/privacy.py::t_closeness_report)."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.privacy import t_closeness_report
+
+    docs = table(spark, sf_dir, "documents")
+    return t_closeness_report(
+        docs,
+        [F.col("source"), F.expr("n_chars div 16").alias("len_bucket")],
+        F.col("lang"),
+        t_ppm_threshold=300_000,
+    )

@@ -152,6 +152,7 @@ SUBSET = [
     "wordpiece_train_merges",
     "wordpiece_encode_stats",
     "privacy_l_diversity_report",
+    "privacy_t_closeness_report",
 ]
 
 

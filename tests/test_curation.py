@@ -354,3 +354,28 @@ def test_l_diversity_report_homogeneity_attack_flagged(spark):
     assert out[1].n_classes == 1 and out[1].n_rows == 10 and out[1].at_risk == 1
     assert out[3].n_classes == 1 and out[3].n_rows == 4 and out[3].at_risk == 0
     assert out[1].row_share_ppm == (1_000_000 * 10) // 14
+
+
+def test_t_closeness_report_skewness_attack_flagged(spark):
+    """Skewness case l-diversity misses: global sensitive distribution
+    50/50 (a, b); class q1 is all-'a' (10 rows, TVD = 1/2*(|1-0.5| +
+    |0-0.5|) = 0.5 -> decile 5, at risk at 300k ppm); class q2 is a
+    milder 25/75 skew (TVD 0.25 -> decile 2, below threshold)."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.privacy import t_closeness_report
+
+    rows = [("q1", "a")] * 10 + [("q2", "a")] * 5 + [("q2", "b")] * 15
+    df = spark.createDataFrame(rows, "qid string, sens string")
+    out = {
+        r.tvd_decile: r
+        for r in t_closeness_report(
+            df, [F.col("qid")], F.col("sens"), t_ppm_threshold=300_000
+        ).collect()
+    }
+    # global: a=15, b=15 of 30. q1: n_cv(a)=10,k=10 -> |10*30-15*10| +
+    # |0*30-15*10| = 150+150=300 -> ppm = 1e6*300 // (2*10*30) = 500000
+    assert out[5].n_classes == 1 and out[5].n_rows == 10 and out[5].at_risk == 1
+    # q2: a: |5*30-15*20|=150, b: |15*30-15*20|=150 -> 1e6*300//(2*20*30)
+    # = 250000 -> decile 2, below the 300k threshold
+    assert out[2].n_classes == 1 and out[2].n_rows == 20 and out[2].at_risk == 0
