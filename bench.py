@@ -157,6 +157,7 @@ HEADLINE = [
     "wordpiece_encode_stats",           # WordPiece-table encode kernel
     "privacy_l_diversity_report",       # homogeneity-attack audit
     "privacy_t_closeness_report",       # skewness-attack TVD audit
+    "dedup_audio_energy_fp",            # WAV decode → energy-contour dedup
 ]
 
 

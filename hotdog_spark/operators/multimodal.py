@@ -1317,3 +1317,86 @@ def image_dhash_dedup(df: DataFrame, grid: int = 8) -> DataFrame:
         "canonical_id",
         (F.col("media_id") != F.col("canonical_id")).cast("long").alias("is_dup"),
     )
+
+
+def audio_energy_fingerprint(df: DataFrame, frame_samples: int = 16) -> DataFrame:
+    """Perceptual AUDIO fingerprint over decoded PCM — the audio sibling
+    of :func:`image_dhash` (and the integer skeleton of the
+    Haitsma-Kalker / landmark fingerprints production systems use): cut
+    the sample stream into fixed ``frame_samples`` frames, compute each
+    frame's ENERGY (Σ s², exact BIGINT — 16-bit samples squared cannot
+    overflow), and emit one bit per adjacent-frame comparison
+    (energy rises → 1).  Re-encoded or gain-shifted-by-resampling copies
+    keep their energy CONTOUR, so they collide; absolute-level changes
+    that move every frame equally leave all gradient bits untouched.
+
+    Exact-integer contract: only FULL frames count (the tail remainder
+    is dropped — deterministic); comparisons are capped at 64 bits
+    packed as two sub-2^32 halves (``afp_hi``/``afp_lo``, bit f =
+    frame f+1 vs frame f), frames past the cap ignored; ``n_frames``
+    rides along so different-length streams never collide on short
+    prefixes.  Undecodable rows divert (no output row).
+
+    One Arrow-batched projection; the dedup downstream is a keyed
+    aggregate on (n_frames, hi, lo) — the exact-dedup plan class."""
+    from hotdog_spark.dist import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "n_frames", "afp_hi", "afp_lo",
+            )}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                dec = decode_wav(bytes(blob) if blob is not None else b"")
+                if dec is None:
+                    continue  # divert, never fatal
+                s = np.asarray(dec["samples"], dtype=np.int64)
+                nf = len(s) // frame_samples
+                if nf == 0:
+                    continue
+                e = (
+                    (s[: nf * frame_samples] ** 2)
+                    .reshape(nf, frame_samples)
+                    .sum(axis=1)
+                )
+                bits = e[1:] > e[:-1]
+                lo = hi = 0
+                for f in range(min(32, len(bits))):
+                    if bits[f]:
+                        lo |= 1 << f
+                for f in range(32, min(64, len(bits))):
+                    if bits[f]:
+                        hi |= 1 << (f - 32)
+                rows["media_id"].append(mid)
+                rows["n_frames"].append(nf)
+                rows["afp_hi"].append(hi)
+                rows["afp_lo"].append(lo)
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel, "media_id long, n_frames long, afp_hi long, afp_lo long"
+    )
+
+
+def audio_fp_dedup(df: DataFrame, frame_samples: int = 16) -> DataFrame:
+    """Energy-contour-keyed audio dedup: identical plan shape to the
+    image perceptual dedups (one Arrow projection, one keyed aggregate,
+    one group join — collisions ARE the candidate groups)."""
+    fps = audio_energy_fingerprint(df, frame_samples=frame_samples)
+    groups = fps.groupBy("n_frames", "afp_hi", "afp_lo").agg(
+        F.count(F.lit(1)).alias("group_n"),
+        F.min("media_id").alias("canonical_id"),
+    )
+    return fps.join(groups, ["n_frames", "afp_hi", "afp_lo"]).select(
+        "media_id",
+        "n_frames",
+        "afp_hi",
+        "afp_lo",
+        "group_n",
+        "canonical_id",
+        (F.col("media_id") != F.col("canonical_id")).cast("long").alias("is_dup"),
+    )

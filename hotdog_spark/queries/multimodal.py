@@ -1,8 +1,9 @@
 """Multimodal queries: binary columns + typed metadata + REAL stdlib
-codecs (PNG inflate/unfilter, WAV PCM, AVI demux — no media libs in this
-container, so every decoder is a from-spec RIFF/zlib implementation; see
-operators/multimodal.py).  The only remaining stub is JPEG decode,
-loudly marked NotImplementedError."""
+codecs (PNG inflate/unfilter, WAV PCM, AVI demux, and the from-spec
+baseline JPEG decoder — grayscale + 4:2:0 color — in operators/jpeg.py;
+no media libs exist in this container, so every decoder is a from-spec
+implementation; see operators/multimodal.py).  Progressive JPEG remains
+rejected loudly (ValueError), by scope."""
 
 from __future__ import annotations
 
@@ -577,3 +578,70 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 1)
     media = ops.synth_decodable_media(docs, "doc_id", "n_chars")
     return ops.image_dhash_dedup(media, grid=8)
+
+
+@register(
+    "dedup_audio_energy_fp",
+    oracle="""
+    WITH wav AS (
+      SELECT doc_id, n_chars % 512 + 16 AS cnt
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    samp AS (
+      SELECT doc_id, cnt, i.i AS i,
+             (doc_id * 13 + i.i * 7) % 4096 - 2048 AS s,
+             i.i // 16 AS f
+      FROM wav, LATERAL (SELECT unnest(generate_series(0, cnt - 1)) AS i) i
+      WHERE i.i < (cnt // 16) * 16
+    ),
+    energy AS (
+      SELECT doc_id, f, CAST(SUM(s * s) AS BIGINT) AS e
+      FROM samp GROUP BY doc_id, f
+    ),
+    bits AS (
+      SELECT l.doc_id, l.f AS bitpos,
+             CASE WHEN r.e > l.e THEN 1 ELSE 0 END AS bit
+      FROM energy l JOIN energy r
+        ON l.doc_id = r.doc_id AND r.f = l.f + 1
+      WHERE l.f < 64
+    ),
+    fps AS (
+      SELECT w.doc_id, CAST(w.cnt // 16 AS BIGINT) AS n_frames,
+             CAST(COALESCE(SUM(CASE WHEN b.bitpos >= 32
+                  THEN b.bit * (CAST(1 AS BIGINT) << (b.bitpos - 32))
+                  ELSE 0 END), 0) AS BIGINT) AS afp_hi,
+             CAST(COALESCE(SUM(CASE WHEN b.bitpos < 32
+                  THEN b.bit * (CAST(1 AS BIGINT) << b.bitpos)
+                  ELSE 0 END), 0) AS BIGINT) AS afp_lo
+      FROM wav w LEFT JOIN bits b ON b.doc_id = w.doc_id
+      GROUP BY w.doc_id, w.cnt
+    ),
+    grp AS (
+      SELECT n_frames, afp_hi, afp_lo,
+             CAST(COUNT(*) AS BIGINT) AS group_n,
+             MIN(doc_id) AS canonical_id
+      FROM fps GROUP BY n_frames, afp_hi, afp_lo
+    )
+    SELECT f.doc_id AS media_id, f.n_frames, f.afp_hi, f.afp_lo,
+           g.group_n, g.canonical_id,
+           CAST(CASE WHEN f.doc_id <> g.canonical_id THEN 1 ELSE 0 END
+                AS BIGINT) AS is_dup
+    FROM fps f JOIN grp g ON f.n_frames = g.n_frames
+                         AND f.afp_hi = g.afp_hi AND f.afp_lo = g.afp_lo
+    """,
+)
+def dedup_audio_energy_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual AUDIO dedup end-to-end: synthesize real mono 16-bit
+    WAVs (even ids — the same closed-form samples as
+    multimodal_decode_stats), DECODE them (RIFF walk + PCM), fingerprint
+    the frame-energy CONTOUR (16-sample frames, one bit per
+    adjacent-frame energy comparison — the integer skeleton of
+    production audio fingerprints), and group identical contours
+    (operators/multimodal.py::audio_energy_fingerprint).  The oracle
+    reproduces every energy sum and gradient bit arithmetically from
+    the closed-form sample formula; the synthetic contours genuinely
+    collide (group sizes up to 10 at sf0.01) so the dedup path is
+    exercised, not vacuous."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
+    media = ops.synth_decodable_media(docs, "doc_id", "n_chars")
+    return ops.audio_fp_dedup(media, frame_samples=16)

@@ -153,6 +153,7 @@ SUBSET = [
     "wordpiece_encode_stats",
     "privacy_l_diversity_report",
     "privacy_t_closeness_report",
+    "dedup_audio_energy_fp",
 ]
 
 

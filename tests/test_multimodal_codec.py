@@ -719,3 +719,73 @@ def test_image_dhash_dedup_groups(spark):
     assert set(out) == {3, 5, 7}
     assert out[3]["group_n"] == 2 and out[7]["is_dup"] == 1
     assert out[3]["canonical_id"] == 3 and out[3]["is_dup"] == 0
+
+
+def _reference_audio_fp(samples, frame=16):
+    """Independent pure-Python energy-contour fingerprint."""
+    nf = len(samples) // frame
+    e = [sum(s * s for s in samples[f * frame:(f + 1) * frame])
+         for f in range(nf)]
+    lo = hi = 0
+    for f in range(min(64, nf - 1)):
+        if e[f + 1] > e[f]:
+            if f < 32:
+                lo |= 1 << f
+            else:
+                hi |= 1 << (f - 32)
+    return nf, hi, lo
+
+
+def test_audio_energy_fingerprint_matches_reference(spark):
+    """The Spark kernel must equal the loop reference on streams that
+    exercise the frame remainder drop, the 64-bit cap boundary, and a
+    sub-frame stream (diverted: no output row)."""
+    import pandas as pd
+
+    from hotdog_spark.operators.multimodal import audio_energy_fingerprint
+
+    cases = {
+        1: [((i * 37) % 4096) - 2048 for i in range(100)],   # remainder 4
+        2: [((i * 7) % 100) - 50 for i in range(16 * 70)],   # 69 bits > cap
+        3: [5, -5, 7],                                        # < one frame
+    }
+    rows = []
+    for mid, s in cases.items():
+        pcm = b"".join(struct.pack("<h", v) for v in s)
+        rows.append((mid, synth_wav(pcm, 16000, 1, 16)))
+    rows.append((4, b"not audio"))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "content"])
+    )
+    got = {
+        r["media_id"]: (r["n_frames"], r["afp_hi"], r["afp_lo"])
+        for r in audio_energy_fingerprint(df).collect()
+    }
+    assert set(got) == {1, 2}  # id 3 has zero full frames, id 4 diverts
+    assert got[1] == _reference_audio_fp(cases[1])
+    assert got[2] == _reference_audio_fp(cases[2])
+
+
+def test_audio_fp_dedup_gain_invariant_contour(spark):
+    """The motivating property: a uniformly SCALED copy (half gain)
+    keeps every energy comparison's sign, so it lands in the same
+    fingerprint group as the original; a stream with a different
+    contour does not."""
+    import pandas as pd
+
+    from hotdog_spark.operators.multimodal import audio_fp_dedup
+
+    base = [((i * 53) % 3000) - 1500 for i in range(160)]
+    half = [v // 2 for v in base]          # monotone scale: signs survive
+    other = list(reversed(base))
+    rows = []
+    for mid, s in ((10, base), (11, half), (12, other)):
+        pcm = b"".join(struct.pack("<h", v) for v in s)
+        rows.append((mid, synth_wav(pcm, 16000, 1, 16)))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "content"])
+    )
+    out = {r["media_id"]: r.asDict() for r in audio_fp_dedup(df).collect()}
+    assert out[10]["group_n"] == 2 and out[11]["group_n"] == 2
+    assert out[11]["canonical_id"] == 10 and out[11]["is_dup"] == 1
+    assert out[12]["group_n"] == 1
