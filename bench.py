@@ -158,6 +158,7 @@ HEADLINE = [
     "privacy_l_diversity_report",       # homogeneity-attack audit
     "privacy_t_closeness_report",       # skewness-attack TVD audit
     "dedup_audio_energy_fp",            # WAV decode → energy-contour dedup
+    "dedup_video_frame_signature",      # AVI demux → frame-checksum dedup
 ]
 
 

@@ -480,7 +480,11 @@ def parse_avi_header(content: bytes) -> dict | None:
             while ipos + 8 <= len(body):
                 itag = body[ipos:ipos + 4]
                 (isz,) = struct.unpack("<I", body[ipos + 4:ipos + 8])
-                if itag == b"avih" and isz >= 40:
+                # length check, not just the declared isz: an AVI
+                # truncated mid-avih would otherwise crash struct.unpack
+                # instead of diverting (found by the video-signature
+                # dedup truncation test)
+                if itag == b"avih" and isz >= 40 and ipos + 48 <= len(body):
                     v = struct.unpack("<10I", body[ipos + 8:ipos + 48])
                     return {
                         "format": "avi",
@@ -1396,6 +1400,87 @@ def audio_fp_dedup(df: DataFrame, frame_samples: int = 16) -> DataFrame:
         "n_frames",
         "afp_hi",
         "afp_lo",
+        "group_n",
+        "canonical_id",
+        (F.col("media_id") != F.col("canonical_id")).cast("long").alias("is_dup"),
+    )
+
+
+def video_frame_signature(df: DataFrame) -> DataFrame:
+    """Per-video FRAME-CONTENT signature over the real AVI demux: walk
+    the movi chunk list (:func:`iter_avi_frames`), read each frame
+    payload, and emit the ordered sequence of exact per-frame byte sums
+    — an integer frame checksum that depends on every payload byte, so
+    the signature only matches if demux offsets, sizes and payload
+    reads are all byte-exact.  (A production system would swap the
+    checksum for a perceptual per-frame hash — the plumbing, ordering
+    and grouping are identical; the synthetic constant-fill frames make
+    any gradient-style hash degenerate, so the exact checksum is the
+    honest choice here.)
+
+    Returns (media_id, n_frames, frame_bytes, frame_sums array<long>).
+    Undecodable rows divert."""
+    from hotdog_spark.dist import ensure_shipped
+
+    ensure_shipped(df.sparkSession)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "n_frames", "frame_bytes", "frame_sums",
+            )}
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                content = bytes(blob) if blob is not None else b""
+                sums, fb = [], -1
+                for _fno, off, size in iter_avi_frames(content):
+                    payload = content[off:off + size]
+                    if len(payload) != size:
+                        sums = []  # truncated frame: divert whole video
+                        break
+                    sums.append(sum(payload))
+                    fb = size
+                if not sums:
+                    continue
+                rows["media_id"].append(mid)
+                rows["n_frames"].append(len(sums))
+                rows["frame_bytes"].append(fb)
+                rows["frame_sums"].append(sums)
+            # all-diverted batches yield NOTHING: an empty frame_sums
+            # column defaults to float64, which Arrow cannot convert to
+            # list<long> (same guard as the KMV partials kernel)
+            if rows["media_id"]:
+                yield pd.DataFrame(rows)
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel,
+        "media_id long, n_frames long, frame_bytes long,"
+        " frame_sums array<long>",
+    )
+
+
+def video_signature_dedup(df: DataFrame) -> DataFrame:
+    """Frame-signature-keyed VIDEO dedup (the video member of the
+    perceptual-dedup trio with image a/dHash and the audio energy
+    contour): identical content sequences collide on the md5 of the
+    ordered frame-checksum string; one keyed aggregate + one group
+    join, the exact-dedup plan class."""
+    sigs = video_frame_signature(df).withColumn(
+        "sig",
+        F.md5(
+            F.concat_ws(
+                ",", F.expr("transform(frame_sums, x -> CAST(x AS STRING))")
+            )
+        ),
+    ).drop("frame_sums")
+    groups = sigs.groupBy("n_frames", "frame_bytes", "sig").agg(
+        F.count(F.lit(1)).alias("group_n"),
+        F.min("media_id").alias("canonical_id"),
+    )
+    return sigs.join(groups, ["n_frames", "frame_bytes", "sig"]).select(
+        "media_id",
+        "n_frames",
+        "frame_bytes",
+        "sig",
         "group_n",
         "canonical_id",
         (F.col("media_id") != F.col("canonical_id")).cast("long").alias("is_dup"),

@@ -645,3 +645,54 @@ def dedup_audio_energy_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 2 == 0)
     media = ops.synth_decodable_media(docs, "doc_id", "n_chars")
     return ops.audio_fp_dedup(media, frame_samples=16)
+
+
+@register(
+    "dedup_video_frame_signature",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id, (n_chars % 8) * 2 + 2 AS w, n_chars % 6 + 1 AS h,
+             n_chars % 12 + 2 AS nf
+      FROM documents
+    ),
+    fr AS (
+      SELECT doc_id, w, h, nf, g.fno,
+             CAST(((doc_id * 7 + g.fno * 13) % 256) * (w * h * 3) AS BIGINT)
+               AS fsum
+      FROM v, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS fno) g
+    ),
+    sigs AS (
+      SELECT doc_id AS media_id,
+             CAST(nf AS BIGINT) AS n_frames,
+             CAST(w * h * 3 AS BIGINT) AS frame_bytes,
+             md5(array_to_string(list(fsum ORDER BY fno), ',')) AS sig
+      FROM fr GROUP BY doc_id, nf, w, h
+    ),
+    grp AS (
+      SELECT n_frames, frame_bytes, sig,
+             CAST(COUNT(*) AS BIGINT) AS group_n,
+             MIN(media_id) AS canonical_id
+      FROM sigs GROUP BY n_frames, frame_bytes, sig
+    )
+    SELECT s.media_id, s.n_frames, s.frame_bytes, s.sig,
+           g.group_n, g.canonical_id,
+           CAST(CASE WHEN s.media_id <> g.canonical_id THEN 1 ELSE 0 END
+                AS BIGINT) AS is_dup
+    FROM sigs s JOIN grp g ON s.n_frames = g.n_frames
+                          AND s.frame_bytes = g.frame_bytes AND s.sig = g.sig
+    """,
+)
+def dedup_video_frame_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO dedup end-to-end, completing the perceptual-dedup trio
+    (image aHash/dHash, audio energy contour, video frame signature):
+    synthesize real uncompressed AVIs, DEMUX the movi chunk list, read
+    every frame payload, and group videos whose ordered frame-checksum
+    sequences collide (operators/multimodal.py::video_signature_dedup).
+    The oracle predicts every per-frame byte sum arithmetically from
+    the constant-fill formula — the Spark side only matches if the
+    muxer, demuxer, offsets and payload reads are all byte-exact.
+    Genuine duplicate groups exist (ids congruent mod 256 with matching
+    geometry share the full fill sequence)."""
+    docs = table(spark, sf_dir, "documents")
+    media = ops.synth_decodable_video(docs, "doc_id", "n_chars")
+    return ops.video_signature_dedup(media)

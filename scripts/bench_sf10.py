@@ -154,6 +154,7 @@ SUBSET = [
     "privacy_l_diversity_report",
     "privacy_t_closeness_report",
     "dedup_audio_energy_fp",
+    "dedup_video_frame_signature",
 ]
 
 

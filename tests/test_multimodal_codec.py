@@ -789,3 +789,32 @@ def test_audio_fp_dedup_gain_invariant_contour(spark):
     assert out[10]["group_n"] == 2 and out[11]["group_n"] == 2
     assert out[11]["canonical_id"] == 10 and out[11]["is_dup"] == 1
     assert out[12]["group_n"] == 1
+
+
+def test_video_signature_dedup_groups_and_divert(spark):
+    """Videos with identical frame sequences collide; different fill
+    order does not; a truncated AVI diverts (no row)."""
+    import pandas as pd
+
+    from hotdog_spark.operators.multimodal import (
+        synth_avi,
+        video_signature_dedup,
+    )
+
+    w, h = 4, 3
+    f = lambda b: bytes([b]) * (w * h * 3)
+    same = [f(10), f(20), f(30)]
+    rows = [
+        (7, synth_avi(same, w, h)),
+        (3, synth_avi(same, w, h)),
+        (5, synth_avi([f(30), f(20), f(10)], w, h)),  # same sums, diff order
+        (9, synth_avi(same, w, h)[:40]),               # truncated: divert
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["media_id", "content"])
+    )
+    out = {r["media_id"]: r.asDict() for r in video_signature_dedup(df).collect()}
+    assert set(out) == {3, 5, 7}
+    assert out[3]["group_n"] == 2 and out[7]["is_dup"] == 1
+    assert out[3]["canonical_id"] == 3
+    assert out[5]["group_n"] == 1  # ORDER matters in the signature
