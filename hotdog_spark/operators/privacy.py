@@ -199,6 +199,29 @@ def l_diversity_report(
     )
 
 
+#: Exactness bound for the TVD ppm math: the per-value cross product
+#: |n_cv·N − n_v·k| is bounded by N², which must stay inside signed-64
+#: (9.22e18), so N ≤ ~3.03e9 rows; enforced in-plan below (same loud-
+#: failure idiom as queries/similarity.py::_guarded_simpson_ppm and
+#: sketches.py::guarded_est_union).
+T_CLOSENESS_N_BOUND = 3_000_000_000
+
+
+def _guarded_tvd_ppm() -> "Column":
+    """tvd_ppm with the exactness bound enforced in-plan: raises via
+    ``raise_error`` when n_total exceeds T_CLOSENESS_N_BOUND instead of
+    letting the N² BIGINT products wrap silently.  Split out so the
+    guard is unit-testable on a forged over-bound row."""
+    return F.expr(
+        f"CASE WHEN n_total > {T_CLOSENESS_N_BOUND} THEN "
+        f"raise_error(concat('t_closeness_report: n_total=', "
+        f"CAST(n_total AS STRING), ' exceeds the {T_CLOSENESS_N_BOUND} "
+        f"exact-bigint bound (N^2 cross-products overflow); shard the "
+        f"audit by corpus slice')) "
+        f"ELSE (1000000 * tvd_num) div (2 * k * n_total) END"
+    ).alias("tvd_ppm")
+
+
 def t_closeness_report(
     df: "DataFrame",
     quasi_cols: list[Column],
@@ -266,7 +289,7 @@ def t_closeness_report(
         .alias("tvd_num")
     ).select(
         "k",
-        F.expr("(1000000 * tvd_num) div (2 * k * n_total)").alias("tvd_ppm"),
+        _guarded_tvd_ppm(),
     )
     buckets = per_class.select(
         F.expr("tvd_ppm div 100000").cast("bigint").alias("tvd_decile"), "k"

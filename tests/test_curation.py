@@ -379,3 +379,28 @@ def test_t_closeness_report_skewness_attack_flagged(spark):
     # q2: a: |5*30-15*20|=150, b: |15*30-15*20|=150 -> 1e6*300//(2*20*30)
     # = 250000 -> decile 2, below the 300k threshold
     assert out[2].n_classes == 1 and out[2].n_rows == 20 and out[2].at_risk == 0
+
+
+def test_t_closeness_overflow_guard_fires(spark):
+    """Past ~3e9 rows the N^2 cross-products would wrap signed-64; the
+    in-plan guard must raise loudly on a forged over-bound row and pass
+    values through unchanged under the bound."""
+    import pytest
+
+    from hotdog_spark.operators.privacy import (
+        T_CLOSENESS_N_BOUND,
+        _guarded_tvd_ppm,
+    )
+
+    over = spark.createDataFrame(
+        [(10, 300, T_CLOSENESS_N_BOUND + 1)],
+        "k long, tvd_num long, n_total long",
+    )
+    with pytest.raises(Exception, match="exceeds the"):
+        over.select(_guarded_tvd_ppm()).collect()
+
+    under = spark.createDataFrame(
+        [(10, 300, 30)], "k long, tvd_num long, n_total long"
+    )
+    [row] = under.select(_guarded_tvd_ppm()).collect()
+    assert row.tvd_ppm == (1_000_000 * 300) // (2 * 10 * 30)
