@@ -159,6 +159,8 @@ HEADLINE = [
     "privacy_t_closeness_report",       # skewness-attack TVD audit
     "dedup_audio_energy_fp",            # WAV decode → energy-contour dedup
     "dedup_video_frame_signature",      # AVI demux → frame-checksum dedup
+    "ann_binary_recall_report",         # sign-bit recall@5 vs exact cosine
+    "dedup_simhash_components",         # Hamming pairs → clusters → canonical
 ]
 
 

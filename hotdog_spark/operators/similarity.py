@@ -1735,3 +1735,37 @@ def binary_hamming_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def binary_hamming_recall(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    probe_filter: Column,
+    k: int = 5,
+    dims: int = 64,
+) -> DataFrame:
+    """Recall report for the binary-quantization path — the measurement
+    behind shipping sign-bit indexes: per probe, how many of the EXACT
+    cosine top-k (the family's integer-quantized ground truth,
+    :func:`cosine_topk`) survive in the Hamming top-k over packed sign
+    bits (:func:`binary_hamming_topk`).  Zero-overlap probes still emit
+    (LEFT join back to the probe set).  Returns (query_id, k,
+    n_overlap)."""
+    exact = cosine_topk(df, vec_col, id_col, probe_filter, k=k).select(
+        "query_id", "neighbor_id"
+    )
+    binary = binary_hamming_topk(
+        df, vec_col, id_col, probe_filter, k=k, dims=dims
+    ).select("query_id", "neighbor_id")
+    overlap = exact.join(binary, ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    probes = df.select(F.col(id_col).alias("vid")).filter(probe_filter).select(
+        F.col("vid").alias("query_id")
+    )
+    return probes.join(overlap, "query_id", "left").select(
+        "query_id",
+        F.lit(k).cast("int").alias("k"),
+        F.coalesce(F.col("n_overlap"), F.lit(0)).cast("bigint").alias("n_overlap"),
+    )

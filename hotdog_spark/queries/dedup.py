@@ -406,7 +406,11 @@ _MINHASH_PAIRS_SQL = f"""
 _PROP_ROUNDS = 32
 
 
-def _components_oracle(final_select: str, rounds: int = _PROP_ROUNDS) -> str:
+def _components_oracle(
+    final_select: str,
+    rounds: int = _PROP_ROUNDS,
+    pairs_sql: str | None = None,
+) -> str:
     """Connected-components oracle via UNROLLED min-label propagation —
     replaces the r5/r6 recursive-CTE transitive closure whose ``reach``
     relation grows with sum(component_size²) (measured 17+ min / 36.7 GB
@@ -416,7 +420,7 @@ def _components_oracle(final_select: str, rounds: int = _PROP_ROUNDS) -> str:
     (queries/_bpe_oracle.py); ``final_select`` consumes the converged
     labels from the ``comp(id, component)`` CTE."""
     ctes = [
-        f"pairs AS MATERIALIZED ({_MINHASH_PAIRS_SQL})",
+        f"pairs AS MATERIALIZED ({pairs_sql or _MINHASH_PAIRS_SQL})",
         """e AS MATERIALIZED (
       SELECT id_a AS src, id_b AS dst FROM pairs
       UNION
@@ -1053,3 +1057,28 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), "text", "doc_id",
         bits=48, n_blocks=4, max_hamming=3, max_bucket=1000,
     )
+
+
+@register(
+    "dedup_simhash_components",
+    oracle=_components_oracle(
+        "SELECT id, component FROM comp",
+        pairs_sql=(
+            "SELECT id_a, id_b FROM (" + _simhash48_hamming_oracle() + ")"
+        ),
+    ),
+)
+def dedup_simhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization of SIMHASH near-dup clusters — the pairs →
+    clusters → canonical composition for the Hamming family, mirroring
+    dedup_minhash_components: connected components (min-label
+    propagation, O(diameter) shuffle rounds) over the blocked
+    Hamming<=3 pair graph; component = min doc_id = the document to
+    keep.  The oracle nests the full simhash pair replay inside the
+    unrolled-propagation components oracle — two independently-written
+    stages composed, both engines end to end."""
+    pairs = ops.simhash_hamming_pairs(
+        table(spark, sf_dir, "documents"), "text", "doc_id",
+        bits=48, n_blocks=4, max_hamming=3, max_bucket=1000,
+    ).select("id_a", "id_b")
+    return ops.connected_components(pairs)

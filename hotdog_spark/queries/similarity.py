@@ -1320,3 +1320,62 @@ def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.binary_hamming_topk(
         emb, "embedding", "vec_id", probe_filter=F.col("vid") < 10, k=5
     ).select("query_id", "neighbor_id", "hamming", "rank")
+
+
+@register(
+    "ann_binary_recall_report",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, {_QUANT} AS qv,
+             list_sum(list_transform({_QUANT}, x -> x * x)) AS n2,
+             {_SIGNW.format(lo=0)} AS b_lo, {_SIGNW.format(lo=32)} AS b_hi
+      FROM embeddings
+    ), probes AS (
+      SELECT vec_id AS query_id, qv AS qp, n2 AS n2p, b_lo AS p_lo,
+             b_hi AS p_hi
+      FROM n WHERE vec_id < 10
+    ), cos AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(list_zip(c.qv, p.qp),
+                                          s -> s[1] * s[2])) AS DOUBLE)
+               / sqrt(CAST(c.n2 * p.n2p AS DOUBLE)) AS score
+      FROM n c, probes p
+      WHERE c.vec_id != p.query_id AND c.n2 > 0 AND p.n2p > 0
+    ), exact_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, neighbor_id) AS r
+        FROM cos) q WHERE r <= 5
+    ), ham AS (
+      SELECT p.query_id, c.vec_id AS neighbor_id,
+             bit_count(xor(c.b_lo, p.p_lo))
+               + bit_count(xor(c.b_hi, p.p_hi)) AS hamming
+      FROM n c, probes p WHERE c.vec_id != p.query_id
+    ), bin_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY hamming, neighbor_id) AS r
+        FROM ham) q WHERE r <= 5
+    ), o AS (
+      SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_overlap
+      FROM exact_top JOIN bin_top USING (query_id, neighbor_id)
+      GROUP BY query_id
+    )
+    SELECT p.query_id, CAST(5 AS INTEGER) AS k,
+           CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap
+    FROM probes p LEFT JOIN o USING (query_id)
+    """,
+)
+def ann_binary_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the binary (sign-bit Hamming) retrieval path against
+    the exact integer-quantized cosine top-5 — the measurement behind
+    shipping a 32x-compressed sign-bit index, completing the family's
+    recall-report set (LSH, PQ, matryoshka, binary)
+    (operators/similarity.py::binary_hamming_recall).  Zero-overlap
+    probes still emit rows."""
+    emb = table(spark, sf_dir, "embeddings")
+    return ops.binary_hamming_recall(
+        emb, "embedding", "vec_id", probe_filter=F.col("vid") < 10, k=5
+    )

@@ -155,6 +155,8 @@ SUBSET = [
     "privacy_t_closeness_report",
     "dedup_audio_energy_fp",
     "dedup_video_frame_signature",
+    "ann_binary_recall_report",
+    "dedup_simhash_components",
 ]
 
 

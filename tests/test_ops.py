@@ -1629,3 +1629,36 @@ def test_binary_hamming_topk_equals_python_bruteforce(spark):
         ).collect()
     }
     assert got == expected and len(expected) > 0
+
+
+def test_simhash_components_group_near_dup_clusters(spark):
+    """Pairs -> clusters -> canonical for the Hamming family: two docs
+    within Hamming<=3 of a third but not of each other must still land
+    in ONE component (transitivity through the middle doc)."""
+    from hotdog_spark.operators.dedup import (
+        connected_components,
+        simhash_hamming_pairs,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = simhash_hamming_pairs(docs, "text", "doc_id").select(
+        "id_a", "id_b"
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    edges = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assert edges, "fixture corpus must produce at least one pair"
+    # every edge's endpoints share a component, and the component label
+    # is the minimum id reachable (spot-check via union-find reference)
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in {x for e in edges for x in e}}
+    assert comp == want
