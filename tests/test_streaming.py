@@ -1951,3 +1951,91 @@ def test_streaming_kmv_set_relations_rollup_parity(spark, tmp_path):
         ).collect()
     )
     assert streamed == want and len(streamed) == 3  # 3 unordered type pairs
+
+
+def test_streaming_simhash_hamming_incremental_state_parity(spark, tmp_path):
+    """Incremental near-dup ingest for the Hamming family (the
+    daily-ingest pattern: hash once per document on arrival, never
+    re-hash the corpus): each micro-batch's 48-bit simhashes append to
+    a state table via foreachBatch; running the blocked Hamming pair
+    search over the ACCUMULATED state must equal the one-shot batch
+    simhash_hamming_pairs over everything seen — bit-equal, because the
+    per-doc hash is a pure function of the doc and the pairing is a
+    pure function of the hash table."""
+    from pyspark.sql import functions as F
+
+    from hotdog_spark.operators.dedup import (
+        simhash_bits,
+        simhash_hamming_pairs,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    src = str(tmp_path / "docs")
+    state = str(tmp_path / "simhash_state")
+    b1 = docs.filter(F.col("doc_id") % 2 == 0)
+    b2 = docs.filter(F.col("doc_id") % 2 == 1)
+    b1.coalesce(1).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def sink(batch_df, _bid):
+        simhash_bits(batch_df, "text", "doc_id").write.mode(
+            "append"
+        ).parquet(state)
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # pair search over the accumulated hash state (no re-hash): inline
+    # the blocked search against the stored (id, simhash) table
+    sh = spark.read.parquet(state)
+    width, mask = 12, (1 << 12) - 1
+    blocks = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("b"),
+                    F.shiftright("simhash", width * b)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bv"),
+                )
+                for b in range(4)
+            ])
+        ).alias("blk"),
+    ).select("id", "simhash", "blk.b", "blk.bv")
+    left = blocks.select("b", "bv", F.col("id").alias("id_a"),
+                         F.col("simhash").alias("sh_a"))
+    right = blocks.select("b", "bv", F.col("id").alias("id_b"),
+                          F.col("simhash").alias("sh_b"))
+    streamed = sorted(
+        tuple(r)
+        for r in left.join(right, ["b", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.expr("bit_count(sh_a ^ sh_b)").cast("bigint").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 3)
+        .collect()
+    )
+    want = sorted(
+        tuple(r) for r in simhash_hamming_pairs(docs, "text", "doc_id").collect()
+    )
+    assert streamed == want and len(want) > 0
