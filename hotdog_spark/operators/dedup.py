@@ -1245,12 +1245,37 @@ def simhash_hamming_pairs(
 
     Returns (id_a, id_b, hamming) with id_a < id_b, hamming ≤ max_hamming.
     """
+    sh = simhash_bits(df, text_col, id_col, bits=bits)
+    return simhash_hamming_pairs_from_hashes(
+        sh,
+        bits=bits,
+        n_blocks=n_blocks,
+        max_hamming=max_hamming,
+        max_bucket=max_bucket,
+    )
+
+
+def simhash_hamming_pairs_from_hashes(
+    sh: DataFrame,
+    bits: int = 48,
+    n_blocks: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """The blocked Hamming-ball pair search of
+    :func:`simhash_hamming_pairs`, starting from an already-computed
+    (id, simhash) table — the incremental-ingest entry point: a
+    streaming pipeline that accumulates per-doc simhashes in a state
+    table runs THIS over the accumulated state and gets bit-equal
+    results to the one-shot batch operator (pinned by
+    tests/test_streaming.py's simhash parity test).  Single source of
+    truth for the block split AND the ``max_bucket`` saturation cap —
+    both code paths share the exact contract."""
     assert max_hamming <= n_blocks - 1, "pigeonhole needs hamming < blocks"
     assert bits % n_blocks == 0
     width = bits // n_blocks
     mask = (1 << width) - 1
 
-    sh = simhash_bits(df, text_col, id_col, bits=bits)
     blocks = sh.select(
         "id",
         "simhash",

@@ -1419,7 +1419,12 @@ def video_frame_signature(df: DataFrame) -> DataFrame:
     honest choice here.)
 
     Returns (media_id, n_frames, frame_bytes, frame_sums array<long>).
-    Undecodable rows divert."""
+    ``frame_bytes`` is the MAX frame payload size across the stream —
+    order-independent and well-defined for variable-frame-size AVIs
+    (for constant-size streams, like every synthetic fixture here, it
+    equals the common size).  It is a coarse shape key only; the
+    content key in :func:`video_signature_dedup` is the ordered
+    frame-checksum signature.  Undecodable rows divert."""
     from hotdog_spark.dist import ensure_shipped
 
     ensure_shipped(df.sparkSession)
@@ -1438,7 +1443,7 @@ def video_frame_signature(df: DataFrame) -> DataFrame:
                         sums = []  # truncated frame: divert whole video
                         break
                     sums.append(sum(payload))
-                    fb = size
+                    fb = max(fb, size)
                 if not sums:
                     continue
                 rows["media_id"].append(mid)

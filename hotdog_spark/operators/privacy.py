@@ -199,24 +199,32 @@ def l_diversity_report(
     )
 
 
-#: Exactness bound for the TVD ppm math: the per-value cross product
-#: |n_cv·N − n_v·k| is bounded by N², which must stay inside signed-64
-#: (9.22e18), so N ≤ ~3.03e9 rows; enforced in-plan below (same loud-
-#: failure idiom as queries/similarity.py::_guarded_simpson_ppm and
-#: sketches.py::guarded_est_union).
-T_CLOSENESS_N_BOUND = 3_000_000_000
+#: Exactness bound for the TVD ppm math, scoped to the WORST product in
+#: the whole expression, not just the per-value cross terms: tvd_num =
+#: Σ_v |n_cv·N − n_v·k| ≤ 2·k·N, so the scaled numerator 1_000_000·tvd_num
+#: can reach 2_000_000·k·N, and the denominator itself is 2·k·N.  Both
+#: stay inside signed-64 (9.22e18) iff k·N ≤ (2^63−1) div 2_000_000.
+#: (The per-value products n_cv·N, n_v·k ≤ k·N are then far under 2^63.)
+#: Enforced in-plan below per class — the same loud-failure idiom as
+#: queries/similarity.py::_guarded_simpson_ppm and
+#: sketches.py::guarded_est_union.
+T_CLOSENESS_KN_BOUND = (2**63 - 1) // 2_000_000  # 4_611_686_018_427
 
 
 def _guarded_tvd_ppm() -> "Column":
     """tvd_ppm with the exactness bound enforced in-plan: raises via
-    ``raise_error`` when n_total exceeds T_CLOSENESS_N_BOUND instead of
-    letting the N² BIGINT products wrap silently.  Split out so the
-    guard is unit-testable on a forged over-bound row."""
+    ``raise_error`` when k·n_total exceeds T_CLOSENESS_KN_BOUND instead
+    of letting the scaled-numerator / denominator BIGINT products wrap
+    silently.  The check itself is multiplication-free (k compared to
+    BOUND div n_total — exact for integer k, N ≥ 1) so the guard can
+    never overflow while testing for overflow.  Split out so the guard
+    is unit-testable on a forged over-bound row."""
     return F.expr(
-        f"CASE WHEN n_total > {T_CLOSENESS_N_BOUND} THEN "
-        f"raise_error(concat('t_closeness_report: n_total=', "
-        f"CAST(n_total AS STRING), ' exceeds the {T_CLOSENESS_N_BOUND} "
-        f"exact-bigint bound (N^2 cross-products overflow); shard the "
+        f"CASE WHEN k > ({T_CLOSENESS_KN_BOUND} div greatest(n_total, 1)) "
+        f"THEN raise_error(concat('t_closeness_report: k*n_total=', "
+        f"CAST(k AS STRING), '*', CAST(n_total AS STRING), "
+        f"' exceeds the {T_CLOSENESS_KN_BOUND} exact-bigint bound "
+        f"(1e6*tvd_num <= 2e6*k*N would overflow); shard the "
         f"audit by corpus slice')) "
         f"ELSE (1000000 * tvd_num) div (2 * k * n_total) END"
     ).alias("tvd_ppm")
@@ -239,8 +247,10 @@ def t_closeness_report(
 
     computed in EXACT integer ppm:
     (1_000_000 * sum_v |n_cv*N - n_v*k|) div (2*k*N) — all BIGINT
-    (worst product n_v*k <= N^2 stays in signed-64 for corpora under
-    ~3e9 rows, the same exactness-bound class as the other ppm reports).
+    (worst product is the scaled numerator 1e6*tvd_num <= 2e6*k*N,
+    which stays in signed-64 iff k*N <= T_CLOSENESS_KN_BOUND ~ 4.6e12,
+    enforced per class in-plan — the same exactness-bound class as the
+    other ppm reports).
 
     Output: one row per TVD decile bucket (tvd_ppm div 100_000, 0..10)
     with class/row counts, row share ppm, and an at-risk flag for

@@ -382,25 +382,52 @@ def test_t_closeness_report_skewness_attack_flagged(spark):
 
 
 def test_t_closeness_overflow_guard_fires(spark):
-    """Past ~3e9 rows the N^2 cross-products would wrap signed-64; the
-    in-plan guard must raise loudly on a forged over-bound row and pass
-    values through unchanged under the bound."""
+    """The scaled numerator 1e6*tvd_num can reach 2e6*k*N, so the guard
+    is scoped to the PRODUCT k*n_total (not n_total alone): it must
+    raise loudly on forged rows where k*N exceeds the bound — including
+    the adversarial shape where n_total alone looks moderate (1e9) but
+    a large class pushes k*N over — and pass values through unchanged
+    under the bound."""
     import pytest
 
     from hotdog_spark.operators.privacy import (
-        T_CLOSENESS_N_BOUND,
+        T_CLOSENESS_KN_BOUND,
         _guarded_tvd_ppm,
     )
 
+    # n_total huge on its own
     over = spark.createDataFrame(
-        [(10, 300, T_CLOSENESS_N_BOUND + 1)],
+        [(10, 300, T_CLOSENESS_KN_BOUND)],
         "k long, tvd_num long, n_total long",
     )
     with pytest.raises(Exception, match="exceeds the"):
         over.select(_guarded_tvd_ppm()).collect()
 
+    # the under-scoped-guard counterexample: n_total=1e9 (old per-N
+    # bound passed), k=10_000 -> k*N = 1e13 > 4.6e12; tvd_num ~ 2*k*N*0.5
+    # would make 1e6*tvd_num ~ 1e19 > 2^63 and wrap silently without
+    # the product-scoped guard.
+    sneaky = spark.createDataFrame(
+        [(10_000, 10_000_000_000_000, 1_000_000_000)],
+        "k long, tvd_num long, n_total long",
+    )
+    with pytest.raises(Exception, match="exceeds the"):
+        sneaky.select(_guarded_tvd_ppm()).collect()
+
+    # just under the product bound: passes and stays exact
     under = spark.createDataFrame(
         [(10, 300, 30)], "k long, tvd_num long, n_total long"
     )
     [row] = under.select(_guarded_tvd_ppm()).collect()
     assert row.tvd_ppm == (1_000_000 * 300) // (2 * 10 * 30)
+
+    # boundary: k*N exactly at the bound is allowed (1e6*tvd_num <=
+    # 2e6*k*N = 2^63-1-ish stays representable)
+    edge_k = 2
+    edge_n = T_CLOSENESS_KN_BOUND // edge_k
+    edge = spark.createDataFrame(
+        [(edge_k, 2 * edge_k * edge_n, edge_n)],
+        "k long, tvd_num long, n_total long",
+    )
+    [row] = edge.select(_guarded_tvd_ppm()).collect()
+    assert row.tvd_ppm == 1_000_000

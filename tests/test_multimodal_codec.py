@@ -818,3 +818,26 @@ def test_video_signature_dedup_groups_and_divert(spark):
     assert out[3]["group_n"] == 2 and out[7]["is_dup"] == 1
     assert out[3]["canonical_id"] == 3
     assert out[5]["group_n"] == 1  # ORDER matters in the signature
+
+
+def test_video_frame_bytes_is_max_over_variable_size_stream(spark):
+    """frame_bytes is the MAX payload size across the stream — pinned on
+    a variable-frame-size AVI so the column is order-independent and
+    well-defined beyond the constant-size synthetic fixtures (where max
+    == the common size)."""
+    import pandas as pd
+
+    from hotdog_spark.operators.multimodal import (
+        synth_avi,
+        video_frame_signature,
+    )
+
+    frames = [b"\x01" * 10, b"\x02" * 50, b"\x03" * 30]
+    df = spark.createDataFrame(
+        pd.DataFrame([(1, synth_avi(frames, 4, 3))],
+                     columns=["media_id", "content"])
+    )
+    [row] = video_frame_signature(df).collect()
+    assert row.n_frames == 3
+    assert row.frame_bytes == 50  # max, not last (30) nor first (10)
+    assert row.frame_sums == [10, 100, 90]

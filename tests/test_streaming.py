@@ -1967,6 +1967,7 @@ def test_streaming_simhash_hamming_incremental_state_parity(spark, tmp_path):
     from hotdog_spark.operators.dedup import (
         simhash_bits,
         simhash_hamming_pairs,
+        simhash_hamming_pairs_from_hashes,
     )
 
     docs = (
@@ -2000,42 +2001,33 @@ def test_streaming_simhash_hamming_incremental_state_parity(spark, tmp_path):
     finally:
         q.stop()
 
-    # pair search over the accumulated hash state (no re-hash): inline
-    # the blocked search against the stored (id, simhash) table
+    # pair search over the accumulated hash state (no re-hash): the
+    # SAME factored operator the batch path delegates to, so the
+    # max_bucket saturation cap — part of the operator's contract — is
+    # applied on the state side too, not just in the batch baseline
     sh = spark.read.parquet(state)
-    width, mask = 12, (1 << 12) - 1
-    blocks = sh.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("b"),
-                    F.shiftright("simhash", width * b)
-                    .bitwiseAND(F.lit(mask))
-                    .alias("bv"),
-                )
-                for b in range(4)
-            ])
-        ).alias("blk"),
-    ).select("id", "simhash", "blk.b", "blk.bv")
-    left = blocks.select("b", "bv", F.col("id").alias("id_a"),
-                         F.col("simhash").alias("sh_a"))
-    right = blocks.select("b", "bv", F.col("id").alias("id_b"),
-                          F.col("simhash").alias("sh_b"))
     streamed = sorted(
         tuple(r)
-        for r in left.join(right, ["b", "bv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a", "id_b",
-            F.expr("bit_count(sh_a ^ sh_b)").cast("bigint").alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= 3)
-        .collect()
+        for r in simhash_hamming_pairs_from_hashes(sh).collect()
     )
     want = sorted(
         tuple(r) for r in simhash_hamming_pairs(docs, "text", "doc_id").collect()
     )
     assert streamed == want and len(want) > 0
+
+    # and the cap genuinely binds through the shared path: sf0.001
+    # bucket sizes span 1..58, so max_bucket=5 drops some buckets while
+    # keeping others — parity must hold on the CAPPED search too, and
+    # the capped result is strictly smaller but non-empty
+    capped_state = sorted(
+        tuple(r)
+        for r in simhash_hamming_pairs_from_hashes(sh, max_bucket=5).collect()
+    )
+    capped_batch = sorted(
+        tuple(r)
+        for r in simhash_hamming_pairs(
+            docs, "text", "doc_id", max_bucket=5
+        ).collect()
+    )
+    assert capped_state == capped_batch
+    assert 0 < len(capped_state) < len(want)
