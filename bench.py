@@ -76,6 +76,7 @@ def _prev_bench() -> tuple[str, dict] | None:
 # rounds for comparability.
 HEADLINE = [
     "hotdog_route_payload",        # parse → cascade → route (native merge)
+    "template_block_helpers",      # {{#if}}/{{#each}} → CASE WHEN/transform
     "merge_exact_deep",            # Arrow-batched UDF merge path
     "syslog_parse_5424",           # regexp parse + PRI decode
     "q1_pricing_summary",          # wide hash aggregation

@@ -56,8 +56,11 @@ from hotdog_spark.plans import schema as schema_mod
 from hotdog_spark.version import ENGINE_VERSION
 
 _TEMPLATE_TOKEN = re.compile(
-    r"\{\{\{\s*([A-Za-z_][A-Za-z0-9_]*)\s*\}\}\}"        # {{{raw}}}
-    r"|\{\{\s*(&\s*)?([A-Za-z_][A-Za-z0-9_]*)\s*\}\}"    # {{escaped}} / {{&raw}}
+    r"\{\{\{\s*(@?[A-Za-z_][A-Za-z0-9_]*)\s*\}\}\}"              # {{{raw}}}
+    r"|\{\{\s*#(if|each)\s+(@?[A-Za-z_][A-Za-z0-9_]*)\s*\}\}"    # {{#if v}}
+    r"|\{\{\s*/(if|each)\s*\}\}"                                 # {{/if}}
+    r"|\{\{\s*(else)\s*\}\}"                                     # {{else}}
+    r"|\{\{\s*(&\s*)?(@?[A-Za-z_][A-Za-z0-9_]*)\s*\}\}"          # {{v}} {{&v}}
 )
 
 ISO8601_FORMAT = "yyyy-MM-dd'T'HH:mm:ssXXX"
@@ -85,57 +88,193 @@ def _hb_escape(col: Column) -> Column:
     return col
 
 
-def compile_template(template: str, variables: dict[str, Column]) -> Column:
-    """Handlebars-subset template → concat expression.
-
-    Supports ``{{var}}`` (HTML-escaped, handlebars' default — the
-    reference registers no custom escape_fn so its Handlebars 6 instance
-    escapes ``& < > " ' \\` =`` on every double-stache) plus the raw forms
-    ``{{{var}}}`` and ``{{&var}}``.  Unknown / null variables render as
-    empty string, matching handlebars' default lenient mode.
-
-    Anything else between mustaches — block helpers (``{{#if}}``),
-    closers, partials (``{{> p}}``), comments (``{{! c}}``), dotted paths
-    — is REJECTED at compile time with ``ValueError``: the reference's
-    ``register_template_string`` would accept-and-evaluate these
-    (handlebars is a full engine), so silently emitting them as literal
-    text (the old behavior) would diverge wrong-way; failing the config
-    load is the honest subset boundary.  The resulting expression is
-    constant-folded by Catalyst when all parts are literals (the analog of
-    the reference's template precompilation, src/connection.rs:260-289).
-    """
-    parts: list[Column] = []
+def _tokenize_template(template: str) -> list[tuple]:
+    """Template string → token list.  Tokens: ("lit", text),
+    ("var", name, raw), ("open", kind, name), ("close", kind),
+    ("else",).  Any ``{{`` left in literal text is an unsupported
+    construct (partial, comment, dotted path, ``{{#with}}``,
+    ``{{else if}}`` …) and fails loudly — the reference's full
+    Handlebars engine would evaluate these, so passing them through as
+    text would diverge wrong-way."""
+    toks: list[tuple] = []
     pos = 0
 
     def literal(text: str) -> None:
-        # A stray '}}' is plain text to handlebars (JSON merge patches end
-        # in '}}'); an unconsumed '{{' opener is a construct we don't
-        # support (block helper, partial, comment, dotted path).
+        # A stray '}}' is plain text to handlebars (JSON merge patches
+        # end in '}}'); an unconsumed '{{' opener is not.
         if "{{" in text:
             raise ValueError(
                 f"unsupported handlebars construct in template {template!r}: "
-                f"only {{{{var}}}}, {{{{{{var}}}}}} and {{{{&var}}}} are "
-                "supported (no block helpers, partials, comments, or paths)"
+                f"only {{{{var}}}}, {{{{{{var}}}}}}, {{{{&var}}}}, "
+                f"{{{{#if v}}}}…{{{{else}}}}…{{{{/if}}}} and "
+                f"{{{{#each v}}}}…{{{{/each}}}} are supported "
+                "(no partials, comments, paths, or custom helpers)"
             )
         if text:
-            parts.append(F.lit(text))
+            toks.append(("lit", text))
 
     for m in _TEMPLATE_TOKEN.finditer(template):
         literal(template[pos:m.start()])
-        raw_name, amp, esc_name = m.group(1), m.group(2), m.group(3)
-        name = raw_name or esc_name
-        raw = raw_name is not None or amp is not None
-        var = variables.get(name)
-        if var is None:
-            parts.append(F.lit(""))
+        raw3, okind, oname, ckind, els, amp, ename = m.groups()
+        if raw3 is not None:
+            toks.append(("var", raw3, True))
+        elif okind is not None:
+            toks.append(("open", okind, oname))
+        elif ckind is not None:
+            toks.append(("close", ckind))
+        elif els is not None:
+            toks.append(("else",))
         else:
-            rendered = F.coalesce(var.cast("string"), F.lit(""))
-            parts.append(rendered if raw else _hb_escape(rendered))
+            toks.append(("var", ename, amp is not None))
         pos = m.end()
     literal(template[pos:])
+    return toks
+
+
+def _parse_nodes(toks: list[tuple], i: int, closing: str | None):
+    """Recursive-descent parse → (nodes, else_nodes|None, next_i).
+    AST nodes: ("lit", s) | ("var", name, raw) |
+    ("if"|"each", name, body_nodes, else_nodes|None)."""
+    nodes: list[tuple] = []
+    else_nodes = None
+    cur = nodes
+    while i < len(toks):
+        t = toks[i]
+        if t[0] in ("lit", "var"):
+            cur.append(t)
+            i += 1
+        elif t[0] == "open":
+            body, inner_else, i = _parse_nodes(toks, i + 1, t[1])
+            cur.append((t[1], t[2], body, inner_else))
+        elif t[0] == "else":
+            if closing is None or else_nodes is not None:
+                raise ValueError(
+                    "unsupported handlebars construct: {{else}} outside a "
+                    "block or repeated within one"
+                )
+            else_nodes = []
+            cur = else_nodes
+            i += 1
+        else:  # close
+            if t[1] != closing:
+                raise ValueError(
+                    f"unsupported handlebars construct: unbalanced "
+                    f"{{{{/{t[1]}}}}}"
+                )
+            return nodes, else_nodes, i + 1
+    if closing is not None:
+        raise ValueError(
+            f"unsupported handlebars construct: unclosed {{{{#{closing}}}}}"
+        )
+    return nodes, else_nodes, i
+
+
+def _hb_truthy(col: Column) -> Column:
+    """Handlebars truthiness for the engine's STRING-typed variables:
+    null/missing and "" are falsy, any other string truthy — exactly the
+    rust handlebars crate's ``is_truthy`` on ``Json::String`` (the
+    reference's variables map is ``HashMap<String, String>``,
+    src/connection.rs:150-165, so string truthiness is the whole
+    contract)."""
+    return col.isNotNull() & (col.cast("string") != F.lit(""))
+
+
+def _compile_nodes(nodes: list[tuple], variables: dict[str, Column]) -> Column:
+    parts: list[Column] = []
+    for node in nodes:
+        kind = node[0]
+        if kind == "lit":
+            parts.append(F.lit(node[1]))
+        elif kind == "var":
+            _, name, raw = node
+            var = variables.get(name)
+            if var is None:
+                parts.append(F.lit(""))
+            else:
+                rendered = F.coalesce(var.cast("string"), F.lit(""))
+                parts.append(rendered if raw else _hb_escape(rendered))
+        elif kind == "if":
+            _, name, body, else_nodes = node
+            then_col = _compile_nodes(body, variables)
+            else_col = _compile_nodes(else_nodes or [], variables)
+            var = variables.get(name)
+            if var is None:
+                # undefined is statically falsy: constant-fold to the
+                # inverse block (what Catalyst would do anyway)
+                parts.append(else_col)
+            else:
+                parts.append(
+                    F.when(_hb_truthy(var), then_col).otherwise(else_col)
+                )
+        else:  # each
+            _, name, body, else_nodes = node
+            else_col = _compile_nodes(else_nodes or [], variables)
+            var = variables.get(name)
+            if var is None:
+                parts.append(else_col)
+                continue
+            # The variable's string value parsed as a JSON array:
+            # elements coerce to their JSON text (numbers -> "1",
+            # objects -> '{"k":1}'); null / scalar / invalid JSON ->
+            # null array -> inverse block, and [] -> inverse block
+            # (handlebars renders {{else}} for empty iterables).  The
+            # body renders in the ELEMENT context — {{this}} and
+            # {{@index}} resolve, outer names do not (handlebars does
+            # not climb the context stack without ../, which stays
+            # unsupported) — via a two-arg Catalyst transform lambda;
+            # aggregation back to one string is array_join, all
+            # JVM-side.
+            arr = F.from_json(var.cast("string"), "array<string>")
+            joined = F.array_join(
+                F.transform(
+                    arr,
+                    lambda x, i: _compile_nodes(
+                        body, {"this": x, "@index": i.cast("string")}
+                    ),
+                ),
+                "",
+            )
+            parts.append(
+                F.when(arr.isNotNull() & (F.size(arr) > 0), joined)
+                .otherwise(else_col)
+            )
     if not parts:
         return F.lit("")
     return F.concat(*parts) if len(parts) > 1 else parts[0]
+
+
+def compile_template(template: str, variables: dict[str, Column]) -> Column:
+    """Handlebars-subset template → one Catalyst expression.
+
+    Supports ``{{var}}`` (HTML-escaped, handlebars' default — the
+    reference registers no custom escape_fn so its Handlebars instance
+    escapes ``& < > " ' \\` =`` on every double-stache), the raw forms
+    ``{{{var}}}`` / ``{{&var}}``, and the two classic block helpers:
+
+    * ``{{#if var}}…{{else}}…{{/if}}`` — compiled to ``CASE WHEN`` on
+      string truthiness (null/"" falsy — the rust handlebars crate's
+      ``is_truthy`` on the reference's String-typed variables map).
+    * ``{{#each var}}…{{/each}}`` — the variable parsed as a JSON array
+      (``from_json`` → ``array<string>``); the body renders per element
+      via a Catalyst ``transform`` lambda with ``{{this}}`` /
+      ``{{@index}}`` bound, concatenated with ``array_join`` — fully
+      JVM-side, no UDF.  Non-array / empty values render the
+      ``{{else}}`` (inverse) block, matching handlebars.
+
+    Blocks nest arbitrarily.  Unknown / null variables render as empty
+    string (handlebars' lenient mode); an unknown name in a block head
+    constant-folds to the inverse block.  Partials (``{{> p}}``),
+    comments (``{{! c}}``), dotted paths, ``../`` parent refs,
+    ``{{else if}}`` chains and custom helpers are REJECTED at compile
+    time with ``ValueError`` — the reference's full Handlebars engine
+    (src/connection.rs:260-289) would evaluate them, so silently
+    emitting them as literal text would diverge wrong-way; failing the
+    config load is the honest subset boundary.  The resulting
+    expression is constant-folded by Catalyst when all parts are
+    literals (the analog of the reference's template precompilation).
+    """
+    nodes, _, _ = _parse_nodes(_tokenize_template(template), 0, None)
+    return _compile_nodes(nodes, variables)
 
 
 def _jsonpath(path: str) -> str:

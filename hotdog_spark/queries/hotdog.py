@@ -331,6 +331,86 @@ def replace_template_capture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "template_block_helpers",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_type = 'error'  THEN 'blk-error'
+                WHEN event_type = 'signup' THEN 'blk-sign'
+                ELSE 'blk-other' END AS topic,
+           CASE WHEN event_type = 'error'
+                THEN 'error.solo|(0:error)(1:u' || user_id || ')'
+                WHEN event_type = 'signup'
+                THEN 'sign+up|(0:signup)(1:u' || user_id || ')'
+                ELSE 'no-array' END AS payload
+    FROM events
+    """,
+)
+def template_block_helpers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Handlebars BLOCK helpers through the full cascade (the reference
+    registers the complete Handlebars engine, src/connection.rs:260-289;
+    this pins the compiled {{#if}}/{{#each}} subset): rule 1 branches a
+    genuinely-optional capture through {{#if rest}}…{{else}}…{{/if}}
+    (CASE WHEN on string truthiness — 'error' leaves the group empty,
+    'signup' fills it) and iterates the JSON-array message through
+    {{#each msg}} with {{@index}}/{{this}} (Catalyst transform lambda +
+    array_join, no UDF); rule 2's {{#each version}} hits the runtime
+    inverse block (the version string is not a JSON array).  The oracle
+    rebuilds every branch arithmetically with CASE."""
+    from hotdog_spark.config import load_dict
+
+    settings = load_dict(
+        {
+            "global": {"listen": {"port": 1}},
+            "rules": [
+                {
+                    "regex": "^(?P<kind>error|sign)(?P<rest>up)?$",
+                    "field": "appname",
+                    "actions": [
+                        {
+                            "type": "replace",
+                            "template": (
+                                "{{kind}}{{#if rest}}+{{rest}}{{else}}.solo"
+                                "{{/if}}|{{#each msg}}({{@index}}:{{this}})"
+                                "{{/each}}"
+                            ),
+                        },
+                        {"type": "forward", "topic": "blk-{{kind}}"},
+                    ],
+                },
+                {
+                    "regex": ".",
+                    "field": "msg",
+                    "actions": [
+                        {
+                            "type": "replace",
+                            "template": (
+                                "{{#each version}}X{{else}}no-array{{/each}}"
+                            ),
+                        },
+                        {"type": "forward", "topic": "blk-other"},
+                    ],
+                },
+            ],
+        },
+        environ={},
+    )
+    ev = fan_out(table(spark, sf_dir, "events")).select(
+        F.col("event_id"),
+        # the message is a JSON ARRAY string so {{#each msg}} iterates it
+        F.concat(
+            F.lit('["'), F.col("event_type"), F.lit('","u'),
+            F.col("user_id").cast("string"), F.lit('"]'),
+        ).alias("msg"),
+        F.lit(None).cast("string").alias("severity"),
+        F.lit(None).cast("string").alias("facility"),
+        F.concat(F.lit("u"), F.col("user_id")).alias("hostname"),
+        F.col("event_type").alias("appname"),
+    )
+    routed = process_envelope(ev, settings)
+    return routed.select("event_id", "topic", "payload")
+
+
+@register(
     "jmespath_full_filter",
     oracle="""
     SELECT event_id,

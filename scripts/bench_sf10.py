@@ -35,6 +35,7 @@ UI_PORT = int(os.environ.get("SPARK_GRAFT_UI_PORT", "4060"))
 # blocking, bucketing, or window mechanism whose constant could hide an
 # n² term.  All run on documents/embeddings/events only.
 SUBSET = [
+    "template_block_helpers",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -297,22 +297,96 @@ def test_template_escapes_like_handlebars(spark):
 
 
 def test_template_rejects_unsupported_constructs(spark):
-    """Block helpers / partials / comments / dotted paths fail the config
-    load instead of leaking through as literal text (the reference's full
-    Handlebars engine would evaluate them, so passthrough would silently
-    diverge)."""
+    """Partials / comments / dotted paths / non-if-each helpers /
+    unbalanced blocks fail the config load instead of leaking through as
+    literal text (the reference's full Handlebars engine would evaluate
+    them, so passthrough would silently diverge)."""
     from pyspark.sql import functions as F
 
     for bad in (
-        "{{#if x}}y{{/if}}",
         "{{> partial}}",
         "{{! a comment }}",
         "{{a.b}}",
+        "{{#with x}}y{{/with}}",
+        "{{#unless x}}y{{/unless}}",
+        "{{#if x}}unclosed",
+        "{{/if}}",
+        "{{else}}",
+        "{{#if x}}a{{/each}}",
+        "{{#if x}}{{else}}a{{else}}b{{/if}}",
+        "{{else if y}}",
+        "{{../parent}}",
     ):
         with pytest.raises(ValueError, match="unsupported handlebars"):
             compile_template(bad, {"x": F.lit("X")})
     # stray '}}' is plain text (JSON patches end with '}}')
     compile_template('{"a": {"b": "{{v}}"}}', {"v": F.lit("X")})
+
+
+def test_template_if_block(spark):
+    """{{#if}}/{{else}} compiles to CASE WHEN on rust-handlebars string
+    truthiness: null, "" and undefined names are falsy; any other string
+    (including "0" and "false" — String-typed variables) is truthy."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1)
+    V = {
+        "x": F.lit("X"),
+        "zero": F.lit("0"),
+        "empty": F.lit(""),
+        "nul": F.lit(None).cast("string"),
+    }
+    out = df.select(
+        compile_template("A{{#if x}}T{{x}}{{else}}E{{/if}}B", V).alias("a"),
+        compile_template("{{#if zero}}T{{else}}E{{/if}}", V).alias("b"),
+        compile_template("{{#if empty}}T{{else}}E{{/if}}", V).alias("c"),
+        compile_template("{{#if nul}}T{{else}}E{{/if}}", V).alias("d"),
+        compile_template("{{#if missing}}T{{else}}E{{/if}}", V).alias("e"),
+        compile_template("{{#if empty}}T{{/if}}", V).alias("f"),
+    ).collect()[0]
+    assert (out.a, out.b, out.c, out.d, out.e, out.f) == (
+        "ATXB", "T", "E", "E", "E", "",
+    )
+
+
+def test_template_each_block(spark):
+    """{{#each}} parses the variable as a JSON array and renders the
+    body per element via a Catalyst transform lambda: {{this}} (escaped
+    by default, raw as {{{this}}}) and {{@index}} bound, outer names
+    invisible (handlebars context switch); non-array / invalid / empty
+    values render the {{else}} block; blocks nest."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1)
+    V = {
+        "x": F.lit("X"),
+        "arr": F.lit('["a","<b>",3]'),
+        "obj": F.lit('{"k":1}'),
+        "bad": F.lit("notjson"),
+        "mt": F.lit("[]"),
+    }
+    out = df.select(
+        compile_template(
+            "[{{#each arr}}({{@index}}:{{this}}){{/each}}]", V
+        ).alias("a"),
+        compile_template("[{{#each arr}}{{{this}}}{{/each}}]", V).alias("b"),
+        compile_template("{{#each obj}}X{{else}}E{{/each}}", V).alias("c"),
+        compile_template("{{#each bad}}X{{else}}E{{/each}}", V).alias("d"),
+        compile_template("{{#each mt}}X{{else}}E{{/each}}", V).alias("e"),
+        compile_template(
+            "{{#if x}}{{#each arr}}<{{{this}}}>{{/each}}{{/if}}", V
+        ).alias("f"),
+        compile_template(
+            "{{#each arr}}{{#if this}}y{{else}}n{{/if}}{{/each}}", V
+        ).alias("g"),
+        compile_template("{{#each arr}}{{x}}{{/each}}", V).alias("h"),
+    ).collect()[0]
+    assert out.a == "[(0:a)(1:&lt;b&gt;)(2:3)]"  # numbers coerce to text
+    assert out.b == "[a<b>3]"
+    assert (out.c, out.d, out.e) == ("E", "E", "E")
+    assert out.f == "<a><<b>><3>"
+    assert out.g == "yyy"
+    assert out.h == ""  # element context: outer variables don't resolve
 
 
 def test_dry_run(spark, canonical):

@@ -174,3 +174,126 @@ def test_template_matches_reference_renderer(spark, segments, values):
         .r
     )
     assert (out or "") == expected
+
+
+# ---- block helpers: {{#if}} / {{#each}} differential -----------------
+#
+# Same idea as the flat-template property above, extended to the block
+# subset: random segment TREES are rendered to template text, compiled
+# via Catalyst, and compared against a pure-Python reference renderer
+# that implements the documented contract — rust-handlebars string
+# truthiness for if (null/"" falsy), JSON-array iteration with element
+# context switch ({{this}}/{{@index}} only) for each, inverse block on
+# non-array/empty, default HTML escape on every double-stache.
+
+_arr_value = st.one_of(
+    st.lists(
+        st.one_of(
+            st.text(
+                alphabet=st.characters(
+                    codec="ascii", exclude_characters="{}\\'\"\r\n",
+                    exclude_categories=("Cc",),
+                ),
+                max_size=6,
+            ),
+            st.integers(min_value=-999, max_value=999),
+        ),
+        max_size=4,
+    ).map(lambda xs: json.dumps(xs, separators=(",", ":"))),
+    st.sampled_from([None, "", "notjson", '{"k":1}', '"scalar"', "[]"]),
+)
+
+_each_body_leaf = st.one_of(
+    _lit_seg,
+    st.sampled_from([("var", "this"), ("var", "@index"), ("var", "msg")]),
+)
+
+_block_nodes = st.recursive(
+    st.one_of(_lit_seg, _var_name.map(lambda v: ("var", v))),
+    lambda kids: st.one_of(
+        st.tuples(
+            st.just("if"), _var_name,
+            st.lists(kids, max_size=3),
+            st.one_of(st.none(), st.lists(kids, max_size=2)),
+        ),
+        st.tuples(
+            st.just("each"), st.sampled_from(["arr", "msg", "missing_var"]),
+            st.lists(st.one_of(_each_body_leaf, kids), max_size=3),
+            st.one_of(st.none(), st.lists(kids, max_size=2)),
+        ),
+    ),
+    max_leaves=8,
+)
+
+
+def _to_template(nodes):
+    out = []
+    for n in nodes:
+        if isinstance(n, str):
+            out.append(n)
+        elif n[0] == "var":
+            out.append("{{" + n[1] + "}}")
+        else:
+            kind, name, body, els = n
+            out.append("{{#" + kind + " " + name + "}}" + _to_template(body))
+            if els is not None:
+                out.append("{{else}}" + _to_template(els))
+            out.append("{{/" + kind + "}}")
+    return "".join(out)
+
+
+def _ref_render(nodes, values):
+    out = []
+    for n in nodes:
+        if isinstance(n, str):
+            out.append(n)
+        elif n[0] == "var":
+            out.append(_hb_escape(str(values.get(n[1]) or "")))
+        elif n[0] == "if":
+            _, name, body, els = n
+            branch = body if values.get(name) else (els or [])
+            out.append(_ref_render(branch, values))
+        else:  # each
+            _, name, body, els = n
+            v = values.get(name)
+            arr = None
+            if isinstance(v, str):
+                try:
+                    parsed = json.loads(v)
+                    if isinstance(parsed, list):
+                        arr = parsed
+                except (json.JSONDecodeError, ValueError):
+                    pass
+            if arr:
+                for i, el in enumerate(arr):
+                    eltext = el if isinstance(el, str) else (
+                        "" if el is None else json.dumps(
+                            el, separators=(",", ":"))
+                    )
+                    out.append(_ref_render(
+                        body, {"this": eltext, "@index": str(i)}
+                    ))
+            else:
+                out.append(_ref_render(els or [], values))
+    return "".join(out)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    nodes=st.lists(_block_nodes, max_size=5),
+    values=_var_values,
+    arr=_arr_value,
+)
+def test_block_templates_match_reference_renderer(spark, nodes, values, arr):
+    values = dict(values)
+    values["arr"] = arr
+    template = _to_template(nodes)
+    expected = _ref_render(nodes, values)
+    variables = {k: F.lit(v) for k, v in values.items()}
+    out = (
+        spark.range(1)
+        .select(compile_template(template, variables).alias("r"))
+        .collect()[0]
+        .r
+    )
+    assert (out or "") == expected
