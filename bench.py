@@ -146,6 +146,7 @@ HEADLINE = [
     "agg_distinct_users_kmv_sketch",    # mergeable KMV sketch, k-array shuffle only
     "pack_bpe_token_bins",              # BPE-token-budget packing (train→encode→pack)
     "multimodal_jpeg_color_decode_stats",  # 4:2:0 colour JPEG MCU-interleaved decode
+    "multimodal_jpeg_progressive_decode_stats",  # SOF2 ten-scan progressive decode
     "matryoshka_truncation_recall",     # embedding-prefix truncation quality report
     "bpe_fertility_by_lang",            # tokens-per-word tokenizer equity metric
     "agg_kmv_set_jaccard",              # KMV sketch set algebra (union/Jaccard)

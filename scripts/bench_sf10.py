@@ -36,6 +36,7 @@ UI_PORT = int(os.environ.get("SPARK_GRAFT_UI_PORT", "4060"))
 # n² term.  All run on documents/embeddings/events only.
 SUBSET = [
     "template_block_helpers",
+    "multimodal_jpeg_progressive_decode_stats",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -60,6 +61,7 @@ SUBSET = [
     "window_session_events",
     "agg_approx_distinct_users_sketch_only",
     "dedup_image_ahash",
+    "multimodal_jpeg_color_decode_stats",
     "quality_lm_bigram",
     "curation_importance_weights",
     # Relational/window decade (VERDICT r5 item 2) — runs once gen_sf1

@@ -313,16 +313,28 @@ def test_jpeg_dc_prediction_across_blocks():
 
 
 def test_jpeg_rejects_unsupported_and_non_jpeg():
-    """Non-JPEG bytes → None (divert path); progressive (SOF2) raises
-    loudly instead of decoding silently wrong."""
+    """Non-JPEG bytes → None (divert path); unsupported frame types
+    (lossless SOF3, arithmetic-coded SOF10) raise loudly; and the
+    baseline/progressive DISPATCH is pinned — a stream whose marker
+    says SOF2 but whose single scan is baseline-shaped (Ss=0, Se=63)
+    is an invalid progressive stream, not silently decoded as
+    sequential."""
     import pytest
 
     from hotdog_spark.operators import jpeg as J
 
     assert J.decode_jpeg_gray(b"not a jpeg") is None
     data = J.synth_jpeg_gray(8, 8, [{(0, 0): 8}])
-    with pytest.raises(ValueError, match="baseline"):
+    for bad_sof in (b"\xff\xc3", b"\xff\xca"):
+        with pytest.raises(ValueError, match="SOF0.*SOF2|SOF2"):
+            J.decode_jpeg_gray(data.replace(b"\xff\xc0", bad_sof, 1))
+    with pytest.raises(ValueError, match="progressive"):
         J.decode_jpeg_gray(data.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    # and the reverse flip: progressive scans under an SOF0 marker are
+    # rejected (a DC-only band is not a legal baseline scan)
+    prog = J.synth_jpeg_gray_progressive(8, 8, [{(0, 0): 8}])
+    with pytest.raises(ValueError):
+        J.decode_jpeg_gray(prog.replace(b"\xff\xc2", b"\xff\xc0", 1))
 
 
 def test_jpeg_byte_stuffing_roundtrip():
@@ -444,6 +456,144 @@ def test_jpeg_corruption_fuzz_never_silently_wrong():
         probe(bytes(mutated))
     # the sweep must exercise the loud-rejection path; ValueError is the
     # ONLY exception type allowed out (any other type fails the test)
+    assert outcomes["rejected"] > 0
+    assert sum(outcomes.values()) > 50
+
+
+# ---- progressive (SOF2) JPEG (VERDICT r8 item 4) ----
+
+
+def test_jpeg_progressive_gray_equals_baseline():
+    """The six-scan progressive encoding (DC first Al=1, AC bands 1-5 /
+    6-63 Al=1, then DC + AC successive-approximation refinement) must
+    reconstruct the EXACT coefficients and therefore decode to the same
+    pixels as the baseline encoding of the same blocks — spectral
+    selection, EOB runs, point transforms and refinement all included."""
+    import numpy as np
+
+    from hotdog_spark.operators import jpeg as J
+
+    blocks = [
+        {(0, 0): 80, (4, 0): 16, (0, 4): -24, (4, 4): 8},
+        {(0, 0): -96, (1, 0): 40, (7, 7): -16},      # odd DC: refine bit set
+        {(0, 0): 0},                                 # all-EOB band: EOBRUN
+        {(2, 3): 8, (5, 6): -8},                     # AC-only, sparse
+        {(0, 0): 8, (0, 1): 24, (1, 1): -40},
+        {(0, 0): -8},
+    ]
+    base = J.decode_jpeg_gray(J.synth_jpeg_gray(24, 16, blocks))
+    prog = J.decode_jpeg_gray(J.synth_jpeg_gray_progressive(24, 16, blocks))
+    assert np.array_equal(base, prog)
+
+
+def test_jpeg_progressive_random_equals_baseline():
+    """Pseudorandom coefficient fuzz over the full progressive machinery
+    (grayscale + 4:2:0 colour): every stream must decode bit-identically
+    to the baseline encoding of the same coefficients.  Random runs of
+    zeros exercise ZRL-in-refinement, EOB-run batching across blocks,
+    and buffered correction bits."""
+    import random
+
+    import numpy as np
+
+    from hotdog_spark.operators import jpeg as J
+
+    rng = random.Random(2024)
+    for _ in range(30):
+        bw, bh = rng.randint(1, 4), rng.randint(1, 3)
+        blocks = []
+        for _ in range(bw * bh):
+            fmap = {}
+            for _ in range(rng.randint(0, 12)):
+                rc = (rng.randint(0, 7), rng.randint(0, 7))
+                fmap[rc] = rng.randint(-60, 60) * 8
+            blocks.append(fmap)
+        base = J.decode_jpeg_gray(J.synth_jpeg_gray(bw * 8, bh * 8, blocks))
+        prog = J.decode_jpeg_gray(
+            J.synth_jpeg_gray_progressive(bw * 8, bh * 8, blocks)
+        )
+        assert np.array_equal(base, prog)
+
+    for _ in range(10):
+        mx, my = rng.randint(1, 3), rng.randint(1, 2)
+        cache = {}
+
+        def coefs(comp, b):
+            if (comp, b) not in cache:
+                fmap = {}
+                for _ in range(rng.randint(0, 10)):
+                    rc = (rng.randint(0, 7), rng.randint(0, 7))
+                    fmap[rc] = rng.randint(-50, 50) * 8
+                cache[(comp, b)] = fmap
+            return cache[(comp, b)]
+
+        base = J.decode_jpeg(J.synth_jpeg_color(mx * 16, my * 16, coefs))
+        prog = J.decode_jpeg(
+            J.synth_jpeg_color_progressive(mx * 16, my * 16, coefs)
+        )
+        assert all(np.array_equal(a, b) for a, b in zip(base, prog))
+
+
+def test_jpeg_progressive_exact_subspace_stats_sweep():
+    """The progressive colour fixture family decodes to the closed form
+    the DuckDB oracle computes — per (doc, component, block), pixels are
+    128 + (F00 ± F40 ± F04 ± F44)/8 with g = doc*11 + b*17 + comp*23."""
+    from hotdog_spark.operators import jpeg as J
+
+    for did in range(1, 40):
+        w, h, data = J.synth_exact_prog_jpeg(did)
+        planes = J.decode_jpeg(data)
+        for comp, plane in enumerate(planes):
+            bw = plane.shape[1] // 8
+            bh = plane.shape[0] // 8
+            tot, mn, mx = 0, 10 ** 9, -1
+            for b in range(bw * bh):
+                c = J.exact_prog_block_coefs(did, comp, b)
+                vals = [
+                    128 + (c[(0, 0)] + ex * c[(4, 0)] + ey * c[(0, 4)]
+                           + ex * ey * c[(4, 4)]) // 8
+                    for ex in (1, -1) for ey in (1, -1)
+                ]
+                tot += 16 * sum(vals)
+                mn, mx = min(mn, min(vals)), max(mx, max(vals))
+            got = (int(plane.sum()), int(plane.min()), int(plane.max()))
+            assert got == (tot, mn, mx), (did, comp)
+
+
+def test_jpeg_progressive_corruption_fuzz():
+    """The corruption sweep extended to the multi-scan SOF2 path:
+    truncations and byte flips of a progressive stream must reject with
+    ValueError, decode identically, or decode different values — never
+    escape with another exception type (the divert contract)."""
+    from hotdog_spark.operators import jpeg as J
+
+    _, _, data = J.synth_exact_prog_jpeg(23)
+    baseline = J.decode_jpeg(data)
+
+    outcomes = {"ok_same": 0, "rejected": 0, "decoded_diff": 0}
+
+    def probe(blob):
+        try:
+            out = J.decode_jpeg(blob)
+        except ValueError:
+            outcomes["rejected"] += 1
+            return
+        if out is None:
+            outcomes["rejected"] += 1
+        elif all(
+            a.shape == b.shape and (a == b).all()
+            for a, b in zip(baseline, out)
+        ) and len(out) == len(baseline):
+            outcomes["ok_same"] += 1
+        else:
+            outcomes["decoded_diff"] += 1
+
+    for cut in range(2, len(data), 11):
+        probe(data[:cut])
+    for pos in range(0, len(data), 7):
+        mutated = bytearray(data)
+        mutated[pos] ^= 0x5A
+        probe(bytes(mutated))
     assert outcomes["rejected"] > 0
     assert sum(outcomes.values()) > 50
 
