@@ -32,18 +32,34 @@ def _build_session(app: str):
     )
 
 
-def test_mode_report(spark, settings, file_name: str) -> list[str]:
+def test_mode_report(
+    spark, settings, file_name: str, limit: int | None = None
+) -> list[str]:
     """The dry-run report as lines of text (reference output format:
-    'Line N matches on:' / '\\t - <matcher>')."""
+    'Line N matches on:' / '\\t - <matcher>').  ``limit`` bounds the
+    driver-side collect so the CLI stays safe against an arbitrarily
+    large log file: the report covers the FIRST ``limit`` lines and
+    appends a truncation summary with the total line count (computed
+    distributed, not collected)."""
     from hotdog_spark.plans.compiler import dry_run
     from hotdog_spark.sources.batch import read_log_file
 
     df = read_log_file(spark, file_name)
+    report = dry_run(df, settings).orderBy("line_no")
     out = []
-    for row in dry_run(df, settings).orderBy("line_no").collect():
+    truncated = False
+    if limit is not None:
+        total = report.count()
+        truncated = total > limit
+        report = report.limit(limit)
+    for row in report.collect():
         if row.matchers:
             out.append(f"Line {row.line_no} matches on:")
             out.extend(f"\t - {m}" for m in row.matchers)
+    if truncated:
+        out.append(
+            f"... report truncated at --limit {limit} of {total} lines"
+        )
     return out
 
 
@@ -53,6 +69,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     parser.add_argument("-c", "--config", help="YAML rules file")
     parser.add_argument("-t", "--test", help="log file to dry-run the rules against")
+    parser.add_argument(
+        "--limit",
+        type=int,
+        default=10_000,
+        help="max lines collected for the -t report (0 = unlimited); the"
+        " total line count is still computed distributed",
+    )
     parser.add_argument(
         "--explain",
         metavar="QUERY",
@@ -111,7 +134,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.test:
         spark = _build_session("hotdog-spark-test")
-        for line in test_mode_report(spark, settings, args.test):
+        limit = args.limit if args.limit > 0 else None
+        for line in test_mode_report(spark, settings, args.test, limit=limit):
             print(line)
         spark.stop()
         return 0

@@ -435,6 +435,14 @@ def test_cli_test_mode_report(spark, canonical, tmp_path):
     assert report[i + 1] == "\t - JMESPath: meta.topic"
     assert report[i + 2] == "\t - Regex: .*"
 
+    # --limit bounds the driver-side collect: report covers the first N
+    # lines only, with a truncation summary carrying the TOTAL count
+    limited = test_mode_report(spark, canonical, str(log), limit=2)
+    assert "Line 4 matches on:" not in limited
+    assert limited[-1].startswith("... report truncated at --limit 2 of ")
+    # a limit at/above the line count changes nothing and adds no footer
+    assert test_mode_report(spark, canonical, str(log), limit=10_000) == report
+
 
 def test_full_jmespath_rule_cascade(spark, tmp_path):
     """A rule whose JMESPath uses filters/functions (beyond the dotted
