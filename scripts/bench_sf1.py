@@ -171,7 +171,7 @@ def main() -> None:
         results[name] = entry
         print(f"  {name}: {entry}", file=sys.stderr)
 
-    out = os.path.join(REPO, "SCALE_sf1.json")
+    out = os.environ.get("SPARK_GRAFT_BENCH_OUT", os.path.join(REPO, "SCALE_sf1.json"))
     if only and os.path.exists(out):
         with open(out) as f:
             merged = json.load(f).get("queries", {})
@@ -194,7 +194,7 @@ def main() -> None:
             sum(r["spill_disk_mb"] for r in results.values()), 1
         ),
     }
-    out = os.path.join(REPO, "SCALE_sf1.json")
+    out = os.environ.get("SPARK_GRAFT_BENCH_OUT", os.path.join(REPO, "SCALE_sf1.json"))
     with open(out, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps({k: v for k, v in payload.items() if k != "queries"}))

@@ -220,10 +220,14 @@ def main() -> None:
         "overwrite"
     ).format("noop").save()
 
-    # sf1 reference times for the 10x-linearity check
+    # sf1 reference times for the 10x-linearity check (override the
+    # anchor file for alternate corpora, e.g. the Zipf fixtures)
     sf1 = {}
     try:
-        with open(os.path.join(REPO, "SCALE_sf1.json")) as f:
+        anchor = os.environ.get(
+            "SPARK_GRAFT_SF1_ANCHOR", os.path.join(REPO, "SCALE_sf1.json")
+        )
+        with open(anchor) as f:
             sf1 = {k: v["sec"] for k, v in json.load(f)["queries"].items()}
     except Exception:
         pass
@@ -279,7 +283,7 @@ def main() -> None:
         results[name] = entry
         print(f"  {name}: {entry}", file=sys.stderr)
 
-    out_path = os.path.join(REPO, "SCALE_sf10.json")
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", os.path.join(REPO, "SCALE_sf10.json"))
     if only and os.path.exists(out_path):
         with open(out_path) as f:
             merged = json.load(f).get("queries", {})
@@ -304,7 +308,7 @@ def main() -> None:
             sum(r.get("spill_disk_mb", 0) for r in ok.values()), 1
         ),
     }
-    out = os.path.join(REPO, "SCALE_sf10.json")
+    out = os.environ.get("SPARK_GRAFT_BENCH_OUT", os.path.join(REPO, "SCALE_sf10.json"))
     with open(out, "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps({k: v for k, v in payload.items() if k != "queries"}))

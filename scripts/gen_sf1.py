@@ -69,11 +69,23 @@ def _write(out, name, table):
     print(f"  {name}: {table.num_rows:,} rows -> {path}")
 
 
-def gen(sf: float, out: str, seed: int = 421, tables: set[str] | None = None) -> None:
+def gen(sf: float, out: str, seed: int = 421, tables: set[str] | None = None,
+        vocab: str = "uniform31") -> None:
     """Generate the synthetic tables at ``sf``.  ``tables`` restricts the
     output set (e.g. {"documents","embeddings","events"} for the sf10
     stress run, where only the superlinear-risk families need data and
-    the TPC-H tables would dominate the generation time)."""
+    the TPC-H tables would dominate the generation time).
+
+    ``vocab`` selects the documents word distribution:
+    - ``uniform31`` (default) — the historical 31-word uniform corpus.
+      ADVERSARIAL for fingerprint operators: every shingle space
+      saturates, so the dedup/text scale decades measure the saturation
+      GUARDS rather than the operators (r8 verdict item 2).
+    - ``zipf:<V>`` — V-word vocabulary sampled with a Zipf(s=1.1) rank
+      distribution, the realistic web-text shape: fingerprint spaces
+      stay sparse, so the decades measure the operators themselves.
+      Both corpora are kept: realistic for the scale evidence, the
+      saturated one as the guard stress case."""
     rng = np.random.default_rng(seed)
     os.makedirs(out, exist_ok=True)
 
@@ -197,17 +209,34 @@ def gen(sf: float, out: str, seed: int = 421, tables: set[str] | None = None) ->
 
     # --- documents ---
     if want("documents"):
-        vocab = np.array(
-            "a agg batch big column customer data dup fast filter group hash join "
-            "key line merge order part query row scan slow small sort spark stream "
-            "table the value vector window".split()
-        )
+        if vocab.startswith("zipf:"):
+            nv = int(vocab.split(":", 1)[1])
+            # rank-frequency p(r) ∝ 1/r^1.1 (classic web-text exponent);
+            # surface forms w0..w{V-1} — distinctness is what the
+            # fingerprint spaces care about, not orthography
+            ranks = np.arange(1, nv + 1, dtype="float64")
+            zp = 1.0 / ranks ** 1.1
+            zp /= zp.sum()
+            words = np.array([f"w{i}" for i in range(nv)])
+            n_words = rng.integers(10, 101, n_docs)
+            draws = words[rng.choice(nv, size=int(n_words.sum()), p=zp)]
+            offs = np.concatenate(([0], np.cumsum(n_words)))
+            texts = [
+                " ".join(draws[offs[i]:offs[i + 1]]) for i in range(n_docs)
+            ]
+        else:
+            words = np.array(
+                "a agg batch big column customer data dup fast filter group hash join "
+                "key line merge order part query row scan slow small sort spark stream "
+                "table the value vector window".split()
+            )
+            n_words = rng.integers(10, 101, n_docs)
+            texts = [
+                " ".join(words[rng.integers(0, len(words), k)])
+                for k in n_words
+            ]
         langs = np.array(["en", "zh", "es", "fr", "de"])
         lang_p = np.array([0.44, 0.15, 0.14, 0.135, 0.135])
-        n_words = rng.integers(10, 101, n_docs)
-        texts = [
-            " ".join(vocab[rng.integers(0, len(vocab), k)]) for k in n_words
-        ]
         # exact duplicates (~0.2%) so dedup operators have real work
         for i in rng.choice(np.arange(1, n_docs), max(1, n_docs // 500), replace=False):
             texts[i] = texts[rng.integers(0, i)]
@@ -230,7 +259,8 @@ def gen(sf: float, out: str, seed: int = 421, tables: set[str] | None = None) ->
         }))
 
     with open(os.path.join(out, "GENERATED.json"), "w") as f:
-        json.dump({"sf": sf, "seed": seed, "generator": "scripts/gen_sf1.py"}, f)
+        json.dump({"sf": sf, "seed": seed, "vocab": vocab,
+                   "generator": "scripts/gen_sf1.py"}, f)
 
 
 if __name__ == "__main__":
@@ -240,6 +270,11 @@ if __name__ == "__main__":
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "testdata_sf1"))
     ap.add_argument("--tables", default=None,
                     help="comma-separated subset (default: all)")
+    ap.add_argument("--vocab", default="uniform31",
+                    help="documents vocabulary: uniform31 (historical, "
+                    "fingerprint-saturating) or zipf:<V> (realistic "
+                    "Zipf-distributed V-word vocabulary)")
     args = ap.parse_args()
     gen(args.sf, args.out,
-        tables=set(args.tables.split(",")) if args.tables else None)
+        tables=set(args.tables.split(",")) if args.tables else None,
+        vocab=args.vocab)

@@ -13,7 +13,13 @@ stronger than the reference, which sheds load on a full internal queue
     sink.  We wait until the sink has seen EXACTLY N rows and report the
     end-to-end rate plus the per-batch processedRowsPerSecond samples.
 
-    python scripts/loadtest.py [n_messages] [port] [sink]
+    python scripts/loadtest.py [n_messages] [port] [sink] [mode]
+
+``mode`` is ``bulk`` (default — 4 persistent connections) or
+``arrival``: the tsung envelope shape (tsung.xml:13-16), N short-lived
+sessions opened at SPARK_GRAFT_ARRIVAL_RATE connections/second
+(default 100), one message per connection — exercising accept-loop
+churn instead of steady-stream throughput.
 
 ``sink`` is ``memory`` (default — counting sink) or ``parquet``: the
 reference's real path ends in Kafka/Parquet
@@ -47,10 +53,61 @@ def _send(host: str, port: int, lines: list[str]) -> None:
         s.sendall(payload)
 
 
+def _send_arrival(host: str, port: int, lines: list[str], rate: int) -> dict:
+    """tsung-shaped ramped-arrival sender (tsung.xml:13-16: arrival
+    rate of short-lived sessions, one message each): open ``rate`` NEW
+    connections per second, each sending ONE line then closing — the
+    accept-loop churn pattern the 4-persistent-connection bulk mode
+    never exercises (sources/syslog_tcp.py:58).  Connections are
+    dispatched from a thread pool on a 10-tick/s schedule; returns
+    arrival stats (achieved conn/s, connect failures)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    failures = [0]
+    lock = threading.Lock()
+
+    def one(line: str) -> None:
+        try:
+            with socket.create_connection((host, port), timeout=30) as s:
+                s.sendall((line + "\n").encode())
+        except OSError:
+            with lock:
+                failures[0] += 1
+
+    t0 = time.time()
+    with ThreadPoolExecutor(max_workers=min(256, rate * 4)) as pool:
+        per_tick = rate / 10.0
+        carry = 0.0
+        i = 0
+        tick = 0
+        while i < len(lines):
+            carry += per_tick
+            take = int(carry)
+            carry -= take
+            for _ in range(min(take, len(lines) - i)):
+                pool.submit(one, lines[i])
+                i += 1
+            tick += 1
+            sleep_until = t0 + tick / 10.0
+            delay = sleep_until - time.time()
+            if delay > 0:
+                time.sleep(delay)
+    dt = time.time() - t0
+    return {
+        "connections": len(lines),
+        "target_rate_per_s": rate,
+        "achieved_rate_per_s": round(len(lines) / dt, 1),
+        "connect_failures": failures[0],
+        "ramp_seconds": round(dt, 2),
+    }
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     port = int(sys.argv[2]) if len(sys.argv) > 2 else random.randint(20000, 40000)
     sink = sys.argv[3] if len(sys.argv) > 3 else "memory"
+    mode = sys.argv[4] if len(sys.argv) > 4 else "bulk"
+    arrival_rate = int(os.environ.get("SPARK_GRAFT_ARRIVAL_RATE", "100"))
     host = "127.0.0.1"
 
     import glob
@@ -151,15 +208,19 @@ def main() -> None:
         )
         for i in range(n)
     ]
-    senders = []
+    arrival_stats = None
     t0 = time.time()
-    for part in range(4):
-        chunk = lines[part::4]
-        th = threading.Thread(target=_send, args=(host, port, chunk))
-        th.start()
-        senders.append(th)
-    for th in senders:
-        th.join()
+    if mode == "arrival":
+        arrival_stats = _send_arrival(host, port, lines, arrival_rate)
+    else:
+        senders = []
+        for part in range(4):
+            chunk = lines[part::4]
+            th = threading.Thread(target=_send, args=(host, port, chunk))
+            th.start()
+            senders.append(th)
+        for th in senders:
+            th.join()
     sent_s = time.time() - t0
 
     # Drain: wait until the sink has exactly n rows (the canonical config
@@ -193,6 +254,9 @@ def main() -> None:
         "e2e_seconds": round(total_s, 2),
         "batch_rates_sample": [round(r, 1) for r in rates[-5:]],
     }
+    if arrival_stats is not None:
+        payload["metric"] = "tcp_arrival_e2e_messages_per_second"
+        payload["arrival"] = arrival_stats
     if out_dir is not None:
         payload["parquet_files_written"] = len(
             glob.glob(f"{out_dir}/topic=test/*.parquet")
