@@ -430,7 +430,10 @@ def _decode_baseline_entropy(entropy, order, luts, coef):
 
 def _decode_scan_dc_first(bits, order, luts, coef, al):
     """Progressive DC first scan (T.81 G.2, Ah=0): baseline DC diff
-    coding of the point-transformed values, stored shifted up by Al."""
+    coding of the point-transformed values, stored shifted up by Al.
+    ``coef`` is list-of-lists during the progressive parse (plain-int
+    access is ~5x numpy scalar indexing in these per-coefficient
+    loops); finalize converts once."""
     prev = [0] * len(coef)
     for ci, b in order:
         s = bits.read_sym(luts[ci])
@@ -438,7 +441,7 @@ def _decode_scan_dc_first(bits, order, luts, coef, al):
             raise ValueError("invalid magnitude category")
         if s:
             prev[ci] += _extend(bits.read_bits(s), s)
-        coef[ci][b, 0] = prev[ci] << al
+        coef[ci][b][0] = prev[ci] << al
 
 
 def _decode_scan_dc_refine(bits, order, coef, al):
@@ -448,7 +451,7 @@ def _decode_scan_dc_refine(bits, order, coef, al):
     p1 = 1 << al
     for ci, b in order:
         if bits.read_bits(1):
-            coef[ci][b, 0] |= p1
+            coef[ci][b][0] |= p1
 
 
 def _decode_scan_ac_first(bits, nblocks, ac_lut, arr, ss, se, al):
@@ -460,6 +463,7 @@ def _decode_scan_ac_first(bits, nblocks, ac_lut, arr, ss, se, al):
         if eobrun > 0:
             eobrun -= 1
             continue
+        arr_b = arr[b]
         k = ss
         while k <= se:
             sym = bits.read_sym(ac_lut)
@@ -475,7 +479,7 @@ def _decode_scan_ac_first(bits, nblocks, ac_lut, arr, ss, se, al):
             k += r
             if k > se:
                 raise ValueError("AC run overflows band")
-            arr[b, k] = _extend(bits.read_bits(s), s) << al
+            arr_b[k] = _extend(bits.read_bits(s), s) << al
             k += 1
 
 
@@ -487,30 +491,33 @@ def _decode_scan_ac_refine(bits, nblocks, ac_lut, arr, ss, se, al):
     p1 = 1 << al
     m1 = -p1
     eobrun = 0
+    read_sym = bits.read_sym
+    read_bits = bits.read_bits
     for b in range(nblocks):
+        row = arr[b]
         k = ss
         if eobrun == 0:
             while k <= se:
-                sym = bits.read_sym(ac_lut)
+                sym = read_sym(ac_lut)
                 r, s = sym >> 4, sym & 0xF
                 val = 0
                 if s == 0:
                     if r != 15:
                         eobrun = 1 << r
                         if r:
-                            eobrun += bits.read_bits(r)
+                            eobrun += read_bits(r)
                         break
                     # r == 15: ZRL — pass 16 zero-history coefficients,
                     # correcting nonzero-history ones along the way
                 else:
                     if s != 1:
                         raise ValueError("invalid refinement magnitude")
-                    val = p1 if bits.read_bits(1) else m1
+                    val = p1 if read_bits(1) else m1
                 while k <= se:
-                    c = int(arr[b, k])
+                    c = row[k]
                     if c != 0:
-                        if bits.read_bits(1) and (c & p1) == 0:
-                            arr[b, k] = c + (p1 if c >= 0 else m1)
+                        if read_bits(1) and (c & p1) == 0:
+                            row[k] = c + (p1 if c >= 0 else m1)
                     else:
                         if r == 0:
                             break
@@ -519,16 +526,16 @@ def _decode_scan_ac_refine(bits, nblocks, ac_lut, arr, ss, se, al):
                 if s:
                     if k > se:
                         raise ValueError("AC run overflows band")
-                    arr[b, k] = val
+                    row[k] = val
                 k += 1
         if eobrun > 0:
             # the pending EOB run covers this block's band remainder:
             # nonzero-history coefficients still receive correction bits
             while k <= se:
-                c = int(arr[b, k])
+                c = row[k]
                 if c != 0:
-                    if bits.read_bits(1) and (c & p1) == 0:
-                        arr[b, k] = c + (p1 if c >= 0 else m1)
+                    if read_bits(1) and (c & p1) == 0:
+                        row[k] = c + (p1 if c >= 0 else m1)
                 k += 1
             eobrun -= 1
 
@@ -553,7 +560,8 @@ def _planes_from_coefs(coef, comps, quant, width, height, hmax, vmax):
         pw = width * h // hmax
         ph = height * v // vmax
         bwc, bhc = pw // 8, ph // 8
-        F = (coef[ci].astype(np.float64) * qzz[None, :])[:, _UNZIG]
+        carr = np.asarray(coef[ci], dtype=np.float64)
+        F = (carr * qzz[None, :])[:, _UNZIG]
         F = F.reshape(-1, 8, 8)
         blocks = 0.25 * (A.T @ F @ A)
         px = np.clip(np.round(blocks + 128), 0, 255).astype(np.uint8)
@@ -621,17 +629,18 @@ def _decode_planes(content: bytes):
                     "dimensions must be multiples of the MCU size"
                 )
             geometry = (hmax, vmax, width // (8 * hmax), height // (8 * vmax))
-            coef = [
-                np.zeros(
-                    (
-                        (width * h // hmax // 8)
-                        * (height * v // vmax // 8),
-                        64,
-                    ),
-                    dtype=np.int32,
-                )
+            nblocks = [
+                (width * h // hmax // 8) * (height * v // vmax // 8)
                 for _cid, h, v, _tq in comps
             ]
+            if progressive:
+                # list-of-lists during the multi-scan parse: the
+                # refinement loops touch individual coefficients, where
+                # plain-int access beats numpy scalar indexing ~5x;
+                # finalize converts once per plane
+                coef = [[[0] * 64 for _ in range(nb)] for nb in nblocks]
+            else:
+                coef = [np.zeros((nb, 64), dtype=np.int32) for nb in nblocks]
         elif marker == 0xC4:
             off = 0
             while off < len(body):
@@ -720,11 +729,11 @@ def _decode_planes(content: bytes):
                 arr = coef[ci]
                 if ah == 0:
                     _decode_scan_ac_first(
-                        bits, arr.shape[0], huff[(1, ta)], arr, ss, se, al
+                        bits, len(arr), huff[(1, ta)], arr, ss, se, al
                     )
                 else:
                     _decode_scan_ac_refine(
-                        bits, arr.shape[0], huff[(1, ta)], arr, ss, se, al
+                        bits, len(arr), huff[(1, ta)], arr, ss, se, al
                     )
             nscans += 1
             pos = end
