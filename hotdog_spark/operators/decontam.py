@@ -276,3 +276,131 @@ def decontaminate_bloom(
         )
         .filter(F.col("bloom_hits") >= 1)
     )
+
+
+# ---- exact multi-pattern canary scan (Aho-Corasick 1975, public) ----
+
+#: per-worker automaton memo: benchmark canary sets are a fixed
+#: artifact per job, so the build cost is paid once per executor, not
+#: per Arrow batch
+_AC_CACHE: dict = {}
+
+
+class AhoCorasick:
+    """Classic Aho-Corasick (CACM 1975, public) multi-pattern matcher:
+    goto trie + BFS failure links + merged output sets.  One pass over
+    the text finds every occurrence of every needle — O(len(text)),
+    INDEPENDENT of needle count, which is the mechanism separation
+    from the n-gram-set and Bloom decontaminators: those match
+    token-granular shingles; this matches raw substrings exactly, the
+    canary-string check (e.g. BIG-bench canary GUIDs, verbatim eval
+    prompts) that n-gram overlap can miss across tokenization."""
+
+    __slots__ = ("goto", "fail", "out")
+
+    def __init__(self, needles) -> None:
+        from collections import deque
+
+        goto: list[dict] = [{}]
+        out: list[list] = [[]]
+        for nid, s in needles:
+            node = 0
+            for ch in s:
+                nxt = goto[node].get(ch)
+                if nxt is None:
+                    goto.append({})
+                    out.append([])
+                    nxt = len(goto) - 1
+                    goto[node][ch] = nxt
+                node = nxt
+            out[node].append(nid)
+        fail = [0] * len(goto)
+        q = deque(goto[0].values())          # depth-1: fail = root
+        while q:
+            node = q.popleft()
+            for ch, nxt in goto[node].items():
+                q.append(nxt)
+                f = fail[node]
+                while f and ch not in goto[f]:
+                    f = fail[f]
+                fail[nxt] = goto[f].get(ch, 0)
+                if out[fail[nxt]]:
+                    # merged outputs: a match state also reports every
+                    # needle that is a proper suffix of its path (BFS
+                    # order guarantees the fail target is finalized)
+                    out[nxt] = out[nxt] + out[fail[nxt]]
+        self.goto, self.fail, self.out = goto, fail, out
+
+    def scan_distinct(self, text: str) -> set:
+        """Distinct needle ids with >= 1 (possibly overlapping)
+        occurrence in ``text`` — one automaton walk."""
+        goto, fail, out = self.goto, self.fail, self.out
+        node = 0
+        hits: set = set()
+        for ch in text:
+            while node and ch not in goto[node]:
+                node = fail[node]
+            node = goto[node].get(ch, 0)
+            if out[node]:
+                hits.update(out[node])
+        return hits
+
+
+def canary_scan(
+    corpus: DataFrame,
+    needles: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_needles: int = 1_000_000,
+) -> DataFrame:
+    """EXACT substring decontamination: scan every corpus document for
+    verbatim occurrences of any canary string, in one Aho-Corasick walk
+    per document.  ``needles`` is (needle_id bigint, needle string).
+
+    Returns (doc_id, n_canaries, first_canary) for documents with at
+    least one hit: n_canaries = DISTINCT needles present, first_canary
+    = the smallest matching needle id.
+
+    Scale shape: the needle set is a benchmark artifact — bounded by
+    construction (guarded at ``max_needles``; BIG-bench-scale canary
+    sets are ~1e4-1e6 strings) — collected once, shipped in the task
+    closure, compiled to ONE automaton per executor process
+    (memoized), then each document costs O(len(text)) regardless of
+    needle count.  The corpus is never shuffled and never compared
+    needle-by-needle — the plan is a single Arrow-batched projection."""
+    import pandas as pd
+
+    from hotdog_spark.dist import ensure_shipped
+
+    ensure_shipped(corpus.sparkSession)
+    rows = needles.limit(max_needles + 1).collect()
+    if len(rows) > max_needles:
+        raise ValueError(
+            f"canary_scan: needle set exceeds max_needles={max_needles}; "
+            "canary sets are benchmark artifacts and must stay bounded"
+        )
+    needle_list = tuple(
+        (int(r[0]), str(r[1])) for r in rows if r[1]
+    )
+
+    def kernel(batches):
+        key = hash(needle_list)
+        ac = _AC_CACHE.get(key)
+        if ac is None:
+            ac = AhoCorasick(needle_list)
+            if len(_AC_CACHE) < 4:
+                _AC_CACHE[key] = ac
+        for pdf in batches:
+            out = {"doc_id": [], "n_canaries": [], "first_canary": []}
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                hits = ac.scan_distinct(text if text is not None else "")
+                if hits:
+                    out["doc_id"].append(int(did))
+                    out["n_canaries"].append(len(hits))
+                    out["first_canary"].append(min(hits))
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return corpus.select(id_col, text_col).mapInPandas(
+        kernel, "doc_id long, n_canaries long, first_canary long"
+    )

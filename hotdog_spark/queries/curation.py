@@ -7,7 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from hotdog_spark.operators import privacy
-from hotdog_spark.operators.decontam import decontaminate
+from hotdog_spark.operators.decontam import canary_scan, decontaminate
 from hotdog_spark.operators.sampling import hex_threshold
 from hotdog_spark.operators.textops import repetition_stats
 from hotdog_spark.queries import register
@@ -116,6 +116,49 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench = docs.filter(is_bench)
     corpus = docs.filter(~is_bench)
     return decontaminate(corpus, bench, "text", "doc_id", n=5)
+
+
+@register(
+    "decontaminate_canary_exact",
+    oracle="""
+    WITH needles AS (
+      SELECT doc_id AS needle_id,
+             array_to_string((string_split(text, ' '))[1:5], ' ') AS needle
+      FROM documents
+      WHERE doc_id % 97 = 0 AND len(string_split(text, ' ')) >= 5
+    )
+    SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_canaries,
+           MIN(n.needle_id) AS first_canary
+    FROM documents d JOIN needles n ON position(n.needle IN d.text) > 0
+    GROUP BY d.doc_id
+    """,
+)
+def decontaminate_canary_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-substring canary decontamination (Aho-Corasick, the third
+    mechanism in the decontamination family after token-n-gram overlap
+    and the Bloom screen): every ~97th document's first five words play
+    the verbatim canary strings (BIG-bench-style), and the whole corpus
+    is scanned for raw substring occurrences — catching contamination
+    that token-granular shingles miss (partial-word joins, different
+    tokenization).  The Spark side compiles ONE automaton per executor
+    from the closure-shipped needle set and walks each document once —
+    O(len(text)) per doc, independent of needle count, zero shuffle;
+    the oracle pays the O(docs x needles) position() bill instead, two
+    independent routes to the same answer.  Self-matches guarantee
+    non-vacuous rows; injected exact-duplicate docs add cross-doc
+    hits."""
+    docs = table(spark, sf_dir, "documents")
+    needles = docs.filter(
+        (F.col("doc_id") % 97 == 0)
+        & (F.size(F.split(F.col("text"), " ")) >= 5)
+    ).select(
+        F.col("doc_id").alias("needle_id"),
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 5), " ").alias(
+            "needle"
+        ),
+    )
+    return canary_scan(docs, needles, "text", "doc_id")
 
 
 from hotdog_spark.queries.text import _QUALITY_SQL

@@ -55,6 +55,7 @@ SUBSET = [
     "text_pii_scrub",
     "text_repetition_stats",
     "decontaminate_ngram_overlap",
+    "decontaminate_canary_exact",
     "pack_token_budget_bins",
     "pack_sharded_bins",
     "window_tumbling_events",

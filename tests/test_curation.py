@@ -431,3 +431,76 @@ def test_t_closeness_overflow_guard_fires(spark):
     )
     [row] = edge.select(_guarded_tvd_ppm()).collect()
     assert row.tvd_ppm == 1_000_000
+
+
+def test_aho_corasick_merged_outputs_and_overlaps():
+    """The automaton's failure-link output merging: a match state must
+    also report every needle that is a proper suffix of its path, and
+    overlapping occurrences still register each distinct needle."""
+    from hotdog_spark.operators.decontam import AhoCorasick
+
+    ac = AhoCorasick([(1, "a b c d e"), (2, "b c"), (3, "c d"), (4, "zz")])
+    # text containing needle 1 must ALSO report its inner needles 2, 3
+    assert ac.scan_distinct("x a b c d e y") == {1, 2, 3}
+    assert ac.scan_distinct("b c d") == {2, 3}
+    # overlapping self-repeats: "zzz" contains "zz" twice (overlap)
+    assert ac.scan_distinct("zzz") == {4}
+    assert ac.scan_distinct("no hits here") == set()
+    # partial-word substring semantics: "ab c" does NOT contain "b c"?
+    # it does — 'b c' is a raw substring of 'ab c' (exact-substring
+    # contract, deliberately tokenization-blind)
+    assert ac.scan_distinct("ab cd") == {2}
+
+
+def test_canary_scan_end_to_end(spark):
+    """canary_scan over a small corpus: self-matches, cross-doc exact
+    copies, suffix needles, and clean docs."""
+    import pandas as pd
+
+    from hotdog_spark.operators.decontam import canary_scan
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2, 3],
+                "text": [
+                    "alpha beta gamma delta",      # needle source
+                    "x alpha beta gamma delta y",  # contains needle 0
+                    "beta gamma x",                # contains needle 9 only
+                    "nothing in common",
+                ],
+            }
+        )
+    )
+    needles = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "needle_id": [0, 9],
+                "needle": ["alpha beta gamma delta", "beta gamma"],
+            }
+        )
+    )
+    out = {
+        r.doc_id: (r.n_canaries, r.first_canary)
+        for r in canary_scan(docs, needles, "text", "doc_id").collect()
+    }
+    # docs 0 and 1 contain both (needle 9 is a substring of needle 0)
+    assert out == {0: (2, 0), 1: (2, 0), 2: (1, 9)}
+
+
+def test_canary_scan_needle_bound(spark):
+    """The bounded-needle-set contract fails loudly rather than
+    collecting an unbounded table to the driver."""
+    import pandas as pd
+    import pytest
+
+    from hotdog_spark.operators.decontam import canary_scan
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["x"]})
+    )
+    needles = spark.createDataFrame(
+        pd.DataFrame({"needle_id": range(10), "needle": ["n"] * 10})
+    )
+    with pytest.raises(ValueError, match="max_needles"):
+        canary_scan(docs, needles, "text", "doc_id", max_needles=5)
