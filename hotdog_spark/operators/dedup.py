@@ -306,7 +306,12 @@ def lsh_recall_report(
 
 
 def minhash_jaccard_estimates(
-    df: DataFrame, text_col: str, id_col: str, bands: int = 8, k: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    bands: int = 8,
+    k: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Estimated Jaccard similarity for LSH candidate pairs from MinHash
     signature agreement: Pr[min-hash collision] = J(A,B), so the fraction
@@ -322,10 +327,22 @@ def minhash_jaccard_estimates(
     (id_a, id_b, matching_bands, est_jaccard).
     """
     sigs = track_persist(minhash_signatures(df, text_col, id_col, bands, k))
+    cand_sigs = sigs
+    if max_bucket is not None:
+        # same bucket cap as minhash_lsh_pairs: candidate GENERATION
+        # skips degenerate buckets; the per-pair agreement count below
+        # still uses the full signature table
+        keep = (
+            sigs.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket)
+            .select("band", "sig")
+        )
+        cand_sigs = sigs.join(keep, ["band", "sig"])
     cands = (
-        sigs.alias("x")
+        cand_sigs.alias("x")
         .join(
-            sigs.alias("y"),
+            cand_sigs.alias("y"),
             (F.col("x.band") == F.col("y.band"))
             & (F.col("x.sig") == F.col("y.sig"))
             & (F.col("x.id") < F.col("y.id")),

@@ -42,10 +42,18 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks
     ), ex AS (
       SELECT doc_id, unnest(shingles) AS shingle FROM sh
-    ), sigs AS (
+    ), sigs0 AS MATERIALIZED (
       SELECT doc_id, band, MIN(substring(md5(shingle), 2 * band + 1, 15)) AS sig
       FROM ex, (SELECT unnest(generate_series(0, 7)) AS band) b
       GROUP BY doc_id, band
+    ), sigs AS MATERIALIZED (
+      -- the LSH bucket cap, mirrored from the operator BEFORE the
+      -- self-join (exactly the Spark plan shape): a (band, sig) bucket
+      -- holding more than 1000 docs is a degenerate signature
+      -- (Zipf-skewed shingles), not near-duplication
+      SELECT s.doc_id, s.band, s.sig FROM sigs0 s
+      JOIN (SELECT band, sig FROM sigs0 GROUP BY band, sig
+            HAVING COUNT(*) <= 1000) k USING (band, sig)
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM sigs a JOIN sigs b
@@ -56,14 +64,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: 5-word shingles → 8 band minima
     (overlapping 60-bit windows of ONE md5 per shingle — sf10 measured
     the per-(band,shingle) md5 version at 384 M digest calls, 8× this)
-    → bucket join on (band, signature).  The shuffle key is the
-    signature, so candidate generation never compares all pairs.  sf10
-    bucket audit: max bucket 8 docs, 781 k candidate pairs for 500 k
-    docs — no saturation, so the operator's optional max_bucket cap
-    stays off (it cost an extra count+join pass for nothing when
-    measured)."""
+    → bucket join on (band, signature), capped at max_bucket=1000 and
+    mirrored in the oracle's HAVING.
+
+    The cap is LOAD-BEARING on realistic text, not defensive: on the
+    uniform-31-word corpus the sf10 bucket audit saw max bucket 8 (cap
+    never binds — every committed primary-corpus result is identical
+    with or without it), but on the Zipf(10k-word) corpus the band
+    minima concentrate on globally-common low-hash shingles and the
+    uncapped join spilled 59 GB of shuffle at sf10 before filling the
+    disk (round-9 measurement).  A bucket that a meaningful fraction of
+    the corpus falls into signals a degenerate signature, not
+    near-duplication — same contract as the simhash Hamming and
+    winnowing caps."""
     return ops.minhash_lsh_pairs(
-        table(spark, sf_dir, "documents"), "text", "doc_id", bands=8, k=5
+        table(spark, sf_dir, "documents"), "text", "doc_id", bands=8, k=5,
+        max_bucket=1000,
     )
 
 
@@ -385,10 +401,18 @@ _MINHASH_PAIRS_SQL = f"""
       FROM toks
     ), ex AS (
       SELECT doc_id, unnest(shingles) AS shingle FROM sh
-    ), sigs AS (
+    ), sigs0 AS MATERIALIZED (
       SELECT doc_id, band, MIN(substring(md5(shingle), 2 * band + 1, 15)) AS sig
       FROM ex, (SELECT unnest(generate_series(0, 7)) AS band) b
       GROUP BY doc_id, band
+    ), sigs AS MATERIALIZED (
+      -- the LSH bucket cap, mirrored from the operator BEFORE the
+      -- self-join (exactly the Spark plan shape): a (band, sig) bucket
+      -- holding more than 1000 docs is a degenerate signature
+      -- (Zipf-skewed shingles), not near-duplication
+      SELECT s.doc_id, s.band, s.sig FROM sigs0 s
+      JOIN (SELECT band, sig FROM sigs0 GROUP BY band, sig
+            HAVING COUNT(*) <= 1000) k USING (band, sig)
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM sigs a JOIN sigs b
@@ -454,7 +478,8 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive closure it replaced, which made this query sf10-intractable
     on the oracle side."""
     pairs = ops.minhash_lsh_pairs(
-        table(spark, sf_dir, "documents"), "text", "doc_id", bands=8, k=5
+        table(spark, sf_dir, "documents"), "text", "doc_id", bands=8, k=5,
+        max_bucket=1000,
     )
     return ops.connected_components(pairs)
 
@@ -524,7 +549,7 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     test_frac = 0.30
-    near = ops.minhash_lsh_pairs(docs, "text", "doc_id", bands=8, k=5)
+    near = ops.minhash_lsh_pairs(docs, "text", "doc_id", bands=8, k=5, max_bucket=1000)
     sa, sb = split_of(F.col("id_a"), test_frac), split_of(F.col("id_b"), test_frac)
     near_x = (
         near.withColumn("split_a", sa)
@@ -678,7 +703,7 @@ def dedup_provenance_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("is_exact_dup"),
     )
     nd = (
-        ops.minhash_lsh_pairs(docs, "text", "doc_id", bands=8, k=5)
+        ops.minhash_lsh_pairs(docs, "text", "doc_id", bands=8, k=5, max_bucket=1000)
         .select(F.col("id_b").alias("doc_id"))
         .distinct()
         .withColumn("_nd", F.lit(True))
@@ -791,7 +816,7 @@ def dedup_components_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame
     from hotdog_spark.operators.textops import quality_expr
 
     docs = table(spark, sf_dir, "documents")
-    pairs = ops.minhash_lsh_pairs(docs, "text", "doc_id", bands=8, k=5)
+    pairs = ops.minhash_lsh_pairs(docs, "text", "doc_id", bands=8, k=5, max_bucket=1000)
     comp = ops.connected_components(pairs)
     q = docs.select("doc_id", quality_expr(F.col("text")).alias("quality"))
     j = comp.join(q, comp.id == q.doc_id).select("component", "id", "quality")
@@ -822,13 +847,20 @@ def dedup_components_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame
       FROM toks
     ), ex AS (
       SELECT doc_id, unnest(shingles) AS shingle FROM sh
-    ), sigs AS (
+    ), sigs AS MATERIALIZED (
       SELECT doc_id, band, MIN(substring(md5(shingle), 2 * band + 1, 15)) AS sig
       FROM ex, (SELECT unnest(generate_series(0, 7)) AS band) b
       GROUP BY doc_id, band
+    ), csigs AS MATERIALIZED (
+      -- bucket cap applied BEFORE candidate generation (Spark plan
+      -- shape); the per-pair agreement join below still reads the FULL
+      -- signature table, mirroring the operator
+      SELECT s.doc_id, s.band, s.sig FROM sigs s
+      JOIN (SELECT band, sig FROM sigs GROUP BY band, sig
+            HAVING COUNT(*) <= 1000) k USING (band, sig)
     ), cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sigs a JOIN sigs b
+      FROM csigs a JOIN csigs b
         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
     )
     SELECT c.id_a, c.id_b,
@@ -849,7 +881,8 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
     comparison.  Signatures built once and persisted; per-pair cost is
     exactly 8 comparison rows via two id-keyed joins."""
     return ops.minhash_jaccard_estimates(
-        table(spark, sf_dir, "documents"), "text", "doc_id", bands=8, k=5
+        table(spark, sf_dir, "documents"), "text", "doc_id", bands=8, k=5,
+        max_bucket=1000,
     )
 
 

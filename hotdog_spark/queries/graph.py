@@ -35,10 +35,16 @@ _PAIRS_CTES_BASE = f"""toks AS (
   FROM toks
 ), ex AS (
   SELECT doc_id, unnest(shingles) AS shingle FROM sh
-), sigs AS (
+), sigs0 AS MATERIALIZED (
   SELECT doc_id, band, MIN(substring(md5(shingle), 2 * band + 1, 15)) AS sig
   FROM ex, (SELECT unnest(generate_series(0, 7)) AS band) b
   GROUP BY doc_id, band
+), sigs AS MATERIALIZED (
+  -- the LSH bucket cap, mirrored from the operator BEFORE the
+  -- self-join (see queries/dedup.py)
+  SELECT s.doc_id, s.band, s.sig FROM sigs0 s
+  JOIN (SELECT band, sig FROM sigs0 GROUP BY band, sig
+        HAVING COUNT(*) <= 1000) k USING (band, sig)
 ), pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM sigs a JOIN sigs b
@@ -95,7 +101,8 @@ LEFT JOIN deg d ON v.id = d.src"""
 
 def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_ops.minhash_lsh_pairs(
-        table(spark, sf_dir, "documents"), "text", "doc_id", bands=8, k=5
+        table(spark, sf_dir, "documents"), "text", "doc_id", bands=8, k=5,
+        max_bucket=1000,
     )
     return ops.symmetrize_edges(pairs, "id_a", "id_b")
 
