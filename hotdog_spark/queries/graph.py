@@ -100,11 +100,18 @@ LEFT JOIN deg d ON v.id = d.src"""
 
 
 def _lsh_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from hotdog_spark.operators import track_persist
+
     pairs = dedup_ops.minhash_lsh_pairs(
         table(spark, sf_dir, "documents"), "text", "doc_id", bands=8, k=5,
         max_bucket=1000,
     )
-    return ops.symmetrize_edges(pairs, "id_a", "id_b")
+    # the edge table feeds EVERY PageRank iteration (and both sides of
+    # the degree join): persist it once instead of re-running the full
+    # shingle -> signature -> bucket-join lineage per iteration — at
+    # data-lake scale the equivalent move is materializing the edge
+    # list to a table before iterating
+    return track_persist(ops.symmetrize_edges(pairs, "id_a", "id_b"))
 
 
 @register("graph_pagerank_lsh", oracle=_pagerank_oracle())
