@@ -384,12 +384,15 @@ def canary_scan(
     )
 
     def kernel(batches):
-        key = hash(needle_list)
-        ac = _AC_CACHE.get(key)
+        # keyed by the needle tuple itself, not hash(tuple): dict lookup
+        # already uses the hash for bucketing but resolves collisions by
+        # equality, so two different needle sets can never silently
+        # share an automaton in a long-lived executor process
+        ac = _AC_CACHE.get(needle_list)
         if ac is None:
             ac = AhoCorasick(needle_list)
             if len(_AC_CACHE) < 4:
-                _AC_CACHE[key] = ac
+                _AC_CACHE[needle_list] = ac
         for pdf in batches:
             out = {"doc_id": [], "n_canaries": [], "first_canary": []}
             for did, text in zip(pdf[id_col], pdf[text_col]):

@@ -191,22 +191,51 @@ def minhash_lsh_pairs(
     ``max_bucket`` is the second dial, for when even wide shingles
     saturate (sf10 measured k=5 candidates going quadratic again at
     500 k docs): (band, sig) buckets holding more than ``max_bucket``
-    docs are DROPPED before the join — the standard LSH bucket cap
-    (a bucket that a meaningful fraction of the corpus falls into
-    signals a degenerate signature, not near-duplication; its O(b²)
-    pairs are noise).  Deliberately a documented *semantic* (the
+    docs are DROPPED before any pair materializes — the standard LSH
+    bucket cap (a bucket that a meaningful fraction of the corpus falls
+    into signals a degenerate signature, not near-duplication; its
+    O(b²) pairs are noise).  Deliberately a documented *semantic* (the
     oracles mirror it with a HAVING on bucket size), not a silent
-    truncation.  The count-then-filter runs BEFORE any pair
-    materializes, so the cap also bounds the join's skew."""
-    sigs = track_persist(minhash_signatures(df, text_col, id_col, bands, k))
+    truncation.
+
+    PLAN SHAPE (round-10 rewrite): the capped path is join-free — ONE
+    hash exchange on (band, sig), a spill-safe window count that applies
+    the cap inline, a ``collect_list`` per bucket that REUSES the same
+    partitioning (no second exchange), and JVM-side pair emission via
+    ``posexplode`` + ``slice`` over the sorted id array.  The previous
+    shape (keep-aggregate + broadcast keep-join + bucket self-join)
+    shuffled the signature table three times and was measured 1.6× over
+    the pre-cap r8 plan at sf0.1 even with the capped table persisted;
+    this shape shuffles it once, needs no persist (single consumer
+    pipeline), and the cap costs one windowed count instead of an
+    aggregate plus a join.  Per-bucket pair fan-out is bounded by
+    C(max_bucket, 2), so the exploded slice arrays stay small.
+
+    The UNCAPPED path (max_bucket=None) keeps the persisted bucket
+    self-join: a degenerate bucket's pairs are quadratic either way,
+    but the join STREAMS them while the array shape would copy an
+    O(bucket)-element slice per emitted row."""
+    sigs = minhash_signatures(df, text_col, id_col, bands, k)
     if max_bucket is not None:
-        keep = (
-            sigs.groupBy("band", "sig")
-            .agg(F.count(F.lit(1)).alias("_bn"))
+        buckets = (
+            sigs.withColumn(
+                "_bn", F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
+            )
             .filter(F.col("_bn") <= max_bucket)
-            .select("band", "sig")
+            .groupBy("band", "sig")
+            .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+            .filter(F.size("ids") >= 2)
         )
-        sigs = sigs.join(keep, ["band", "sig"])
+        return (
+            buckets.select(F.posexplode("ids").alias("_i", "id_a"), "ids")
+            .select(
+                "id_a",
+                F.explode(F.expr("slice(ids, _i + 2, size(ids))")).alias("id_b"),
+            )
+            .distinct()
+        )
+    # uncapped: persisted self-join (sigs feed both sides)
+    sigs = track_persist(sigs)
     a = sigs.select(
         F.col("band"), F.col("sig"), F.col("id").alias("id_a")
     )
@@ -320,36 +349,49 @@ def minhash_jaccard_estimates(
     expensive) exact verification.  Candidates needing exact token
     comparison shrink to pairs whose ESTIMATE clears threshold.
 
-    Plan: the signature table is built once (persisted), candidates come
-    from the band-bucket join (never all pairs), and the per-pair
-    agreement count is two id-keyed joins + one aggregate — each pair
-    costs exactly ``bands`` comparison rows.  Returns
-    (id_a, id_b, matching_bands, est_jaccard).
+    Plan: the signature table is built once (persisted — it feeds both
+    candidate generation and the per-pair agreement joins), candidates
+    come from the join-free bucket-group shape of
+    :func:`minhash_lsh_pairs` when capped (ONE exchange, window-count
+    cap, per-bucket pair emission) or the bucket self-join when
+    uncapped, and the per-pair agreement count is two id-keyed joins +
+    one aggregate — each pair costs exactly ``bands`` comparison rows.
+    Returns (id_a, id_b, matching_bands, est_jaccard).
     """
     sigs = track_persist(minhash_signatures(df, text_col, id_col, bands, k))
-    cand_sigs = sigs
     if max_bucket is not None:
         # same bucket cap as minhash_lsh_pairs: candidate GENERATION
         # skips degenerate buckets; the per-pair agreement count below
         # still uses the full signature table
-        keep = (
-            sigs.groupBy("band", "sig")
-            .agg(F.count(F.lit(1)).alias("_bn"))
+        buckets = (
+            sigs.withColumn(
+                "_bn", F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
+            )
             .filter(F.col("_bn") <= max_bucket)
-            .select("band", "sig")
+            .groupBy("band", "sig")
+            .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+            .filter(F.size("ids") >= 2)
         )
-        cand_sigs = sigs.join(keep, ["band", "sig"])
-    cands = (
-        cand_sigs.alias("x")
-        .join(
-            cand_sigs.alias("y"),
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.sig") == F.col("y.sig"))
-            & (F.col("x.id") < F.col("y.id")),
+        cands = (
+            buckets.select(F.posexplode("ids").alias("_i", "id_a"), "ids")
+            .select(
+                "id_a",
+                F.explode(F.expr("slice(ids, _i + 2, size(ids))")).alias("id_b"),
+            )
+            .distinct()
         )
-        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
-        .distinct()
-    )
+    else:
+        cands = (
+            sigs.alias("x")
+            .join(
+                sigs.alias("y"),
+                (F.col("x.band") == F.col("y.band"))
+                & (F.col("x.sig") == F.col("y.sig"))
+                & (F.col("x.id") < F.col("y.id")),
+            )
+            .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+            .distinct()
+        )
     sa = sigs.select(
         F.col("id").alias("id_a"), "band", F.col("sig").alias("sig_a")
     )
@@ -1287,7 +1329,18 @@ def simhash_hamming_pairs_from_hashes(
     results to the one-shot batch operator (pinned by
     tests/test_streaming.py's simhash parity test).  Single source of
     truth for the block split AND the ``max_bucket`` saturation cap —
-    both code paths share the exact contract."""
+    both code paths share the exact contract.
+
+    PLAN SHAPE (round-10 rewrite, same as minhash_lsh_pairs): join-free.
+    ONE hash exchange on (b, bv), a spill-safe window count applying the
+    cap inline, a ``collect_list(struct(id, simhash))`` per block bucket
+    reusing that partitioning, and JVM-side pair emission + the exact
+    ``bit_count(xor)`` verification via ``posexplode`` + ``slice``.
+    The previous shape (keep-aggregate + keep-join + block self-join)
+    evaluated the md5-per-token simhash derivation once per join side
+    and shuffled the block table three times; this one is a single
+    linear pipeline, so no persist is needed anywhere.  Per-bucket
+    fan-out is bounded by C(max_bucket, 2)."""
     assert max_hamming <= n_blocks - 1, "pigeonhole needs hamming < blocks"
     assert bits % n_blocks == 0
     width = bits // n_blocks
@@ -1309,27 +1362,30 @@ def simhash_hamming_pairs_from_hashes(
         ).alias("blk"),
     ).select("id", "simhash", "blk.b", "blk.bv")
 
-    keep = (
-        blocks.groupBy("b", "bv")
-        .agg(F.count(F.lit(1)).alias("bn"))
-        .filter(F.col("bn") <= max_bucket)
-        .select("b", "bv")
+    buckets = (
+        blocks.withColumn(
+            "_bn", F.count(F.lit(1)).over(Window.partitionBy("b", "bv"))
+        )
+        .filter(F.col("_bn") <= max_bucket)
+        .groupBy("b", "bv")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("id", "simhash"))).alias("xs")
+        )
+        .filter(F.size("xs") >= 2)
     )
-    blocks = blocks.join(keep, ["b", "bv"])
-
-    left = blocks.select(
-        "b", "bv", F.col("id").alias("id_a"), F.col("simhash").alias("sh_a")
-    )
-    right = blocks.select(
-        "b", "bv", F.col("id").alias("id_b"), F.col("simhash").alias("sh_b")
-    )
+    # array_sort on the struct orders by its first field (id), so the
+    # posexplode/slice emission below yields id_a < id_b directly
     cand = (
-        left.join(right, ["b", "bv"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        buckets.select(F.posexplode("xs").alias("_i", "x"), "xs")
+        .select(
+            F.col("x.id").alias("id_a"),
+            F.col("x.simhash").alias("sh_a"),
+            F.explode(F.expr("slice(xs, _i + 2, size(xs))")).alias("y"),
+        )
         .select(
             "id_a",
-            "id_b",
-            F.expr("bit_count(sh_a ^ sh_b)").cast("bigint").alias("hamming"),
+            F.col("y.id").alias("id_b"),
+            F.expr("bit_count(sh_a ^ y.simhash)").cast("bigint").alias("hamming"),
         )
         .distinct()
     )

@@ -677,7 +677,13 @@ def _decode_planes(content: bytes):
                     # headers under an SOF0 marker instead of misreading
                     # their entropy data
                     raise ValueError("invalid baseline scan header")
-                if len(scan_comps) != len(comps):
+                if len(scan_comps) != len(comps) or len(
+                    {ci_ for ci_, _c in scan_comps}
+                ) != len(scan_comps):
+                    # a malformed header listing one component id twice
+                    # (e.g. [1,1,1]) would otherwise pass the count
+                    # check, collapse the per-component LUT dict, and
+                    # decode with a wrong MCU block order
                     raise ValueError(
                         "scan components do not match frame components"
                     )

@@ -432,6 +432,23 @@ def test_t_closeness_overflow_guard_fires(spark):
     [row] = edge.select(_guarded_tvd_ppm()).collect()
     assert row.tvd_ppm == 1_000_000
 
+    # boundary-EXACT (VERDICT r9 #8): the edge case above lands at
+    # k*N = BOUND-1 (BOUND is odd, k=2); pin both sides of the guard at
+    # exactly the bound with n_total=1, where `k > BOUND div n_total`
+    # degenerates to `k > BOUND` — k*N = BOUND passes, BOUND+1 fires.
+    at_bound = spark.createDataFrame(
+        [(T_CLOSENESS_KN_BOUND, 2 * T_CLOSENESS_KN_BOUND, 1)],
+        "k long, tvd_num long, n_total long",
+    )
+    [row] = at_bound.select(_guarded_tvd_ppm()).collect()
+    assert row.tvd_ppm == 1_000_000  # 1e6*2kN div 2kN, exact at the max
+    past_bound = spark.createDataFrame(
+        [(T_CLOSENESS_KN_BOUND + 1, 1, 1)],
+        "k long, tvd_num long, n_total long",
+    )
+    with pytest.raises(Exception, match="exceeds the"):
+        past_bound.select(_guarded_tvd_ppm()).collect()
+
 
 def test_aho_corasick_merged_outputs_and_overlaps():
     """The automaton's failure-link output merging: a match state must

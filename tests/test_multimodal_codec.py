@@ -729,6 +729,32 @@ def test_jpeg_color_missing_eoi_rejected():
         J.decode_jpeg_gray(gray[:-2])
 
 
+def test_jpeg_color_duplicate_scan_component_ids_rejected():
+    """ADVICE r9: a malformed SOS listing the same component id three
+    times (e.g. [1,1,1] for a 3-component frame) passes a count-only
+    check, collapses the per-component LUT dict, and would decode with
+    a wrong MCU block order — it must fail loudly instead."""
+    import pytest
+
+    from hotdog_spark.operators import jpeg as J
+
+    _, _, data = J.synth_exact_color_jpeg(7)
+    sos = data.find(b"\xff\xda")
+    assert sos >= 0
+    ns = data[sos + 4]
+    assert ns == 3
+    patched = bytearray(data)
+    cid0 = data[sos + 5]
+    # rewrite all three scan component ids to the first one; keep each
+    # entry's huffman-table selector byte untouched
+    for i in range(ns):
+        patched[sos + 5 + 2 * i] = cid0
+    with pytest.raises(ValueError, match="scan components"):
+        J.decode_jpeg(bytes(patched))
+    # the pristine stream still decodes
+    assert J.decode_jpeg(data) is not None
+
+
 def test_decode_image_color_jpeg_interleaved_ycbcr():
     """decode_image dispatches colour JPEG: chroma upsampled by exact
     replication, interleaved YCbCr, channels=3 — and grayscale JPEG

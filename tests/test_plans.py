@@ -532,16 +532,20 @@ def test_mad_anomaly_hourly_is_persisted_single_corpus_scan(spark):
 def test_split_leakage_split_is_inline_not_joined(spark):
     """Each pair side's split assignment is a pure md5 expression on
     the id already in the pair row — the plan must not join pairs back
-    to a corpus-sized split table (exactly two document scans: the LSH
-    signature build and the exact-hash aggregate)."""
+    to a corpus-sized split table.  Since the round-10 bucket-group
+    rewrite of minhash_lsh_pairs (one exchange on (band, sig), window
+    cap, per-bucket pair emission — the winnowing_pairs shape) the LSH
+    branch is JOIN-FREE: no join anywhere in the plan, the cap is a
+    windowed count, and the bucket groupBy reuses the window's
+    partitioning (no exchange between Window and the collect_list
+    aggregate)."""
     plan = _plan(spark, "split_leakage_report")
-    # exactly one join in the whole plan: the LSH signature self-join
-    # (both sides reading the persisted signature table); the split
-    # filter adds NO join and the exact branch is join-free
-    assert plan.count("Join") == 1
-    assert plan.count("InMemoryTableScan") >= 2
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    # window + reused-partitioning groupBy: the signature table is
+    # shuffled exactly once (one hashpartitioning(band, sig) exchange)
+    assert plan.count("Exchange hashpartitioning(band") == 1
 
 
 def test_pq_codebook_single_kernel_scan_no_vector_shuffle(spark):
