@@ -433,31 +433,72 @@ def _decode_scan_dc_first(bits, order, luts, coef, al):
     coding of the point-transformed values, stored shifted up by Al.
     ``coef`` is list-of-lists during the progressive parse (plain-int
     access is ~5x numpy scalar indexing in these per-coefficient
-    loops); finalize converts once."""
+    loops); finalize converts once.
+
+    Hot loop inlined in the `_decode_baseline_entropy` style (r10:
+    LOCAL-variable bit arithmetic + direct LUT index instead of
+    per-symbol _FastBits method calls — same symbols, same EXTEND)."""
+    buf = bits.buf
+    nbits = bits.nbits
+    pos = bits.pos
+    frombytes = int.from_bytes
     prev = [0] * len(coef)
     for ci, b in order:
-        s = bits.read_sym(luts[ci])
-        if s > 16:
-            raise ValueError("invalid magnitude category")
+        w = frombytes(buf[pos >> 3:(pos >> 3) + 4], "big")
+        v = luts[ci][(w >> (16 - (pos & 7))) & 0xFFFF]
+        if v == 0:
+            raise ValueError("invalid huffman code")
+        pos += v >> 8
+        if pos > nbits:
+            raise ValueError("entropy stream exhausted")
+        s = v & 0xFF
         if s:
-            prev[ci] += _extend(bits.read_bits(s), s)
+            if s > 16:
+                raise ValueError("invalid magnitude category")
+            p = pos
+            pos += s
+            if pos > nbits:
+                raise ValueError("entropy stream exhausted")
+            w = frombytes(buf[p >> 3:(p >> 3) + 4], "big")
+            m = (w >> (32 - s - (p & 7))) & ((1 << s) - 1)
+            prev[ci] += m if m >= (1 << (s - 1)) else m - (1 << s) + 1
         coef[ci][b][0] = prev[ci] << al
+    bits.pos = pos
 
 
 def _decode_scan_dc_refine(bits, order, coef, al):
     """Progressive DC refinement (Ah>0): one raw bit per block, ORed
     into bit position Al (two's-complement OR — correct for negative
-    coefficients exactly as in the int16 arithmetic of the spec)."""
+    coefficients exactly as in the int16 arithmetic of the spec).
+
+    Fully vectorized (r10): the scan is EXACTLY one raw bit per block
+    in MCU order with no symbols in between, so the whole scan is one
+    consecutive bit-slice — numpy ``unpackbits`` yields every bit at
+    once and Python only touches the blocks whose bit is set."""
+    import numpy as np
+
+    n = len(order)
+    pos = bits.pos
+    if pos + n > bits.nbits:
+        raise ValueError("entropy stream exhausted")
+    allbits = np.unpackbits(np.frombuffer(bits.buf, dtype=np.uint8))
+    bits.pos = pos + n
     p1 = 1 << al
-    for ci, b in order:
-        if bits.read_bits(1):
-            coef[ci][b][0] |= p1
+    for i in np.flatnonzero(allbits[pos:pos + n]).tolist():
+        ci, b = order[i]
+        coef[ci][b][0] |= p1
 
 
 def _decode_scan_ac_first(bits, nblocks, ac_lut, arr, ss, se, al):
     """Progressive AC first scan (T.81 G.2): baseline run/size coding
     within the spectral band plus EOBn symbols — (r, 0) with r<15 reads
-    r extra bits and skips 2^r + extra blocks' band remainders."""
+    r extra bits and skips 2^r + extra blocks' band remainders.
+
+    Hot loop inlined in the `_decode_baseline_entropy` style (r10)."""
+    buf = bits.buf
+    nbits = bits.nbits
+    pos = bits.pos
+    frombytes = int.from_bytes
     eobrun = 0
     for b in range(nblocks):
         if eobrun > 0:
@@ -466,7 +507,14 @@ def _decode_scan_ac_first(bits, nblocks, ac_lut, arr, ss, se, al):
         arr_b = arr[b]
         k = ss
         while k <= se:
-            sym = bits.read_sym(ac_lut)
+            w = frombytes(buf[pos >> 3:(pos >> 3) + 4], "big")
+            v = ac_lut[(w >> (16 - (pos & 7))) & 0xFFFF]
+            if v == 0:
+                raise ValueError("invalid huffman code")
+            pos += v >> 8
+            if pos > nbits:
+                raise ValueError("entropy stream exhausted")
+            sym = v & 0xFF
             r, s = sym >> 4, sym & 0xF
             if s == 0:
                 if r == 15:            # ZRL
@@ -474,13 +522,25 @@ def _decode_scan_ac_first(bits, nblocks, ac_lut, arr, ss, se, al):
                     continue
                 eobrun = (1 << r) - 1  # the run includes this block
                 if r:
-                    eobrun += bits.read_bits(r)
+                    p = pos
+                    pos += r
+                    if pos > nbits:
+                        raise ValueError("entropy stream exhausted")
+                    w = frombytes(buf[p >> 3:(p >> 3) + 4], "big")
+                    eobrun += (w >> (32 - r - (p & 7))) & ((1 << r) - 1)
                 break
             k += r
             if k > se:
                 raise ValueError("AC run overflows band")
-            arr_b[k] = _extend(bits.read_bits(s), s) << al
+            p = pos
+            pos += s
+            if pos > nbits:
+                raise ValueError("entropy stream exhausted")
+            w = frombytes(buf[p >> 3:(p >> 3) + 4], "big")
+            m = (w >> (32 - s - (p & 7))) & ((1 << s) - 1)
+            arr_b[k] = (m if m >= (1 << (s - 1)) else m - (1 << s) + 1) << al
             k += 1
+    bits.pos = pos
 
 
 def _decode_scan_ac_refine(bits, nblocks, ac_lut, arr, ss, se, al):
@@ -488,35 +548,56 @@ def _decode_scan_ac_refine(bits, nblocks, ac_lut, arr, ss, se, al):
     bits for already-nonzero coefficients ride inline behind each
     symbol, ZRL, and EOB run; newly-significant coefficients arrive as
     (run, 1) symbols with an explicit sign bit."""
+    buf = bits.buf
+    nbits = bits.nbits
+    pos = bits.pos
+    frombytes = int.from_bytes
     p1 = 1 << al
     m1 = -p1
     eobrun = 0
-    read_sym = bits.read_sym
-    read_bits = bits.read_bits
     for b in range(nblocks):
         row = arr[b]
         k = ss
         if eobrun == 0:
             while k <= se:
-                sym = read_sym(ac_lut)
+                w = frombytes(buf[pos >> 3:(pos >> 3) + 4], "big")
+                v = ac_lut[(w >> (16 - (pos & 7))) & 0xFFFF]
+                if v == 0:
+                    raise ValueError("invalid huffman code")
+                pos += v >> 8
+                if pos > nbits:
+                    raise ValueError("entropy stream exhausted")
+                sym = v & 0xFF
                 r, s = sym >> 4, sym & 0xF
                 val = 0
                 if s == 0:
                     if r != 15:
                         eobrun = 1 << r
                         if r:
-                            eobrun += read_bits(r)
+                            p = pos
+                            pos += r
+                            if pos > nbits:
+                                raise ValueError("entropy stream exhausted")
+                            w = frombytes(buf[p >> 3:(p >> 3) + 4], "big")
+                            eobrun += (w >> (32 - r - (p & 7))) & ((1 << r) - 1)
                         break
                     # r == 15: ZRL — pass 16 zero-history coefficients,
                     # correcting nonzero-history ones along the way
                 else:
                     if s != 1:
                         raise ValueError("invalid refinement magnitude")
-                    val = p1 if read_bits(1) else m1
+                    if pos >= nbits:
+                        raise ValueError("entropy stream exhausted")
+                    val = p1 if (buf[pos >> 3] >> (7 - (pos & 7))) & 1 else m1
+                    pos += 1
                 while k <= se:
                     c = row[k]
                     if c != 0:
-                        if read_bits(1) and (c & p1) == 0:
+                        if pos >= nbits:
+                            raise ValueError("entropy stream exhausted")
+                        bit = (buf[pos >> 3] >> (7 - (pos & 7))) & 1
+                        pos += 1
+                        if bit and (c & p1) == 0:
                             row[k] = c + (p1 if c >= 0 else m1)
                     else:
                         if r == 0:
@@ -534,10 +615,15 @@ def _decode_scan_ac_refine(bits, nblocks, ac_lut, arr, ss, se, al):
             while k <= se:
                 c = row[k]
                 if c != 0:
-                    if read_bits(1) and (c & p1) == 0:
+                    if pos >= nbits:
+                        raise ValueError("entropy stream exhausted")
+                    bit = (buf[pos >> 3] >> (7 - (pos & 7))) & 1
+                    pos += 1
+                    if bit and (c & p1) == 0:
                         row[k] = c + (p1 if c >= 0 else m1)
                 k += 1
             eobrun -= 1
+    bits.pos = pos
 
 
 def _planes_from_coefs(coef, comps, quant, width, height, hmax, vmax):
@@ -1135,6 +1221,7 @@ def jpeg_progressive_decode_stats(df, id_col: str):
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     from hotdog_spark.dist import ensure_shipped
+    from hotdog_spark.operators import fan_out
 
     ensure_shipped(df.sparkSession)
     schema = StructType(
@@ -1171,7 +1258,11 @@ def jpeg_progressive_decode_stats(df, id_col: str):
                     rows["max_val"].append(int(plane.max()))
             yield pd.DataFrame(rows)
 
-    return df.select(id_col).mapInPandas(kernel, schema)
+    # CPU-bound synth+decode over a compact parquet input: fan out so
+    # the kernel uses every core (measured: the progressive stats query
+    # ran single-task at sf0.1 — 6.2 s of Python on one core).  No-op on
+    # naturally multi-partition inputs at 100 TB.
+    return fan_out(df.select(id_col)).mapInPandas(kernel, schema)
 
 # ---- the closed-form fixture family (shared by query + oracle) ----
 
@@ -1244,6 +1335,7 @@ def jpeg_color_decode_stats(df, id_col: str):
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     from hotdog_spark.dist import ensure_shipped
+    from hotdog_spark.operators import fan_out
 
     ensure_shipped(df.sparkSession)
     schema = StructType(
@@ -1280,7 +1372,11 @@ def jpeg_color_decode_stats(df, id_col: str):
                     rows["max_val"].append(int(plane.max()))
             yield pd.DataFrame(rows)
 
-    return df.select(id_col).mapInPandas(kernel, schema)
+    # CPU-bound synth+decode over a compact parquet input: fan out so
+    # the kernel uses every core (measured: the progressive stats query
+    # ran single-task at sf0.1 — 6.2 s of Python on one core).  No-op on
+    # naturally multi-partition inputs at 100 TB.
+    return fan_out(df.select(id_col)).mapInPandas(kernel, schema)
 
 
 def jpeg_decode_stats(df, id_col: str):
@@ -1296,6 +1392,7 @@ def jpeg_decode_stats(df, id_col: str):
     from pyspark.sql.types import LongType, StructField, StructType
 
     from hotdog_spark.dist import ensure_shipped
+    from hotdog_spark.operators import fan_out
 
     ensure_shipped(df.sparkSession)
     schema = StructType(
@@ -1329,4 +1426,8 @@ def jpeg_decode_stats(df, id_col: str):
                 rows["max_val"].append(int(img.max()))
             yield pd.DataFrame(rows)
 
-    return df.select(id_col).mapInPandas(kernel, schema)
+    # CPU-bound synth+decode over a compact parquet input: fan out so
+    # the kernel uses every core (measured: the progressive stats query
+    # ran single-task at sf0.1 — 6.2 s of Python on one core).  No-op on
+    # naturally multi-partition inputs at 100 TB.
+    return fan_out(df.select(id_col)).mapInPandas(kernel, schema)
