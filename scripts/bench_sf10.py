@@ -36,6 +36,7 @@ UI_PORT = int(os.environ.get("SPARK_GRAFT_UI_PORT", "4060"))
 # n² term.  All run on documents/embeddings/events only.
 SUBSET = [
     "template_block_helpers",
+    "template_dotted_paths",
     "multimodal_jpeg_progressive_decode_stats",
     "dedup_exact",
     "dedup_minhash_lsh",

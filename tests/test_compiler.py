@@ -297,7 +297,7 @@ def test_template_escapes_like_handlebars(spark):
 
 
 def test_template_rejects_unsupported_constructs(spark):
-    """Partials / comments / dotted paths / non-if-each helpers /
+    """Partials / comments / parent refs / non-if-each helpers /
     unbalanced blocks fail the config load instead of leaking through as
     literal text (the reference's full Handlebars engine would evaluate
     them, so passthrough would silently diverge)."""
@@ -306,7 +306,9 @@ def test_template_rejects_unsupported_constructs(spark):
     for bad in (
         "{{> partial}}",
         "{{! a comment }}",
-        "{{a.b}}",
+        "{{a..b}}",
+        "{{.a}}",
+        "{{a.}}",
         "{{#with x}}y{{/with}}",
         "{{#unless x}}y{{/unless}}",
         "{{#if x}}unclosed",
@@ -387,6 +389,53 @@ def test_template_each_block(spark):
     assert out.f == "<a><<b>><3>"
     assert out.g == "yyy"
     assert out.h == ""  # element context: outer variables don't resolve
+
+
+def test_template_dotted_paths(spark):
+    """Dotted paths (VERDICT r9 item 5): {{a.b.c}} resolves the head in
+    the variables map and digs the remainder into the value's JSON via
+    get_json_object.  Digging into a scalar / non-JSON string renders ""
+    (exactly what rust handlebars renders navigating a path into a
+    Json::String — the reference's context values are all Strings);
+    object values render structured access: strings unquoted, numbers
+    as text, objects as compact JSON text, JSON null / missing as "".
+    {{this.k}} inside {{#each}} digs into array elements (handlebars'
+    own object-iteration shape), and paths work in block heads, raw
+    forms, and escape like any double-stache."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1)
+    V = {
+        "msg": F.lit(
+            '{"level":"<w>","n":7,"meta":{"host":"h1"},"nul":null,'
+            '"objs":[{"k":"a"},{"k":2},{"nope":1}]}'
+        ),
+        "plain": F.lit("not json"),
+        "x": F.lit("X"),
+    }
+    out = df.select(
+        compile_template("{{msg.level}}", V).alias("a"),
+        compile_template("{{{msg.level}}}", V).alias("a_raw"),
+        compile_template("{{msg.n}}|{{msg.meta.host}}", V).alias("b"),
+        compile_template("{{{msg.meta}}}", V).alias("c"),
+        compile_template("{{msg.nul}}|{{msg.missing}}|{{plain.x}}", V).alias("d"),
+        compile_template("{{#if msg.level}}Y{{else}}N{{/if}}", V).alias("e"),
+        compile_template("{{#if msg.nul}}Y{{else}}N{{/if}}", V).alias("f"),
+        compile_template(
+            "{{#each msg.objs}}[{{this.k}}]{{/each}}", V
+        ).alias("g"),
+        compile_template("{{#each msg.meta}}X{{else}}E{{/each}}", V).alias("h"),
+        compile_template("{{unknown.path}}", V).alias("i"),
+    ).collect()[0]
+    assert out.a == "&lt;w&gt;"          # paths escape like plain vars
+    assert out.a_raw == "<w>"
+    assert out.b == "7|h1"
+    assert out.c == '{"host":"h1"}'      # objects render as JSON text
+    assert out.d == "||"                 # null / missing / scalar-dig -> ""
+    assert (out.e, out.f) == ("Y", "N")  # truthiness on the dug value
+    assert out.g == "[a][2][]"           # element-context digging
+    assert out.h == "E"                  # object is not an array
+    assert out.i == ""                   # unknown head: statically empty
 
 
 def test_dry_run(spark, canonical):

@@ -200,24 +200,63 @@ _arr_value = st.one_of(
         ),
         max_size=4,
     ).map(lambda xs: json.dumps(xs, separators=(",", ":"))),
-    st.sampled_from([None, "", "notjson", '{"k":1}', '"scalar"', "[]"]),
+    st.sampled_from([
+        None, "", "notjson", '{"k":1}', '"scalar"', "[]",
+        # arrays of objects: {{this.k}} digs per element
+        '[{"k":"x"},{"k":3},{"n":1}]', '[{"k":{"b":1}},7,"s"]',
+    ]),
 )
 
 _each_body_leaf = st.one_of(
     _lit_seg,
-    st.sampled_from([("var", "this"), ("var", "@index"), ("var", "msg")]),
+    st.sampled_from([
+        ("var", "this"), ("var", "@index"), ("var", "msg"),
+        ("var", "this.k"), ("var", "this.nope"),   # element-context paths
+    ]),
+)
+
+# a nested JSON document for dotted-path resolution ({{doc.a}},
+# {{doc.a.b}}, scalar-dig and missing-key cases), plus non-JSON values
+# where every path must render ""
+_doc_value = st.one_of(
+    st.fixed_dictionaries(
+        {
+            "a": st.one_of(
+                _lit_seg,
+                st.integers(min_value=-99, max_value=99),
+                st.booleans(),
+                st.none(),
+                st.fixed_dictionaries(
+                    {"b": st.one_of(_lit_seg, st.integers(-9, 9))}
+                ),
+            ),
+            "k": st.one_of(_lit_seg, st.lists(st.integers(0, 9), max_size=3)),
+        }
+    ).map(lambda d: json.dumps(d, separators=(",", ":"))),
+    st.sampled_from([None, "", "notjson", '"scalar"', "[1,2]"]),
+)
+
+_path_name = st.sampled_from(
+    ["doc.a", "doc.k", "doc.a.b", "doc.missing", "doc.a.b.c",
+     "msg.x", "missing_var.x"]
 )
 
 _block_nodes = st.recursive(
-    st.one_of(_lit_seg, _var_name.map(lambda v: ("var", v))),
+    st.one_of(
+        _lit_seg,
+        _var_name.map(lambda v: ("var", v)),
+        _path_name.map(lambda v: ("var", v)),
+    ),
     lambda kids: st.one_of(
         st.tuples(
-            st.just("if"), _var_name,
+            st.just("if"),
+            st.one_of(_var_name, _path_name),   # paths in block heads too
             st.lists(kids, max_size=3),
             st.one_of(st.none(), st.lists(kids, max_size=2)),
         ),
         st.tuples(
-            st.just("each"), st.sampled_from(["arr", "msg", "missing_var"]),
+            st.just("each"),
+            st.sampled_from(["arr", "msg", "missing_var", "doc.k"]),
             st.lists(st.one_of(_each_body_leaf, kids), max_size=3),
             st.one_of(st.none(), st.lists(kids, max_size=2)),
         ),
@@ -242,20 +281,55 @@ def _to_template(nodes):
     return "".join(out)
 
 
+def _dig_json(value, rest):
+    """Reference semantics for dotted paths: parse the head variable's
+    string value as JSON and walk dict keys; missing / non-dict hop /
+    JSON null / invalid JSON -> None.  Leaves render like handlebars on
+    structured contexts: strings unquoted, bools true/false, numbers
+    and containers as compact JSON text."""
+    try:
+        cur = json.loads(value)
+    except (json.JSONDecodeError, ValueError, TypeError):
+        return None
+    for seg in rest.split("."):
+        if isinstance(cur, dict) and seg in cur:
+            cur = cur[seg]
+        else:
+            return None
+    if cur is None:
+        return None
+    if isinstance(cur, str):
+        return cur
+    if cur is True:
+        return "true"
+    if cur is False:
+        return "false"
+    return json.dumps(cur, separators=(",", ":"))
+
+
+def _ref_lookup(values, name):
+    if name in values:
+        return values.get(name)
+    head, dot, rest = name.partition(".")
+    if dot and values.get(head) is not None:
+        return _dig_json(str(values[head]), rest)
+    return None
+
+
 def _ref_render(nodes, values):
     out = []
     for n in nodes:
         if isinstance(n, str):
             out.append(n)
         elif n[0] == "var":
-            out.append(_hb_escape(str(values.get(n[1]) or "")))
+            out.append(_hb_escape(str(_ref_lookup(values, n[1]) or "")))
         elif n[0] == "if":
             _, name, body, els = n
-            branch = body if values.get(name) else (els or [])
+            branch = body if _ref_lookup(values, name) else (els or [])
             out.append(_ref_render(branch, values))
         else:  # each
             _, name, body, els = n
-            v = values.get(name)
+            v = _ref_lookup(values, name)
             arr = None
             if isinstance(v, str):
                 try:
@@ -283,10 +357,14 @@ def _ref_render(nodes, values):
     nodes=st.lists(_block_nodes, max_size=5),
     values=_var_values,
     arr=_arr_value,
+    doc=_doc_value,
 )
-def test_block_templates_match_reference_renderer(spark, nodes, values, arr):
+def test_block_templates_match_reference_renderer(
+    spark, nodes, values, arr, doc
+):
     values = dict(values)
     values["arr"] = arr
+    values["doc"] = doc
     template = _to_template(nodes)
     expected = _ref_render(nodes, values)
     variables = {k: F.lit(v) for k, v in values.items()}
