@@ -258,7 +258,12 @@ def bpe_encode_stats(
                 rows["n_merges_applied"].append(base_syms - n_bpe)
             yield pd.DataFrame(rows)
 
-    return df.select(id_col, text_col).mapInPandas(kernel, schema)
+    # CPU-bound per-word merge replay over a compact parquet input:
+    # fan out so the encode uses every core (no-op on naturally
+    # multi-partition inputs at scale — the r10 single-task audit)
+    from hotdog_spark.operators import fan_out
+
+    return fan_out(df.select(id_col, text_col)).mapInPandas(kernel, schema)
 
 
 def _wp_beats(

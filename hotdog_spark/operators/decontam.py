@@ -404,6 +404,8 @@ def canary_scan(
             if out["doc_id"]:
                 yield pd.DataFrame(out)
 
-    return corpus.select(id_col, text_col).mapInPandas(
+    # one automaton walk per document is CPU-bound Python: fan out so a
+    # compact parquet input doesn't pin the scan to one task (r10 audit)
+    return fan_out(corpus.select(id_col, text_col)).mapInPandas(
         kernel, "doc_id long, n_canaries long, first_canary long"
     )

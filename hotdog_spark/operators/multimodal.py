@@ -56,7 +56,12 @@ FEATURE_SCHEMA = StructType(
 
 def media_from_text(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Build a synthetic media table from text bytes (the test stand-in
-    for real blobs): content = utf-8 bytes, metadata derived."""
+    for real blobs): content = utf-8 bytes, metadata derived.  Fans out
+    (like every media producer) so downstream Arrow codec kernels stay
+    parallel on compact parquet inputs (r10 single-task audit)."""
+    from hotdog_spark.operators import fan_out
+
+    df = fan_out(df)
     return df.select(
         F.col(id_col).alias("media_id"),
         F.encode(F.col(text_col), "utf-8").alias("content"),
@@ -597,7 +602,11 @@ def synth_decodable_video(df: DataFrame, id_col: str, len_col: str) -> DataFrame
     schema = StructType(
         [StructField("media_id", LongType()), StructField("content", BinaryType())]
     )
-    return df.select(id_col, len_col).mapInPandas(kernel, schema)
+    # fan out at the producer: downstream frame/signature kernels keep
+    # the parallel partitioning for free (r10 single-task audit)
+    from hotdog_spark.operators import fan_out
+
+    return fan_out(df.select(id_col, len_col)).mapInPandas(kernel, schema)
 
 
 def parse_png_header(content: bytes) -> dict | None:
@@ -893,7 +902,14 @@ def synthesize_media(df: DataFrame, id_col: str, text_col: str, len_col: str) ->
     schema = StructType(
         [StructField("media_id", LongType()), StructField("content", BinaryType())]
     )
-    return df.select(id_col, text_col, len_col).mapInPandas(kernel, schema)
+    # the media producer pins the partitioning of every downstream codec
+    # kernel: fan out here once and chunking/decode/feature stages stay
+    # parallel with no further shuffles (r10 single-task audit)
+    from hotdog_spark.operators import fan_out
+
+    return fan_out(df.select(id_col, text_col, len_col)).mapInPandas(
+        kernel, schema
+    )
 
 
 RESIZE_SCHEMA = StructType(

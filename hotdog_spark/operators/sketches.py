@@ -65,7 +65,13 @@ def kmv_partials(
     ensure_shipped(df.sparkSession)
     assert 2 <= k <= 1024, "k outside the sane sketch range"
 
-    hashed = (
+    from hotdog_spark.operators import fan_out
+
+    # the per-row heap maintenance below is Python: fan out so a compact
+    # parquet input doesn't run the whole sketch single-task (r10 audit).
+    # Partials are a semilattice, so MORE partitions only means more
+    # (still k-bounded) partial rows into the exact merge.
+    hashed = fan_out(
         df.select(F.col(key_col).alias("key"), _hash52(F.col(val_col)).alias("h"))
         .filter(F.col("h").isNotNull())
     )
