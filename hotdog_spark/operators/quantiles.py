@@ -51,9 +51,17 @@ def exact_quantiles_multipass(
     per round plus one ≤ ``tail_cap``-distinct-value tail per quantile
     in the final round.  Raises ``ValueError`` on an empty column.
     """
+    from hotdog_spark.operators import fan_out
+
+    # fan_out BEFORE the persist: the cached column otherwise inherits a
+    # compact scan's single partition and every refinement pass runs
+    # one-core (r10 audit); at scale the input is multi-partition and
+    # this no-ops
     vals = track_persist(
-        df.select(F.col(value_col).cast("bigint").alias("v")).filter(
-            F.col("v").isNotNull()
+        fan_out(
+            df.select(F.col(value_col).cast("bigint").alias("v")).filter(
+                F.col("v").isNotNull()
+            )
         )
     )
     # one bootstrap aggregate: count + min + max share the scan that
