@@ -108,7 +108,27 @@ def audit_one(spark, name, fn, sf_dir):
         or ("BatchEvalPython" in plan)
         or ("MapInPandas" in plan)
         or ("FlatMapGroupsInPandas" in plan),
+        "single_task_python": _single_task_python(plan),
     }
+
+
+def _single_task_python(plan: str) -> bool:
+    """True when any Python/Arrow stage sits directly on a compact scan
+    with no exchange or cached relation below it — the kernel then runs
+    on however many partitions the file split produced, which for a
+    bench-SF parquet is ONE task (r10 audit: the progressive-JPEG query
+    was 6.2 s of single-core Python behind a 6.4 s total; five more
+    operator families had the same shape).  At 100 TB inputs arrive
+    multi-partition, so the fix — ``fan_out`` at the producer — no-ops
+    there; this invariant exists so the single-task shape can never
+    silently return."""
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if re.search(r"MapInPandas|ArrowEvalPython|FlatMapGroupsInPandas", line):
+            below = "\n".join(lines[i + 1:])
+            if "Exchange" not in below and "InMemoryTableScan" not in below:
+                return True
+    return False
 
 
 _ROW_RE = re.compile(
@@ -166,9 +186,6 @@ def check(allow: set[str]) -> int:
 
     regressions, new, waived, errors = [], [], [], []
     for name in sorted(queries):
-        if name not in base:
-            new.append(name)
-            continue
         if name in allow:
             waived.append(name)
             continue
@@ -176,6 +193,16 @@ def check(allow: set[str]) -> int:
             a = audit_one(spark, name, queries[name], sf_dir)
         except Exception as e:  # noqa: BLE001 — a now-unplannable query is a regression too
             errors.append(f"{name}: plan build failed: {type(e).__name__}: {e}")
+            continue
+        if name not in base:
+            new.append(name)
+            # no baseline to diff against, but the absolute invariant
+            # still applies to brand-new queries
+            if a.get("single_task_python"):
+                regressions.append(
+                    f"{name}: Python stage runs single-task "
+                    "(no exchange below it; new query)"
+                )
             continue
         b = base[name]
         msgs = []
@@ -185,6 +212,10 @@ def check(allow: set[str]) -> int:
             msgs.append(f"scans {b['scans']} -> {a['scans']}")
         if a["python"] and not b["python"]:
             msgs.append("Python stage appeared in a previously JVM-only plan")
+        # absolute invariant, not baseline-relative: no Python kernel may
+        # run on an unexchanged compact scan (single-task at bench SFs)
+        if a.get("single_task_python"):
+            msgs.append("Python stage runs single-task (no exchange below it)")
         if msgs:
             regressions.append(f"{name}: " + "; ".join(msgs))
     spark.stop()
