@@ -1223,7 +1223,11 @@ def image_ahash_dedup(df: DataFrame, grid: int = 8) -> DataFrame:
     rows against the (tiny relative to the corpus) group table — AQE
     broadcasts it when it fits.  No pairwise comparisons anywhere: like
     exact dedup, collisions ARE the candidate groups."""
-    hashes = image_ahash(df, grid=grid)
+    from hotdog_spark.operators import track_persist
+
+    # persisted: hashes feed the group aggregate AND the join-back; an
+    # un-persisted table re-runs the Python decode+hash once per side
+    hashes = track_persist(image_ahash(df, grid=grid))
     groups = hashes.groupBy("ahash_hi", "ahash_lo").agg(
         F.count(F.lit(1)).alias("group_n"),
         F.min("media_id").alias("canonical_id"),
@@ -1325,6 +1329,9 @@ def image_dhash_dedup(df: DataFrame, grid: int = 8) -> DataFrame:
     aggregate, one group join — collisions ARE the candidate groups),
     keyed on the gradient hash instead of the mean hash."""
     hashes = image_dhash(df, grid=grid)
+    from hotdog_spark.operators import track_persist
+
+    hashes = track_persist(hashes)  # feeds aggregate + join-back
     groups = hashes.groupBy("dhash_hi", "dhash_lo").agg(
         F.count(F.lit(1)).alias("group_n"),
         F.min("media_id").alias("canonical_id"),
@@ -1406,7 +1413,10 @@ def audio_fp_dedup(df: DataFrame, frame_samples: int = 16) -> DataFrame:
     """Energy-contour-keyed audio dedup: identical plan shape to the
     image perceptual dedups (one Arrow projection, one keyed aggregate,
     one group join — collisions ARE the candidate groups)."""
-    fps = audio_energy_fingerprint(df, frame_samples=frame_samples)
+    from hotdog_spark.operators import track_persist
+
+    # persisted: feeds aggregate + join-back (decode runs once, not twice)
+    fps = track_persist(audio_energy_fingerprint(df, frame_samples=frame_samples))
     groups = fps.groupBy("n_frames", "afp_hi", "afp_lo").agg(
         F.count(F.lit(1)).alias("group_n"),
         F.min("media_id").alias("canonical_id"),
@@ -1493,6 +1503,11 @@ def video_signature_dedup(df: DataFrame) -> DataFrame:
             )
         ),
     ).drop("frame_sums")
+    from hotdog_spark.operators import track_persist
+
+    # persisted: the synth+demux+checksum pipeline otherwise evaluates
+    # once per side of the group join (measured 3x at sf0.1)
+    sigs = track_persist(sigs)
     groups = sigs.groupBy("n_frames", "frame_bytes", "sig").agg(
         F.count(F.lit(1)).alias("group_n"),
         F.min("media_id").alias("canonical_id"),

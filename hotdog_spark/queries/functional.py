@@ -241,12 +241,12 @@ def agg_approx_distinct_users_sketch_only(
     """HLL++ sketch-only distinct users per event type — the plan a 100 TB
     dashboard rollup actually runs: one map-side-combinable aggregate,
     fixed sketch bytes per group on the wire, no per-user shuffle.
-    fan_out parallelizes the register-heavy (rsd=0.005 → ~43k registers)
-    partial-sketch build on compact local inputs; at scale the input is
-    multi-partition and it no-ops."""
-    from hotdog_spark.operators import fan_out
-
-    e = fan_out(table(spark, sf_dir, "events").select("event_type", "user_id"))
+    Deliberately NOT fanned out: the aggregate is JVM-side (the
+    single-task audit gate only covers Python kernels), the query exists
+    to measure the sketch cost itself, and an r10 A/B showed the
+    round-robin shuffle + 32 dense rsd=0.005 partials merging slower
+    than the straight single-pass build at bench SFs."""
+    e = table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.005).alias("approx_users")
     )
