@@ -690,6 +690,23 @@ def test_connected_components_toy_graph(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
+def test_connected_components_long_chain_pointer_doubling(spark):
+    """A 64-node path graph (diameter 63): plain min-label propagation
+    needs 63 rounds and would hit the max_iter=50 ceiling; the pointer-
+    doubling shortcut (r10) converges in O(log d) rounds.  Also guards
+    the shortcut self-join's attribute resolution — stepped labels share
+    lineage with the lookup side via the union, which broke Catalyst
+    when joined through string aliases (observed `key not found: id#NN`;
+    the fix is a renamed projection).  Reverse-ordered ids so labels
+    genuinely travel the whole chain."""
+    n = 64
+    pairs = spark.createDataFrame(
+        [(n - i, n - i - 1) for i in range(1, n)], "id_a long, id_b long"
+    )
+    comp = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert comp == {i: 0 for i in range(n)}  # chain 63-62-...-0, min id 0
+
+
 def test_md5_sample_is_rerun_stable_and_monotone(spark):
     from hotdog_spark.operators.sampling import md5_sample, with_split
 
