@@ -240,7 +240,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.path.join(REPO, "testdata_sf1"))
     ap.add_argument("--sf", type=float, default=1.0)
-    ap.add_argument("--out", default="SCALE_sf1_correctness.json")
+    # REQUIRED (r10 lesson): the old default was the COMMITTED
+    # SCALE_sf1_correctness.json, so a quick `--only x` spot-check run
+    # without --out silently truncated the 213-query artifact to the
+    # spot-checked subset (caught via git history, restored + re-merged)
+    ap.add_argument("--out", required=True,
+                    help="output path; use /tmp/sf1_part_*.json partials "
+                         "and scripts/merge_sf1_parts.py for the artifact")
     ap.add_argument("--mode", choices=("digest", "full", "both"), default="digest")
     ap.add_argument("--only", default="",
                     help="comma-separated query names to restrict the sweep to")
