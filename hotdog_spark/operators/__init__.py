@@ -83,15 +83,26 @@ def _parse_byte_conf(value: str) -> int:
     return int(m.group(1)) * units[m.group(2)]
 
 
-def fan_out(df: DataFrame) -> DataFrame:
+def fan_out(df: DataFrame, by: list[str] | None = None) -> DataFrame:
     """Ensure a compute-heavy input is spread across the cluster's cores.
 
     A small parquet file arrives as one partition (maxPartitionBytes), so
     a hash-heavy pipeline (md5 per shingle, dot product per pair) would
     run single-task no matter how many cores exist — measured 7× slowdown
     on a 5k-doc input.  At 100 TB inputs are naturally multi-partition and
-    this is a no-op; on compact inputs one cheap round-robin shuffle buys
-    full parallelism for the expensive downstream work.
+    this is a no-op; on compact inputs one cheap shuffle buys full
+    parallelism for the expensive downstream work.
+
+    ``by``: optional column names to HASH-partition on instead of
+    round-robin.  Round-robin ``repartition()`` pays a hidden per-row
+    local sort (``spark.sql.execution.sortBeforeRepartition``, on by
+    default so retried round-robin maps stay deterministic); hash
+    partitioning skips the sort entirely.  The r11 KMV A/B measured the
+    difference: round-robin regressed both KMV queries ~1.3× at sf0.1
+    versus hash-by-(key, h), digests unchanged.  Use ``by`` whenever the
+    downstream kernel keys its state on a column anyway — include a
+    high-cardinality column (a hash) in ``by`` so a small key domain
+    can never collapse the exchange to n_keys tasks.
 
     Compactness comes from the optimizer's size estimate
     (``stats().sizeInBytes`` — catalog/file statistics, no job): the old
@@ -109,6 +120,12 @@ def fan_out(df: DataFrame) -> DataFrame:
     spark = df.sparkSession
     sc = spark.sparkContext
     target = sc.defaultParallelism
+
+    def _spread(frame: DataFrame) -> DataFrame:
+        if by:
+            return frame.repartition(target, *[F.col(c) for c in by])
+        return frame.repartition(target)
+
     bytes_per_partition = _parse_byte_conf(
         spark.conf.get("spark.sql.files.maxPartitionBytes", "128m")
     )
@@ -116,10 +133,10 @@ def fan_out(df: DataFrame) -> DataFrame:
     try:
         size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:
-        return df.repartition(target)
+        return _spread(df)
     if size >= _LONG_MAX:  # stat-less plan: defaultSizeInBytes sentinel
-        return df.repartition(target)
+        return _spread(df)
     est_partitions = max(1, size // bytes_per_partition)
     if est_partitions < max(2, target // 2):
-        return df.repartition(target)
+        return _spread(df)
     return df

@@ -65,38 +65,41 @@ def kmv_partials(
     ensure_shipped(df.sparkSession)
     assert 2 <= k <= 1024, "k outside the sane sketch range"
 
-    from hotdog_spark.operators import fan_out
-
-    # the per-row heap maintenance below is Python: fan out so a compact
-    # parquet input doesn't run the whole sketch single-task (r10 audit).
-    # Partials are a semilattice, so MORE partitions only means more
-    # (still k-bounded) partial rows into the exact merge.
-    hashed = fan_out(
+    # KMV only ever looks at DISTINCT hashes, so dedup (key, h) BEFORE the
+    # exchange: ``distinct()`` runs a map-side partial aggregate on the
+    # scan side, so the one shuffle carries only the per-partition-distinct
+    # pairs (sf0.1 events: 100k rows → 7.5k pairs, a 13× byte shrink; at
+    # 100 TB the partial hash aggregate spills to sort-based like any
+    # Spark aggregate).  This replaced the r10 round-robin ``fan_out``,
+    # which regressed both KMV bench queries (BENCH_r10: 2.75× / 1.75× vs
+    # r9) — the r11 A/B showed ANY full-stream exchange costs ~1 s at
+    # sf0.1 regardless of partitioner, so the fix is fewer bytes, not a
+    # different partitioner.  The distinct's final aggregate also spreads
+    # rows by hash(key, h) across shuffle partitions — the same
+    # parallelism fan_out bought — and leaves an Exchange below the
+    # Python stage, so the no-single-task-Python invariant holds
+    # structurally (scripts/plan_audit.py).
+    hashed = (
         df.select(F.col(key_col).alias("key"), _hash52(F.col(val_col)).alias("h"))
         .filter(F.col("h").isNotNull())
+        .distinct()
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # bounded per-key state: a size-k max-heap (negated values) plus
-        # its membership set for O(1) duplicate rejection
+        # bounded per-key state: a size-k max-heap (negated values).  No
+        # membership set: the upstream distinct() delivers globally
+        # deduplicated (key, h) pairs, so duplicate rejection is free.
         heaps: dict = {}
-        members: dict = {}
         for pdf in batches:
             for key, h in zip(pdf["key"], pdf["h"]):
                 h = int(h)
                 hp = heaps.get(key)
                 if hp is None:
                     hp = heaps[key] = []
-                    members[key] = set()
-                mem = members[key]
-                if h in mem:
-                    continue
                 if len(hp) < k:
                     heapq.heappush(hp, -h)
-                    mem.add(h)
                 elif h < -hp[0]:
-                    mem.discard(-heapq.heappushpop(hp, -h))
-                    mem.add(h)
+                    heapq.heappushpop(hp, -h)
         # empty partitions yield NO batch: an empty dict would build a
         # DataFrame whose columns default to float64, and Arrow cannot
         # convert an empty float64 ndarray to list<int64> (observed only
