@@ -751,6 +751,14 @@ def _decode_planes(content: bytes):
                     )
                 scan_comps.append(by_id[cid])
                 sel.append((tt >> 4, tt & 0x0F))
+            if len({ci_ for ci_, _c in scan_comps}) != len(scan_comps):
+                # a malformed header listing one component id twice
+                # (e.g. [1,1,1]) would collapse the per-component LUT
+                # dict and decode with a wrong MCU block order — in a
+                # progressive DC scan (ss==0) just as in baseline, so
+                # the uniqueness check lives here, above the branch
+                # (r10 ADVICE: it was baseline-only)
+                raise ValueError("duplicate component id in scan header")
             ss, se, ahal = body[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahal >> 4, ahal & 0x0F
             scan_start = pos + 2 + seg_len
@@ -763,13 +771,9 @@ def _decode_planes(content: bytes):
                     # headers under an SOF0 marker instead of misreading
                     # their entropy data
                     raise ValueError("invalid baseline scan header")
-                if len(scan_comps) != len(comps) or len(
-                    {ci_ for ci_, _c in scan_comps}
-                ) != len(scan_comps):
-                    # a malformed header listing one component id twice
-                    # (e.g. [1,1,1]) would otherwise pass the count
-                    # check, collapse the per-component LUT dict, and
-                    # decode with a wrong MCU block order
+                if len(scan_comps) != len(comps):
+                    # baseline scans must cover every frame component
+                    # exactly once (uniqueness already enforced above)
                     raise ValueError(
                         "scan components do not match frame components"
                     )

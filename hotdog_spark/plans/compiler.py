@@ -61,11 +61,17 @@ from hotdog_spark.version import ENGINE_VERSION
 #: the tokenizer's literal handler.
 _HB_NAME = r"@?[A-Za-z_][A-Za-z0-9_]*(?:\.[A-Za-z_][A-Za-z0-9_]*)*"
 
+# Partial ids are the reference's `{uuid}-{index}` template ids
+# (src/connection.rs:251-253), so the charset admits hyphens and
+# digit-leading segments that _HB_NAME does not.
+_HB_PARTIAL = r"[A-Za-z0-9_][A-Za-z0-9_.\-]*"
+
 _TEMPLATE_TOKEN = re.compile(
     r"\{\{\{\s*(" + _HB_NAME + r")\s*\}\}\}"                     # {{{raw}}}
     r"|\{\{\s*#(if|each)\s+(" + _HB_NAME + r")\s*\}\}"           # {{#if v}}
     r"|\{\{\s*/(if|each)\s*\}\}"                                 # {{/if}}
     r"|\{\{\s*(else)\s*\}\}"                                     # {{else}}
+    r"|\{\{\s*>\s*(" + _HB_PARTIAL + r")\s*\}\}"                 # {{> p}}
     r"|\{\{\s*(&\s*)?(" + _HB_NAME + r")\s*\}\}"                 # {{v}} {{&v}}
 )
 
@@ -112,16 +118,18 @@ def _tokenize_template(template: str) -> list[tuple]:
             raise ValueError(
                 f"unsupported handlebars construct in template {template!r}: "
                 f"only {{{{var}}}}, {{{{{{var}}}}}}, {{{{&var}}}}, "
+                f"{{{{> partial}}}}, "
                 f"{{{{#if v}}}}…{{{{else}}}}…{{{{/if}}}} and "
                 f"{{{{#each v}}}}…{{{{/each}}}} are supported "
-                "(no partials, comments, ../ parent refs, or custom helpers)"
+                "(no comments, ../ parent refs, {{#with}}, partial "
+                "parameters, or custom helpers)"
             )
         if text:
             toks.append(("lit", text))
 
     for m in _TEMPLATE_TOKEN.finditer(template):
         literal(template[pos:m.start()])
-        raw3, okind, oname, ckind, els, amp, ename = m.groups()
+        raw3, okind, oname, ckind, els, pname, amp, ename = m.groups()
         if raw3 is not None:
             toks.append(("var", raw3, True))
         elif okind is not None:
@@ -130,6 +138,8 @@ def _tokenize_template(template: str) -> list[tuple]:
             toks.append(("close", ckind))
         elif els is not None:
             toks.append(("else",))
+        elif pname is not None:
+            toks.append(("partial", pname))
         else:
             toks.append(("var", ename, amp is not None))
         pos = m.end()
@@ -146,7 +156,7 @@ def _parse_nodes(toks: list[tuple], i: int, closing: str | None):
     cur = nodes
     while i < len(toks):
         t = toks[i]
-        if t[0] in ("lit", "var"):
+        if t[0] in ("lit", "var", "partial"):
             cur.append(t)
             i += 1
         elif t[0] == "open":
@@ -214,12 +224,45 @@ def _resolve_var(name: str, variables: dict[str, Column]) -> Column | None:
     return F.get_json_object(base.cast("string"), "$." + rest)
 
 
-def _compile_nodes(nodes: list[tuple], variables: dict[str, Column]) -> Column:
+def _compile_nodes(
+    nodes: list[tuple],
+    variables: dict[str, Column],
+    partials: dict[str, str] | None = None,
+    _stack: tuple[str, ...] = (),
+) -> Column:
     parts: list[Column] = []
     for node in nodes:
         kind = node[0]
         if kind == "lit":
             parts.append(F.lit(node[1]))
+        elif kind == "partial":
+            _, name = node
+            # Compile-time textual inclusion: a partial is the named
+            # registered template re-entered with the CURRENT variables
+            # map (handlebars passes the current context to a bare
+            # ``{{> p}}``) — no runtime machinery needed.  Missing
+            # partials and inclusion cycles fail the config load loudly
+            # (handlebars-rust's render would error on the former and
+            # overflow on the latter; rejecting at compile time is the
+            # house fail-fast posture).
+            if not partials or name not in partials:
+                raise ValueError(
+                    f"unsupported handlebars construct: partial "
+                    f"{{{{> {name}}}}} names no registered template "
+                    "(merge/replace action templates register under "
+                    "'{rule-uuid}-{action-index}')"
+                )
+            if name in _stack:
+                raise ValueError(
+                    "unsupported handlebars construct: partial inclusion "
+                    f"cycle {' -> '.join((*_stack, name))}"
+                )
+            sub_nodes, _, _ = _parse_nodes(
+                _tokenize_template(partials[name]), 0, None
+            )
+            parts.append(
+                _compile_nodes(sub_nodes, variables, partials, (*_stack, name))
+            )
         elif kind == "var":
             _, name, raw = node
             var = _resolve_var(name, variables)
@@ -230,8 +273,8 @@ def _compile_nodes(nodes: list[tuple], variables: dict[str, Column]) -> Column:
                 parts.append(rendered if raw else _hb_escape(rendered))
         elif kind == "if":
             _, name, body, else_nodes = node
-            then_col = _compile_nodes(body, variables)
-            else_col = _compile_nodes(else_nodes or [], variables)
+            then_col = _compile_nodes(body, variables, partials, _stack)
+            else_col = _compile_nodes(else_nodes or [], variables, partials, _stack)
             var = _resolve_var(name, variables)
             if var is None:
                 # undefined is statically falsy: constant-fold to the
@@ -243,7 +286,7 @@ def _compile_nodes(nodes: list[tuple], variables: dict[str, Column]) -> Column:
                 )
         else:  # each
             _, name, body, else_nodes = node
-            else_col = _compile_nodes(else_nodes or [], variables)
+            else_col = _compile_nodes(else_nodes or [], variables, partials, _stack)
             var = _resolve_var(name, variables)
             if var is None:
                 parts.append(else_col)
@@ -264,7 +307,10 @@ def _compile_nodes(nodes: list[tuple], variables: dict[str, Column]) -> Column:
                 F.transform(
                     arr,
                     lambda x, i: _compile_nodes(
-                        body, {"this": x, "@index": i.cast("string")}
+                        body,
+                        {"this": x, "@index": i.cast("string")},
+                        partials,
+                        _stack,
                     ),
                 ),
                 "",
@@ -278,7 +324,11 @@ def _compile_nodes(nodes: list[tuple], variables: dict[str, Column]) -> Column:
     return F.concat(*parts) if len(parts) > 1 else parts[0]
 
 
-def compile_template(template: str, variables: dict[str, Column]) -> Column:
+def compile_template(
+    template: str,
+    variables: dict[str, Column],
+    partials: dict[str, str] | None = None,
+) -> Column:
     """Handlebars-subset template → one Catalyst expression.
 
     Supports ``{{var}}`` (HTML-escaped, handlebars' default — the
@@ -303,10 +353,20 @@ def compile_template(template: str, variables: dict[str, Column]) -> Column:
     reference-parity argument).  ``{{this.k}}`` inside ``{{#each}}``
     digs into array elements — handlebars' own object-iteration shape.
 
+    Partials (``{{> p}}`` — r10 verdict item 4) inline at COMPILE time:
+    ``partials`` maps registered template ids to their source (the
+    reference registers every merge/replace action template under
+    ``{rule-uuid}-{action-index}``, src/connection.rs:251-253,261-289,
+    and handlebars resolves ``{{> id}}`` against that same registry),
+    and the named source is re-tokenized and compiled in place with the
+    CURRENT variables map — a partial is textual inclusion, so no
+    runtime machinery survives into the plan.  Missing names, inclusion
+    cycles, and parameterized partials (``{{> p k=v}}``) all raise.
+
     Blocks nest arbitrarily.  Unknown / null variables render as empty
     string (handlebars' lenient mode); an unknown name in a block head
-    constant-folds to the inverse block.  Partials (``{{> p}}``),
-    comments (``{{! c}}``), ``../`` parent refs,
+    constant-folds to the inverse block.  Comments (``{{! c}}``),
+    ``../`` parent refs, ``{{#with}}``,
     ``{{else if}}`` chains and custom helpers are REJECTED at compile
     time with ``ValueError`` — the reference's full Handlebars engine
     (src/connection.rs:260-289) would evaluate them, so silently
@@ -316,7 +376,7 @@ def compile_template(template: str, variables: dict[str, Column]) -> Column:
     literals (the analog of the reference's template precompilation).
     """
     nodes, _, _ = _parse_nodes(_tokenize_template(template), 0, None)
-    return _compile_nodes(nodes, variables)
+    return _compile_nodes(nodes, variables, partials)
 
 
 def _jsonpath(path: str) -> str:
@@ -421,6 +481,7 @@ def compile_rule(
     iso8601: Column,
     sink_schemas: dict[str, "object"] | None = None,
     merge_mode: str = "exact",
+    partials: dict[str, str] | None = None,
 ) -> CompiledRule:
     """Lower one rule's match + action walk to Column expressions.
 
@@ -445,16 +506,19 @@ def compile_rule(
 
     for action in rule.actions:
         if action.kind == "forward":
-            topic = compile_template(action.topic, variables)
+            topic = compile_template(action.topic, variables, partials)
             emitted = True
             break  # forward breaks the action loop (src/connection.rs:210)
         if action.kind == "replace":
-            output = compile_template(action.template, variables)
+            output = compile_template(action.template, variables, partials)
             output_set = True
         elif action.kind == "merge":
             valid = is_valid_json(msg)
             if isinstance(action.json_value, dict):
-                merged = _compile_merge(rule, action, msg, variables, sink_schemas, merge_mode)
+                merged = _compile_merge(
+                    rule, action, msg, variables, sink_schemas, merge_mode,
+                    partials,
+                )
                 output = F.when(valid, merged).otherwise(output)
             else:
                 # Non-object patch: buffer passes through un-merged
@@ -508,6 +572,7 @@ def _compile_merge(
     variables: dict[str, Column],
     sink_schemas: dict[str, "object"] | None,
     merge_mode: str,
+    partials: dict[str, str] | None = None,
 ) -> Column:
     """Lower one merge action: native withField graft when possible,
     exact pandas UDF otherwise."""
@@ -519,11 +584,34 @@ def _compile_merge(
             schema = schema_mod.ensure_paths(target_schema, [p for p, _ in leaves])
 
             def render_leaf(v):
-                return compile_template(v, variables) if isinstance(v, str) else F.lit(v)
+                return (
+                    compile_template(v, variables, partials)
+                    if isinstance(v, str)
+                    else F.lit(v)
+                )
 
             return merge_static_object(msg, schema, action.json_value, render_leaf)
-    patch = compile_template(action.json_str, variables)
+    patch = compile_template(action.json_str, variables, partials)
     return merge_json_udf(msg, patch)
+
+
+def template_registry(settings: Settings) -> dict[str, str]:
+    """The partial-resolution registry: every merge/replace action
+    template keyed by the reference's ``{rule-uuid}-{action-index}``
+    template id (src/connection.rs:251-253 ``template_id_for``;
+    :261-289 ``precompile_templates`` registers exactly the Merge and
+    Replace actions).  handlebars resolves ``{{> id}}`` against the
+    same registry it renders from, so any registered template is
+    usable as a partial — including from forward-topic templates,
+    which render ad hoc but see the registry."""
+    reg: dict[str, str] = {}
+    for rule in settings.rules:
+        for idx, action in enumerate(rule.actions):
+            if action.kind == "replace" and action.template is not None:
+                reg[f"{rule.uuid}-{idx}"] = action.template
+            elif action.kind == "merge" and action.json_str is not None:
+                reg[f"{rule.uuid}-{idx}"] = action.json_str
+    return reg
 
 
 def compile_cascade(
@@ -544,8 +632,9 @@ def compile_cascade(
     sink_schemas = {
         s.topic: schema_mod.sink_schema_to_struct(s) for s in settings.schemas
     }
+    partials = template_registry(settings)
     compiled = [
-        compile_rule(r, i, env, iso8601, sink_schemas, merge_mode)
+        compile_rule(r, i, env, iso8601, sink_schemas, merge_mode, partials)
         for i, r in enumerate(settings.rules)
     ]
 

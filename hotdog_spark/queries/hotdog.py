@@ -478,6 +478,77 @@ def template_dotted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "template_partials",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_type IN ('click', 'view') THEN 'p-' || event_type
+                ELSE 'p-other' END AS topic,
+           CASE WHEN event_type IN ('click', 'view')
+                THEN 'k=' || event_type || ';n=' || CAST(user_id AS VARCHAR)
+                ELSE 'other[k=' || event_type || ';n='
+                     || CAST(user_id AS VARCHAR) || ']'
+           END AS payload
+    FROM events
+    """,
+)
+def template_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Handlebars PARTIALS through the full cascade (r10 verdict item
+    4): rule 2's replace template includes rule 1's replace template by
+    its registered ``{uuid}-{index}`` id via ``{{> id}}`` — the
+    reference registers every merge/replace action template under that
+    id (src/connection.rs:251-253,261-289) and handlebars resolves
+    partials against the same registry, so a config can and does reuse
+    one action's template inside another's.  The include is compiled
+    away (textual inlining re-entered with the INCLUDING rule's
+    variables: rule 2's own regex captures flow into rule 1's template
+    body), so the plan is the same CASE WHEN + concat chain a hand-
+    inlined template would produce.  The oracle rebuilds both branches
+    arithmetically."""
+    from hotdog_spark.config import load_dict
+
+    settings = load_dict(
+        {
+            "global": {"listen": {"port": 1}},
+            "rules": [
+                {
+                    "regex": "^(?P<kind>click|view):(?P<num>[0-9]+)$",
+                    "field": "msg",
+                    "actions": [
+                        {"type": "replace", "template": "k={{kind}};n={{num}}"},
+                        {"type": "forward", "topic": "p-{{kind}}"},
+                    ],
+                },
+                {
+                    "regex": "^(?P<kind>[a-z]+):(?P<num>[0-9]+)$",
+                    "field": "msg",
+                    "actions": [
+                        # template set below: it names rule 1's action-0
+                        # template id, which exists only after load
+                        {"type": "replace", "template": ""},
+                        {"type": "forward", "topic": "p-other"},
+                    ],
+                },
+            ],
+        },
+        environ={},
+    )
+    partial_id = f"{settings.rules[0].uuid}-0"
+    settings.rules[1].actions[0].template = f"other[{{{{> {partial_id}}}}}]"
+    ev = fan_out(table(spark, sf_dir, "events")).select(
+        F.col("event_id"),
+        F.concat(
+            F.col("event_type"), F.lit(":"), F.col("user_id").cast("string")
+        ).alias("msg"),
+        F.lit(None).cast("string").alias("severity"),
+        F.lit(None).cast("string").alias("facility"),
+        F.lit(None).cast("string").alias("hostname"),
+        F.lit(None).cast("string").alias("appname"),
+    )
+    routed = process_envelope(ev, settings)
+    return routed.select("event_id", "topic", "payload")
+
+
+@register(
     "jmespath_full_filter",
     oracle="""
     SELECT event_id,

@@ -25,6 +25,7 @@ from hotdog_spark.pipeline import process_envelope
 from hotdog_spark.version import ENGINE_VERSION
 
 _VAR = re.compile(r"\{\{\s*(\w+)\s*\}\}")
+_PARTIAL = re.compile(r"\{\{\s*>\s*([A-Za-z0-9_.\-]+)\s*\}\}")
 
 # handlebars' default escapeExpression table ('&' first), applied by the
 # reference to every {{var}} (no custom escape_fn is registered).
@@ -40,7 +41,18 @@ def _hb_escape(s: str) -> str:
     return s
 
 
-def _render(template: str, variables: dict) -> str:
+def _render(template: str, variables: dict, partials: dict | None = None) -> str:
+    if partials:
+        # {{> id}} is textual inclusion (handlebars renders the named
+        # registered template with the current context); expand to a
+        # fixpoint — the injected configs are chain/cycle-free
+        while True:
+            expanded = _PARTIAL.sub(
+                lambda m: partials[m.group(1)], template
+            )
+            if expanded == template:
+                break
+            template = expanded
     return _VAR.sub(
         lambda m: _hb_escape(str(variables.get(m.group(1), ""))), template
     )
@@ -54,7 +66,7 @@ def _render_patch(value, variables):
     return value
 
 
-def interpret(settings, envelope: dict):
+def interpret(settings, envelope: dict, partials: dict | None = None):
     """The reference's read_logs loop, line for line."""
     msg = envelope["msg"]
     continue_rules = True
@@ -93,10 +105,10 @@ def interpret(settings, envelope: dict):
         variables["version"] = ENGINE_VERSION
         for action in rule.actions:
             if action.kind == "forward":
-                topic = _render(action.topic, variables)
+                topic = _render(action.topic, variables, partials)
                 return topic, (output if output != "" else msg)
             if action.kind == "replace":
-                output = _render(action.template, variables)
+                output = _render(action.template, variables, partials)
             elif action.kind == "merge":
                 try:
                     target = json.loads(msg)
@@ -130,6 +142,29 @@ PATCHES = [
     {"meta": {"hotdog": {"version": "{{version}}"}}},
     {"a": {"b": 1}, "arr": ["p"]},
 ]
+
+
+def _inject_partial(settings, rng: random.Random) -> dict:
+    """With two+ replace actions in the config, rewrite one to include
+    another rule's replace template via its registered {uuid}-{index}
+    id (the reference registers every merge/replace template under that
+    id and handlebars resolves {{> id}} against the registry).  One
+    injection, distinct host/source → no chains, no cycles.  Returns
+    the id → source map the interpreter expands against."""
+    replaces = [
+        (r, i)
+        for r in settings.rules
+        for i, a in enumerate(r.actions)
+        if a.kind == "replace"
+    ]
+    registry = {f"{r.uuid}-{i}": r.actions[i].template for r, i in replaces}
+    if len(replaces) >= 2:
+        (host_r, hi), (src_r, si) = rng.sample(replaces, 2)
+        pid = f"{src_r.uuid}-{si}"
+        host_r.actions[hi].template = (
+            f"P[{{{{> {pid}}}}}]" + host_r.actions[hi].template
+        )
+    return registry
 
 
 def _random_rule(rng: random.Random) -> dict:
@@ -192,7 +227,7 @@ def _canon_payload(p):
         return ("str", p)
 
 
-@pytest.mark.parametrize("seed", [11, 23, 37, 59, 71])
+@pytest.mark.parametrize("seed", [11, 23, 37, 59, 71, 83, 97])
 def test_cascade_matches_reference_interpreter(spark, seed):
     rng = random.Random(seed)
     settings = cfg.load_dict(
@@ -202,6 +237,7 @@ def test_cascade_matches_reference_interpreter(spark, seed):
         },
         environ={},
     )
+    partials = _inject_partial(settings, rng)
     envelopes = _random_messages(rng, 40)
     df = spark.createDataFrame(
         [
@@ -215,7 +251,7 @@ def test_cascade_matches_reference_interpreter(spark, seed):
         for r in process_envelope(df, settings).collect()
     }
     for e in envelopes:
-        want = interpret(settings, e)
+        want = interpret(settings, e, partials)
         have = got.get(e["msg"])
         if want is None:
             assert have is None, f"seed={seed} msg={e['msg']!r}: spark emitted {have}"

@@ -325,6 +325,57 @@ def test_template_rejects_unsupported_constructs(spark):
     compile_template('{"a": {"b": "{{v}}"}}', {"v": F.lit("X")})
 
 
+def test_template_partials_inline_at_compile_time(spark):
+    """{{> id}} (r10 verdict item 4) is compile-time textual inclusion
+    against the registered-template registry (the reference registers
+    every merge/replace action template under {uuid}-{index} and
+    handlebars resolves partials against that same registry): the
+    partial renders with the CURRENT context, nests, participates in
+    block bodies, and escapes like any inline text would."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1)
+    V = {
+        "v": F.lit("x&y"),
+        "arr": F.lit('["a","b"]'),
+    }
+    reg = {
+        "9a-0": "[{{v}}]",
+        "9a-1": "<{{> 9a-0}}>",          # nested partial
+        "el": "({{this}}:{{@index}})",
+    }
+    out = df.select(
+        compile_template("A{{> 9a-0}}B", V, reg).alias("basic"),
+        compile_template("{{> 9a-1}}", V, reg).alias("nested"),
+        compile_template("{{#each arr}}{{> el}}{{/each}}", V, reg).alias("each"),
+        compile_template("{{#if v}}{{> 9a-0}}{{/if}}", V, reg).alias("inif"),
+    ).collect()[0]
+    assert out.basic == "A[x&amp;y]B"     # partial body escapes normally
+    assert out.nested == "<[x&amp;y]>"
+    assert out.each == "(a:0)(b:1)"       # element context reaches the partial
+    assert out.inif == "[x&amp;y]"
+
+
+def test_template_partials_reject_bad_shapes(spark):
+    """Missing names, inclusion cycles, and parameterized partials all
+    fail the config load loudly (handlebars-rust would error at render
+    on the first, overflow on the second; parameters are outside the
+    subset)."""
+    from pyspark.sql import functions as F
+
+    V = {"v": F.lit("x")}
+    with pytest.raises(ValueError, match="names no registered template"):
+        compile_template("{{> nope}}", V, {"other": "t"})
+    with pytest.raises(ValueError, match="names no registered template"):
+        compile_template("{{> nope}}", V)  # no registry at all
+    with pytest.raises(ValueError, match="cycle"):
+        compile_template("{{> a}}", V, {"a": "{{> b}}", "b": "{{> a}}"})
+    with pytest.raises(ValueError, match="cycle"):
+        compile_template("{{> a}}", V, {"a": "{{> a}}"})
+    with pytest.raises(ValueError, match="unsupported handlebars"):
+        compile_template("{{> p k=v}}", V, {"p": "t"})
+
+
 def test_template_if_block(spark):
     """{{#if}}/{{else}} compiles to CASE WHEN on rust-handlebars string
     truthiness: null, "" and undefined names are falsy; any other string

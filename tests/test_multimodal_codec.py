@@ -463,6 +463,29 @@ def test_jpeg_corruption_fuzz_never_silently_wrong():
 # ---- progressive (SOF2) JPEG (VERDICT r8 item 4) ----
 
 
+def test_jpeg_duplicate_scan_component_rejected_both_modes():
+    """A scan header listing the same component id twice would collapse
+    the per-component LUT dict and decode with a wrong MCU block order;
+    the uniqueness guard must fire for BASELINE and for PROGRESSIVE DC
+    scans alike (r10 ADVICE: it was baseline-only)."""
+    import pytest
+
+    from hotdog_spark.operators import jpeg as J
+
+    def coefs(_comp, _b):
+        return {(0, 0): 8}
+
+    for synth in (J.synth_jpeg_color, J.synth_jpeg_color_progressive):
+        data = synth(16, 16, coefs)
+        i = data.find(b"\xff\xda")
+        assert i > 0 and data[i + 4] == 3, "fixture: 3-component scan"
+        # body[1]=cid1, body[3]=cid2 → raw offsets i+5 / i+7: dup cid1
+        assert data[i + 7] == 2
+        bad = data[: i + 7] + b"\x01" + data[i + 8 :]
+        with pytest.raises(ValueError, match="duplicate component id"):
+            J.decode_jpeg(bad)
+
+
 def test_jpeg_progressive_gray_equals_baseline():
     """The six-scan progressive encoding (DC first Al=1, AC bands 1-5 /
     6-63 Al=1, then DC + AC successive-approximation refinement) must
@@ -749,7 +772,7 @@ def test_jpeg_color_duplicate_scan_component_ids_rejected():
     # entry's huffman-table selector byte untouched
     for i in range(ns):
         patched[sos + 5 + 2 * i] = cid0
-    with pytest.raises(ValueError, match="scan components"):
+    with pytest.raises(ValueError, match="duplicate component id"):
         J.decode_jpeg(bytes(patched))
     # the pristine stream still decodes
     assert J.decode_jpeg(data) is not None
