@@ -109,25 +109,111 @@ def audit_one(spark, name, fn, sf_dir):
         or ("MapInPandas" in plan)
         or ("FlatMapGroupsInPandas" in plan),
         "single_task_python": _single_task_python(plan),
+        "global_window_unagg": _global_window_unaggregated(plan),
     }
+
+
+#: One plan-tree line: Spark renders depth with 3-char branch prefixes
+#: (``+- ``, ``:- ``, ``:  ``, ``   ``); depth = prefix length // 3.
+_TREE_PREFIX = re.compile(r"^((?:\+- |:- |:  |   )*)(.*)$")
+
+#: A partition-moving (shuffle) exchange — BroadcastExchange is NOT one:
+#: it replicates its own (small) subtree and does nothing to the probe
+#: side's partitioning (r10 ADVICE).
+_SHUFFLE_EXCHANGE = re.compile(
+    r"Exchange (hash|range|roundrobin|Single)", re.IGNORECASE
+)
+
+
+def _tree_lines(plan: str) -> list[tuple[int, str]]:
+    """Plan string → [(depth, node text), ...]."""
+    out = []
+    for line in plan.splitlines():
+        m = _TREE_PREFIX.match(line)
+        out.append((len(m.group(1)) // 3, m.group(2)))
+    return out
+
+
+def _subtree(lines: list[tuple[int, str]], i: int):
+    """Yield the lines of node i's OWN child subtree (strictly deeper
+    lines until the first line at node i's depth or shallower — a
+    join's sibling branch prints below but not deeper, so it is
+    correctly excluded; r10 ADVICE: the flat 'anything textually below'
+    scan let an exchange in the OTHER join branch satisfy the
+    invariant)."""
+    d = lines[i][0]
+    for j in range(i + 1, len(lines)):
+        if lines[j][0] <= d:
+            return
+        yield lines[j]
 
 
 def _single_task_python(plan: str) -> bool:
     """True when any Python/Arrow stage sits directly on a compact scan
-    with no exchange or cached relation below it — the kernel then runs
-    on however many partitions the file split produced, which for a
-    bench-SF parquet is ONE task (r10 audit: the progressive-JPEG query
-    was 6.2 s of single-core Python behind a 6.4 s total; five more
-    operator families had the same shape).  At 100 TB inputs arrive
-    multi-partition, so the fix — ``fan_out`` at the producer — no-ops
-    there; this invariant exists so the single-task shape can never
-    silently return."""
-    lines = plan.splitlines()
-    for i, line in enumerate(lines):
-        if re.search(r"MapInPandas|ArrowEvalPython|FlatMapGroupsInPandas", line):
-            below = "\n".join(lines[i + 1:])
-            if "Exchange" not in below and "InMemoryTableScan" not in below:
+    with no shuffle exchange or cached relation below it — the kernel
+    then runs on however many partitions the file split produced, which
+    for a bench-SF parquet is ONE task (r10 audit: the progressive-JPEG
+    query was 6.2 s of single-core Python behind a 6.4 s total; five
+    more operator families had the same shape).  At 100 TB inputs
+    arrive multi-partition, so the fix — ``fan_out`` at the producer —
+    no-ops there; this invariant exists so the single-task shape can
+    never silently return.
+
+    r11 (r10 ADVICE): the check walks the Python node's OWN child
+    subtree by indentation, so an exchange in a join's sibling branch
+    no longer satisfies it, and BroadcastExchange (which never
+    repartitions the probe side) does not count.  InMemoryTableScan
+    still counts as sufficient: every track_persist'ed table in this
+    repo caches an already-fanned-out derivation, and the cached plan
+    is not rendered here to inspect."""
+    lines = _tree_lines(plan)
+    for i, (_d, text) in enumerate(lines):
+        if re.search(r"MapInPandas|ArrowEvalPython|FlatMapGroupsInPandas", text):
+            skip_deeper_than = None  # inside a BroadcastExchange subtree
+            for d2, t2 in _subtree(lines, i):
+                if skip_deeper_than is not None:
+                    if d2 > skip_deeper_than:
+                        continue
+                    skip_deeper_than = None
+                if "BroadcastExchange" in t2:
+                    # the build side replicates; an exchange inside it
+                    # says nothing about the streaming side's partitions
+                    skip_deeper_than = d2
+                    continue
+                if _SHUFFLE_EXCHANGE.search(t2) or "InMemoryTableScan" in t2:
+                    break
+            else:
                 return True
+    return False
+
+
+def _global_window_unaggregated(plan: str) -> bool:
+    """True when a Window (or WindowGroupLimit) runs over an Exchange
+    SinglePartition whose input was not first aggregated / limited —
+    the JVM twin of the single-task-Python shape (VERDICT r10 item 5):
+    every row funnels through ONE task's sort buffer.  A global window
+    over an already-aggregated or top-k-limited input is the sanctioned
+    pattern (privacy equivalence classes, BM25 post-limit scoring) and
+    passes."""
+    lines = _tree_lines(plan)
+    for i, (_d, text) in enumerate(lines):
+        if not re.match(r"(\*\(\d+\) )?Window", text):
+            continue
+        for j, (d2, t2) in enumerate(_subtree(lines, i), start=i + 1):
+            if re.search(r"Exchange (hash|range|roundrobin)", t2, re.IGNORECASE):
+                break  # partitioned window — fine
+            if "Exchange SinglePartition" in t2:
+                for _d3, t3 in _subtree(lines, j):
+                    if re.search(
+                        r"HashAggregate|SortAggregate|ObjectHashAggregate"
+                        r"|TakeOrderedAndProject|CollectLimit|GlobalLimit"
+                        r"|LocalLimit",
+                        t3,
+                    ):
+                        break  # shrunk input — sanctioned
+                else:
+                    return True
+                break
     return False
 
 
@@ -203,6 +289,11 @@ def check(allow: set[str]) -> int:
                     f"{name}: Python stage runs single-task "
                     "(no exchange below it; new query)"
                 )
+            if a.get("global_window_unagg"):
+                regressions.append(
+                    f"{name}: global Window over unaggregated input "
+                    "(Exchange SinglePartition; new query)"
+                )
             continue
         b = base[name]
         msgs = []
@@ -216,6 +307,12 @@ def check(allow: set[str]) -> int:
         # run on an unexchanged compact scan (single-task at bench SFs)
         if a.get("single_task_python"):
             msgs.append("Python stage runs single-task (no exchange below it)")
+        # absolute invariant (VERDICT r10 item 5): a global window over
+        # unaggregated input funnels every row through one sort task
+        if a.get("global_window_unagg"):
+            msgs.append(
+                "global Window over unaggregated input (Exchange SinglePartition)"
+            )
         if msgs:
             regressions.append(f"{name}: " + "; ".join(msgs))
     spark.stop()

@@ -15,6 +15,17 @@ set -euo pipefail
 ROUND="${1:?usage: round_close.sh <round-number>}"
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
 
+# Gate 0 (VERDICT r10 item 7): refuse to stamp close artifacts on a
+# dirty tree — three r10 SCALE_sf1 truncations and an uncommitted
+# BENCH_LOCAL re-run were all working-tree drift.  The artifacts this
+# script writes must describe a COMMIT, not a moving tree.
+echo "== gate 0/4: clean working tree =="
+if [ -n "$(git -C "$REPO" status --porcelain)" ]; then
+    git -C "$REPO" status --short
+    echo "round_close: working tree is dirty — commit or stash first" >&2
+    exit 1
+fi
+
 echo "== gate 1/4: zero-row oracle audit =="
 python "$REPO/scripts/zero_row_audit.py"
 

@@ -656,3 +656,81 @@ def test_bucketed_join_eliminates_both_exchanges(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def _plan_audit_module():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit", "/root/repo/scripts/plan_audit.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_plan_audit_single_task_python_subtree_aware(spark):
+    """r10 ADVICE: the single-task-Python probe must inspect the Python
+    node's OWN child subtree — an exchange in a join's sibling branch,
+    or inside a BroadcastExchange build side, must not satisfy it."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import broadcast
+
+    pa = _plan_audit_module()
+    df = spark.range(100).withColumn("k", F.col("id") % 3)
+    other = df.groupBy("k").count()
+
+    def ident(it):
+        yield from it
+
+    def plan_of(frame):
+        return frame._jdf.queryExecution().executedPlan().toString()
+
+    # unexchanged Python feeding a join whose sibling branch shuffles
+    bad_join = df.mapInPandas(ident, df.schema).join(other, "k")
+    assert pa._single_task_python(plan_of(bad_join))
+
+    # a BroadcastExchange below the Python node does not repartition it
+    joined = df.join(broadcast(other), "k")
+    bad_bcast = joined.mapInPandas(ident, joined.schema)
+    assert pa._single_task_python(plan_of(bad_bcast))
+
+    # fanned-out producer passes, with or without the broadcast join
+    ok = df.repartition(4).mapInPandas(ident, df.schema)
+    assert not pa._single_task_python(plan_of(ok))
+    joined2 = df.repartition(4).join(broadcast(other), "k")
+    ok2 = joined2.mapInPandas(ident, joined2.schema)
+    assert not pa._single_task_python(plan_of(ok2))
+
+
+def test_plan_audit_flags_global_window_over_raw_input(spark):
+    """VERDICT r10 item 5: a partition-less Window over unaggregated
+    input funnels every row through one sort task — the JVM twin of
+    single-task Python.  Sanctioned shapes (partitioned windows, global
+    windows over aggregated or top-k-limited input) pass."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    pa = _plan_audit_module()
+    df = spark.range(100).withColumn("k", F.col("id") % 3)
+
+    def plan_of(frame):
+        return frame._jdf.queryExecution().executedPlan().toString()
+
+    bad = df.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    assert pa._global_window_unaggregated(plan_of(bad))
+
+    keyed = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("k").orderBy("id"))
+    )
+    assert not pa._global_window_unaggregated(plan_of(keyed))
+
+    over_agg = df.groupBy("k").count().withColumn(
+        "rn", F.row_number().over(Window.orderBy("k"))
+    )
+    assert not pa._global_window_unaggregated(plan_of(over_agg))
+
+    over_limit = df.limit(10).withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    assert not pa._global_window_unaggregated(plan_of(over_limit))
