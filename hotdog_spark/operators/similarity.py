@@ -774,6 +774,7 @@ def kmeans_quantized(
     id_col: str,
     k: int = 8,
     iters: int = 3,
+    base: DataFrame | None = None,
 ) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
     """Distributed Lloyd's k-means over quantized embeddings — the
     centroid trainer whose output plugs straight into ivf_topk (which
@@ -803,8 +804,12 @@ def kmeans_quantized(
     # this the parquet scan + quantization re-runs iters+2 times.  Same
     # posture as MLlib's KMeans, which caches its input for exactly this
     # reason; at 100 TB the cache is MEMORY_AND_DISK per-partition and
-    # the alternative is iters+2 full corpus re-scans.
-    base = track_persist(with_quantized(df, vec_col, id_col))
+    # the alternative is iters+2 full corpus re-scans.  Callers that
+    # already hold a persisted (vid, q, n2) table pass it as ``base`` so
+    # the derivation (and its cache) exists exactly once per query
+    # (r10 verdict item 3: the IVF-PQ recall pair derived it thrice).
+    if base is None:
+        base = track_persist(with_quantized(df, vec_col, id_col))
     cents = [
         (i, list(r["q"]))
         for i, r in enumerate(
@@ -1236,6 +1241,7 @@ def ivf_pq_topk(
     iters: int = 2,
     nprobe: int = 2,
     topk: int = 3,
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """The full IVF-PQ index shape (Jégou et al. 2011 / FAISS IVFPQ,
     public): coarse k-means partitions the corpus into ``cells``
@@ -1262,8 +1268,12 @@ def ivf_pq_topk(
     rank ≤ topk)."""
     from hotdog_spark.operators import track_persist
 
+    # One persisted quantized derivation feeds the coarse trainer, the
+    # probe collect AND (in pq_recall_report) the exact baseline leg.
+    if base is None:
+        base = track_persist(with_quantized(df, vec_col, id_col))
     assigned, cents = kmeans_quantized(
-        df, vec_col, id_col, k=cells, iters=coarse_iters
+        df, vec_col, id_col, k=cells, iters=coarse_iters, base=base
     )
     # residual = q - own-cell centroid, an integer projection: the
     # centroid table rides along as a literal array-of-arrays
@@ -1283,13 +1293,9 @@ def ivf_pq_topk(
     enc = track_persist(pq_encode(resid, books, sub, carry=(("cell", "int"),)))
 
     # probes: a driver-side handful — coarse cells, residuals and LUTs
-    # all computed in exact Python ints
-    probes = (
-        with_quantized(df, vec_col, id_col)
-        .filter(probe_filter)
-        .select("vid", "q")
-        .collect()
-    )
+    # all computed in exact Python ints; read off the cached base, not a
+    # fresh scan+quantize derivation
+    probes = base.filter(probe_filter).select("vid", "q").collect()
     if not probes:
         # zero probes would make both isin() (no args) and
         # explode(array()) invalid — the correct answer is no rows
@@ -1376,10 +1382,16 @@ def pq_recall_report(
     comparison joins two ≤ probes·k-row tables.  Returns (query_id,
     n_hits, recall_milli) with recall as an exact scaled integer —
     floats never enter, so the report hash-matches cross-engine."""
+    from hotdog_spark.operators import track_persist
+
+    # ONE persisted quantized derivation for the whole eval: the ADC leg
+    # (coarse trainer + probe collect inside ivf_pq_topk) and the exact
+    # baseline leg both read it — previously each leg re-derived
+    # scan+quantize+norm (r10 verdict item 3).
+    base = track_persist(with_quantized(df, vec_col, id_col))
     adc = ivf_pq_topk(
-        df, vec_col, id_col, probe_filter, topk=topk, **ivf_pq_kw
+        df, vec_col, id_col, probe_filter, topk=topk, base=base, **ivf_pq_kw
     ).select("query_id", "neighbor_id")
-    base = with_quantized(df, vec_col, id_col)
     probes = broadcast(
         base.filter(probe_filter).select(
             F.col("vid").alias("query_id"), F.col("q").alias("qp")
