@@ -121,6 +121,17 @@ class Global:
     parquet: ParquetConfig | None = None
     metrics: dict | None = None
     status: dict | None = None
+    # Opt-in EXTENSION (deliberate divergence from the reference): when
+    # true, a dotted template path ({{msg.type}}) whose head resolves to
+    # a JSON-text variable digs into the JSON via get_json_object.  The
+    # reference's template context is HashMap<String, String>
+    # (src/connection.rs:119-161), so rust handlebars renders "" for ANY
+    # multi-segment path — which is exactly what the default (false)
+    # reproduces.  Ported reference configs therefore keep bit-for-bit
+    # output unless they explicitly ask for the extension
+    # (`global.template_json_paths: true`, or env overlay
+    # HOTDOG_GLOBAL__TEMPLATE_JSON_PATHS=true).
+    template_json_paths: bool = False
 
 
 @dataclass
@@ -200,6 +211,20 @@ def validate_jmespath(expression: str) -> str:
         return "full"
     except jmespath_lite.JMESPathSyntaxError as e:
         raise ConfigError(f"invalid JMESPath expression {expression!r}: {e}") from e
+
+
+def _parse_bool(value, key: str) -> bool:
+    """YAML gives a real bool; the HOTDOG_* env overlay gives a string.
+    Accept the usual spellings, reject everything else loudly (a typo'd
+    toggle silently defaulting would flip template semantics)."""
+    if isinstance(value, bool):
+        return value
+    s = str(value).strip().lower()
+    if s in ("1", "true", "yes", "on"):
+        return True
+    if s in ("0", "false", "no", "off", ""):
+        return False
+    raise ConfigError(f"global.{key}: expected a boolean, got {value!r}")
 
 
 def _parse_action(raw: dict) -> Action:
@@ -304,6 +329,9 @@ def load_dict(raw: dict, environ: dict[str, str] | None = None) -> Settings:
             parquet=parquet,
             metrics=g.get("metrics"),
             status=g.get("status"),
+            template_json_paths=_parse_bool(
+                g.get("template_json_paths", False), "template_json_paths"
+            ),
         ),
         rules=rules,
         schemas=schemas,

@@ -195,28 +195,43 @@ def _hb_truthy(col: Column) -> Column:
     return col.isNotNull() & (col.cast("string") != F.lit(""))
 
 
-def _resolve_var(name: str, variables: dict[str, Column]) -> Column | None:
+def _resolve_var(
+    name: str, variables: dict[str, Column], json_paths: bool = False
+) -> Column | None:
     """Resolve a (possibly dotted) handlebars reference to a Column.
 
-    A bare name looks up the variables map.  ``a.b.c`` resolves the
-    HEAD segment in the map and digs the remaining path into the
-    value's JSON structure via ``get_json_object`` (compile-time
-    constant path — Catalyst, no UDF).  Digging into a non-JSON or
-    scalar string yields null → "" downstream, which is exactly what
-    rust handlebars renders when a path navigates into a
-    ``Json::String`` (the reference's context is ``HashMap<String,
-    String>``, src/connection.rs:119-161, so every multi-segment path
-    on a scalar-valued variable renders empty there too).  Where the
-    variable's value IS a JSON document — the natural case in this
-    engine, e.g. ``{{msg.level}}`` on a JSON payload, or ``{{this.k}}``
-    inside ``{{#each}}`` over an array of objects — the path resolves
-    into it, matching handlebars' own behavior on structured contexts
-    (objects/arrays render as their JSON text, scalars unquoted, JSON
-    null as empty).  An unknown head resolves to None (statically
-    absent, same as an unknown bare name)."""
+    A bare name looks up the variables map.  What a dotted ``a.b.c``
+    does depends on ``json_paths``:
+
+    * ``False`` (default — strict reference parity): the reference's
+      template context is ``HashMap<String, String>``
+      (src/connection.rs:119-161), so rust handlebars renders "" for
+      ANY multi-segment path — a String context has nothing to navigate
+      into.  A dotted name that is not literally a key in the variables
+      map therefore resolves to None (→ "" downstream, inverse block in
+      block heads), bit-for-bit what the reference emits.
+    * ``True`` (opt-in EXTENSION, ``global.template_json_paths``): the
+      head segment resolves in the map and the remaining path digs into
+      the value's JSON structure via ``get_json_object`` (compile-time
+      constant path — Catalyst, no UDF).  Digging into a non-JSON or
+      scalar string yields null → "" (what handlebars renders
+      navigating into a ``Json::String``); where the value IS a JSON
+      document — ``{{msg.level}}`` on a JSON payload, ``{{this.k}}``
+      inside ``{{#each}}`` over an array of objects — the path resolves
+      into it, matching handlebars' own behavior on structured contexts
+      (objects/arrays render as their JSON text, scalars unquoted, JSON
+      null as empty).
+
+    The gate exists because the extension semantics were validated only
+    against this engine's own oracle, not the reference (ADVICE r10):
+    a ported reference config must not silently change output, so the
+    dig is off unless the config asks for it.  An unknown head resolves
+    to None (statically absent, same as an unknown bare name)."""
     var = variables.get(name)
     if var is not None or "." not in name:
         return var
+    if not json_paths:
+        return None
     head, _, rest = name.partition(".")
     base = variables.get(head)
     if base is None:
@@ -229,6 +244,7 @@ def _compile_nodes(
     variables: dict[str, Column],
     partials: dict[str, str] | None = None,
     _stack: tuple[str, ...] = (),
+    json_paths: bool = False,
 ) -> Column:
     parts: list[Column] = []
     for node in nodes:
@@ -261,11 +277,13 @@ def _compile_nodes(
                 _tokenize_template(partials[name]), 0, None
             )
             parts.append(
-                _compile_nodes(sub_nodes, variables, partials, (*_stack, name))
+                _compile_nodes(
+                    sub_nodes, variables, partials, (*_stack, name), json_paths
+                )
             )
         elif kind == "var":
             _, name, raw = node
-            var = _resolve_var(name, variables)
+            var = _resolve_var(name, variables, json_paths)
             if var is None:
                 parts.append(F.lit(""))
             else:
@@ -273,9 +291,11 @@ def _compile_nodes(
                 parts.append(rendered if raw else _hb_escape(rendered))
         elif kind == "if":
             _, name, body, else_nodes = node
-            then_col = _compile_nodes(body, variables, partials, _stack)
-            else_col = _compile_nodes(else_nodes or [], variables, partials, _stack)
-            var = _resolve_var(name, variables)
+            then_col = _compile_nodes(body, variables, partials, _stack, json_paths)
+            else_col = _compile_nodes(
+                else_nodes or [], variables, partials, _stack, json_paths
+            )
+            var = _resolve_var(name, variables, json_paths)
             if var is None:
                 # undefined is statically falsy: constant-fold to the
                 # inverse block (what Catalyst would do anyway)
@@ -286,8 +306,10 @@ def _compile_nodes(
                 )
         else:  # each
             _, name, body, else_nodes = node
-            else_col = _compile_nodes(else_nodes or [], variables, partials, _stack)
-            var = _resolve_var(name, variables)
+            else_col = _compile_nodes(
+                else_nodes or [], variables, partials, _stack, json_paths
+            )
+            var = _resolve_var(name, variables, json_paths)
             if var is None:
                 parts.append(else_col)
                 continue
@@ -311,6 +333,7 @@ def _compile_nodes(
                         {"this": x, "@index": i.cast("string")},
                         partials,
                         _stack,
+                        json_paths,
                     ),
                 ),
                 "",
@@ -328,6 +351,7 @@ def compile_template(
     template: str,
     variables: dict[str, Column],
     partials: dict[str, str] | None = None,
+    json_paths: bool = False,
 ) -> Column:
     """Handlebars-subset template → one Catalyst expression.
 
@@ -346,12 +370,16 @@ def compile_template(
       JVM-side, no UDF.  Non-array / empty values render the
       ``{{else}}`` (inverse) block, matching handlebars.
 
-    Dotted paths (``{{a.b.c}}``, raw forms, and block heads — r9
-    verdict item 5) resolve the head in the variables map and dig the
-    rest into the value's JSON structure via ``get_json_object`` (see
-    :func:`_resolve_var` for the exact semantics and the
-    reference-parity argument).  ``{{this.k}}`` inside ``{{#each}}``
-    digs into array elements — handlebars' own object-iteration shape.
+    Dotted paths (``{{a.b.c}}``, raw forms, and block heads) render ""
+    by DEFAULT — strict reference parity, since the reference's context
+    is ``HashMap<String, String>`` and rust handlebars cannot navigate
+    into a String (ADVICE r10).  With ``json_paths=True`` (the
+    ``global.template_json_paths`` opt-in) the head resolves in the
+    variables map and the rest digs into the value's JSON structure via
+    ``get_json_object`` — a documented EXTENSION, not parity; see
+    :func:`_resolve_var` for the exact semantics.  Under the extension
+    ``{{this.k}}`` inside ``{{#each}}`` digs into array elements —
+    handlebars' own object-iteration shape.
 
     Partials (``{{> p}}`` — r10 verdict item 4) inline at COMPILE time:
     ``partials`` maps registered template ids to their source (the
@@ -376,7 +404,7 @@ def compile_template(
     literals (the analog of the reference's template precompilation).
     """
     nodes, _, _ = _parse_nodes(_tokenize_template(template), 0, None)
-    return _compile_nodes(nodes, variables, partials)
+    return _compile_nodes(nodes, variables, partials, (), json_paths)
 
 
 def _jsonpath(path: str) -> str:
@@ -482,6 +510,7 @@ def compile_rule(
     sink_schemas: dict[str, "object"] | None = None,
     merge_mode: str = "exact",
     partials: dict[str, str] | None = None,
+    json_paths: bool = False,
 ) -> CompiledRule:
     """Lower one rule's match + action walk to Column expressions.
 
@@ -506,18 +535,22 @@ def compile_rule(
 
     for action in rule.actions:
         if action.kind == "forward":
-            topic = compile_template(action.topic, variables, partials)
+            topic = compile_template(
+                action.topic, variables, partials, json_paths
+            )
             emitted = True
             break  # forward breaks the action loop (src/connection.rs:210)
         if action.kind == "replace":
-            output = compile_template(action.template, variables, partials)
+            output = compile_template(
+                action.template, variables, partials, json_paths
+            )
             output_set = True
         elif action.kind == "merge":
             valid = is_valid_json(msg)
             if isinstance(action.json_value, dict):
                 merged = _compile_merge(
                     rule, action, msg, variables, sink_schemas, merge_mode,
-                    partials,
+                    partials, json_paths,
                 )
                 output = F.when(valid, merged).otherwise(output)
             else:
@@ -573,6 +606,7 @@ def _compile_merge(
     sink_schemas: dict[str, "object"] | None,
     merge_mode: str,
     partials: dict[str, str] | None = None,
+    json_paths: bool = False,
 ) -> Column:
     """Lower one merge action: native withField graft when possible,
     exact pandas UDF otherwise."""
@@ -585,13 +619,13 @@ def _compile_merge(
 
             def render_leaf(v):
                 return (
-                    compile_template(v, variables, partials)
+                    compile_template(v, variables, partials, json_paths)
                     if isinstance(v, str)
                     else F.lit(v)
                 )
 
             return merge_static_object(msg, schema, action.json_value, render_leaf)
-    patch = compile_template(action.json_str, variables, partials)
+    patch = compile_template(action.json_str, variables, partials, json_paths)
     return merge_json_udf(msg, patch)
 
 
@@ -633,8 +667,11 @@ def compile_cascade(
         s.topic: schema_mod.sink_schema_to_struct(s) for s in settings.schemas
     }
     partials = template_registry(settings)
+    json_paths = settings.global_.template_json_paths
     compiled = [
-        compile_rule(r, i, env, iso8601, sink_schemas, merge_mode, partials)
+        compile_rule(
+            r, i, env, iso8601, sink_schemas, merge_mode, partials, json_paths
+        )
         for i, r in enumerate(settings.rules)
     ]
 

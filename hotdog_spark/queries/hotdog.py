@@ -424,8 +424,11 @@ def template_block_helpers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def template_dotted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Handlebars DOTTED PATHS through the full cascade (VERDICT r9
-    item 5 — the reference's full Handlebars engine resolves paths,
-    src/connection.rs:260-289; the compiled subset now accepts them):
+    item 5), under the ``template_json_paths`` OPT-IN — a documented
+    extension, not reference parity: the reference's context is
+    ``HashMap<String, String>`` (src/connection.rs:119-161) so rust
+    handlebars renders "" for every multi-segment path, and that is
+    what this engine's default does too (ADVICE r10):
     the message is a JSON document and the replace template digs into
     it with {{msg.type}}, a two-hop {{msg.u.id}}, {{#each msg.tags}}
     iterating an array of OBJECTS with element-context {{this.k}}
@@ -437,7 +440,11 @@ def template_dotted_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     settings = load_dict(
         {
-            "global": {"listen": {"port": 1}},
+            # The JSON-dig is an opt-in EXTENSION (ADVICE r10): default
+            # semantics are strict reference parity (dotted paths render
+            # "" because the reference's context is HashMap<String,
+            # String>); this query exercises the extension explicitly.
+            "global": {"listen": {"port": 1}, "template_json_paths": True},
             "rules": [
                 {
                     "regex": ".",

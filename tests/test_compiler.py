@@ -443,16 +443,17 @@ def test_template_each_block(spark):
 
 
 def test_template_dotted_paths(spark):
-    """Dotted paths (VERDICT r9 item 5): {{a.b.c}} resolves the head in
-    the variables map and digs the remainder into the value's JSON via
-    get_json_object.  Digging into a scalar / non-JSON string renders ""
-    (exactly what rust handlebars renders navigating a path into a
-    Json::String — the reference's context values are all Strings);
-    object values render structured access: strings unquoted, numbers
-    as text, objects as compact JSON text, JSON null / missing as "".
-    {{this.k}} inside {{#each}} digs into array elements (handlebars'
-    own object-iteration shape), and paths work in block heads, raw
-    forms, and escape like any double-stache."""
+    """Dotted paths under json_paths=True (the template_json_paths
+    opt-in — a documented EXTENSION, ADVICE r10): {{a.b.c}} resolves
+    the head in the variables map and digs the remainder into the
+    value's JSON via get_json_object.  Digging into a scalar / non-JSON
+    string renders "" (what rust handlebars renders navigating a path
+    into a Json::String); object values render structured access:
+    strings unquoted, numbers as text, objects as compact JSON text,
+    JSON null / missing as "".  {{this.k}} inside {{#each}} digs into
+    array elements (handlebars' own object-iteration shape), and paths
+    work in block heads, raw forms, and escape like any
+    double-stache."""
     from pyspark.sql import functions as F
 
     df = spark.range(1)
@@ -464,19 +465,21 @@ def test_template_dotted_paths(spark):
         "plain": F.lit("not json"),
         "x": F.lit("X"),
     }
+
+    def ct(t):
+        return compile_template(t, V, json_paths=True)
+
     out = df.select(
-        compile_template("{{msg.level}}", V).alias("a"),
-        compile_template("{{{msg.level}}}", V).alias("a_raw"),
-        compile_template("{{msg.n}}|{{msg.meta.host}}", V).alias("b"),
-        compile_template("{{{msg.meta}}}", V).alias("c"),
-        compile_template("{{msg.nul}}|{{msg.missing}}|{{plain.x}}", V).alias("d"),
-        compile_template("{{#if msg.level}}Y{{else}}N{{/if}}", V).alias("e"),
-        compile_template("{{#if msg.nul}}Y{{else}}N{{/if}}", V).alias("f"),
-        compile_template(
-            "{{#each msg.objs}}[{{this.k}}]{{/each}}", V
-        ).alias("g"),
-        compile_template("{{#each msg.meta}}X{{else}}E{{/each}}", V).alias("h"),
-        compile_template("{{unknown.path}}", V).alias("i"),
+        ct("{{msg.level}}").alias("a"),
+        ct("{{{msg.level}}}").alias("a_raw"),
+        ct("{{msg.n}}|{{msg.meta.host}}").alias("b"),
+        ct("{{{msg.meta}}}").alias("c"),
+        ct("{{msg.nul}}|{{msg.missing}}|{{plain.x}}").alias("d"),
+        ct("{{#if msg.level}}Y{{else}}N{{/if}}").alias("e"),
+        ct("{{#if msg.nul}}Y{{else}}N{{/if}}").alias("f"),
+        ct("{{#each msg.objs}}[{{this.k}}]{{/each}}").alias("g"),
+        ct("{{#each msg.meta}}X{{else}}E{{/each}}").alias("h"),
+        ct("{{unknown.path}}").alias("i"),
     ).collect()[0]
     assert out.a == "&lt;w&gt;"          # paths escape like plain vars
     assert out.a_raw == "<w>"
@@ -487,6 +490,75 @@ def test_template_dotted_paths(spark):
     assert out.g == "[a][2][]"           # element-context digging
     assert out.h == "E"                  # object is not an array
     assert out.i == ""                   # unknown head: statically empty
+
+
+def test_template_dotted_paths_default_is_reference_parity(spark):
+    """DEFAULT dotted-path semantics are strict reference parity
+    (ADVICE r10): the reference's template context is HashMap<String,
+    String> (src/connection.rs:119-161), so rust handlebars renders ""
+    for ANY multi-segment path — even when the variable's value happens
+    to be JSON text.  Without the opt-in, {{msg.level}} on a JSON msg
+    must render "" (NOT dig), dotted block heads constant-fold to the
+    inverse block, and a variable literally named with a dot in the map
+    still resolves (it's a plain key lookup, not navigation)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(1)
+    V = {
+        "msg": F.lit('{"level":"warn","tags":["a","b"]}'),
+        "dotted.key": F.lit("LIT"),
+    }
+    out = df.select(
+        compile_template("[{{msg.level}}]", V).alias("a"),
+        compile_template("{{#if msg.level}}Y{{else}}N{{/if}}", V).alias("b"),
+        compile_template("{{#each msg.tags}}X{{else}}E{{/each}}", V).alias("c"),
+        compile_template("{{dotted.key}}", V).alias("d"),
+        compile_template("{{{msg}}}", V, json_paths=False).alias("e"),
+    ).collect()[0]
+    assert out.a == "[]"     # no JSON dig by default — reference parity
+    assert out.b == "N"      # dotted head is statically absent -> inverse
+    assert out.c == "E"
+    assert out.d == "LIT"    # literal map key wins regardless of the gate
+    assert out.e == '{"level":"warn","tags":["a","b"]}'  # bare names free
+
+    # The cascade threads the flag from Settings: same config, flag off
+    # vs on, diverges exactly on the dug fragment.
+    from hotdog_spark.config import load_dict
+    from hotdog_spark.plans.compiler import compile_cascade
+
+    def routed(flag):
+        settings = load_dict(
+            {
+                "global": {"listen": {"port": 1},
+                           "template_json_paths": flag},
+                "rules": [
+                    {
+                        "regex": ".",
+                        "field": "msg",
+                        "actions": [
+                            {"type": "replace",
+                             "template": "L={{msg.level}}"},
+                            {"type": "forward", "topic": "t"},
+                        ],
+                    }
+                ],
+            },
+            environ={},
+        )
+        cc = compile_cascade(settings)
+        return (
+            df.select(
+                F.lit('{"level":"warn"}').alias("msg"),
+                *[F.lit(None).cast("string").alias(c)
+                  for c in ("severity", "facility", "hostname", "appname")],
+            )
+            .select(cc.payload.alias("payload"))
+            .collect()[0]
+            .payload
+        )
+
+    assert routed(False) == "L="      # reference parity
+    assert routed(True) == "L=warn"   # documented extension
 
 
 def test_dry_run(spark, canonical):
