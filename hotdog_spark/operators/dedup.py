@@ -163,6 +163,62 @@ def _minhash_signatures_expr(
     )
 
 
+#: Salt fan-out for :func:`_capped_bucket_arrays` — bounds any single
+#: task's share of a degenerate bucket at ~bucket/SALT rows in level 1
+#: and SALT·(cap+1) array elements in level 2.
+_CAP_SALT = 16
+
+
+def _capped_bucket_arrays(
+    rows: DataFrame, keys: list[str], value, cap: int
+) -> DataFrame:
+    """Per-(keys) bucket id arrays with an over-cap drop that NO task
+    ever pays for (ADVICE r10), in a single pass over ``rows``.
+
+    The naive shapes both concentrate a degenerate bucket — the exact
+    case the cap exists for: a meaningful corpus fraction sharing one
+    signature — in one task: a window count hash-exchanges every row of
+    the bucket to one partition before filtering, and a plain
+    ``groupBy``/``collect_list`` builds the whole giant array in one
+    reduce task.  A census + broadcast anti-join avoids the funnel but
+    needs a SECOND pass over the signature table (measured ~2× on the
+    bench: one extra job + cache write per query).
+
+    This shape is two-level salted aggregation, both levels map-side
+    combinable, one full-row exchange total:
+
+    1. group by (keys, hash(value) % _CAP_SALT): per sub-bucket, a row
+       count and the sorted value list SLICED to cap+1 elements.  A
+       bucket that survives the cap has ≤ cap rows total, so no kept
+       sub-list is ever truncated; an over-cap bucket's sub-lists are
+       truncated freely — it is about to be dropped, only its COUNT
+       must stay exact (the slice caps per-task state at cap+1 per
+       sub-bucket even when one bucket holds 10⁹ rows).
+    2. group by (keys): total = sum of sub-counts (exact), bucket drop
+       by ``total > cap``, then flatten + sort the ≤ SALT·(cap+1)
+       surviving elements.  The level-2 exchange carries ≤ SALT rows
+       per bucket regardless of bucket size.
+
+    Returns (keys…, ids) with ids sorted, |ids| in [2, cap]."""
+    val = F.col(value) if isinstance(value, str) else value
+    salted = rows.groupBy(
+        *keys, F.pmod(F.hash(val), F.lit(_CAP_SALT)).alias("_salt")
+    ).agg(
+        F.count(F.lit(1)).alias("_np"),
+        F.slice(F.array_sort(F.collect_list(val)), 1, cap + 1).alias("_part"),
+    )
+    return (
+        salted.groupBy(*keys)
+        .agg(
+            F.sum("_np").alias("_bn"),
+            F.flatten(F.collect_list("_part")).alias("_flat"),
+        )
+        .filter(F.col("_bn") <= cap)
+        .select(*keys, F.array_sort("_flat").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -174,10 +230,12 @@ def minhash_lsh_pairs(
     """Candidate near-duplicate pairs: docs sharing any band signature.
     Returns distinct (id_a, id_b) with id_a < id_b.
 
-    The signature table is persisted before the self-join — otherwise
-    Spark recomputes the whole shingle→md5→agg pipeline once per join
-    side (measured 2× cost).  At data-lake scale the equivalent move is
-    materializing signatures to a table and joining that.
+    The capped path is a single-consumer linear pipeline (no persist
+    needed); the UNCAPPED path persists the signature table because it
+    feeds both sides of the self-join — otherwise Spark recomputes the
+    whole shingle→md5→agg pipeline once per side (measured 2× cost).
+    At data-lake scale the equivalent move is materializing signatures
+    to a table and joining that.
 
     SHINGLE WIDTH is the candidate-volume dial: band minima collide
     whenever two docs share low-hash shingles, so if the shingle
@@ -198,17 +256,20 @@ def minhash_lsh_pairs(
     oracles mirror it with a HAVING on bucket size), not a silent
     truncation.
 
-    PLAN SHAPE (round-10 rewrite): the capped path is join-free — ONE
-    hash exchange on (band, sig), a spill-safe window count that applies
-    the cap inline, a ``collect_list`` per bucket that REUSES the same
-    partitioning (no second exchange), and JVM-side pair emission via
-    ``posexplode`` + ``slice`` over the sorted id array.  The previous
-    shape (keep-aggregate + broadcast keep-join + bucket self-join)
-    shuffled the signature table three times and was measured 1.6× over
-    the pre-cap r8 plan at sf0.1 even with the capped table persisted;
-    this shape shuffles it once, needs no persist (single consumer
-    pipeline), and the cap costs one windowed count instead of an
-    aggregate plus a join.  Per-bucket pair fan-out is bounded by
+    PLAN SHAPE (r10 join-free rewrite; cap de-funneled in r11): the
+    capped path exchanges full signature rows exactly ONCE, and no
+    single task ever holds a degenerate bucket: the bucket arrays come
+    from :func:`_capped_bucket_arrays` — two-level salted aggregation
+    whose level-1 slice bounds per-task state at cap+1 elements per
+    sub-bucket and whose level-2 merge drops over-cap buckets from an
+    exact sub-count sum (ADVICE r10 — the earlier inline window count
+    funneled the whole degenerate bucket through one spilling task
+    before discarding it, and a census + broadcast anti-join costs a
+    second pass over the signature table).  Pair emission stays
+    JVM-side and join-free: ``posexplode`` + ``slice`` over the sorted
+    id array.  The r8/r9 shape (keep-aggregate + broadcast keep-join +
+    bucket self-join) shuffled the signature table three times; this
+    shape shuffles it once.  Per-bucket pair fan-out is bounded by
     C(max_bucket, 2), so the exploded slice arrays stay small.
 
     The UNCAPPED path (max_bucket=None) keeps the persisted bucket
@@ -217,14 +278,8 @@ def minhash_lsh_pairs(
     O(bucket)-element slice per emitted row."""
     sigs = minhash_signatures(df, text_col, id_col, bands, k)
     if max_bucket is not None:
-        buckets = (
-            sigs.withColumn(
-                "_bn", F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
-            )
-            .filter(F.col("_bn") <= max_bucket)
-            .groupBy("band", "sig")
-            .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-            .filter(F.size("ids") >= 2)
+        buckets = _capped_bucket_arrays(
+            sigs, ["band", "sig"], "id", max_bucket
         )
         return (
             buckets.select(F.posexplode("ids").alias("_i", "id_a"), "ids")
@@ -361,16 +416,11 @@ def minhash_jaccard_estimates(
     sigs = track_persist(minhash_signatures(df, text_col, id_col, bands, k))
     if max_bucket is not None:
         # same bucket cap as minhash_lsh_pairs: candidate GENERATION
-        # skips degenerate buckets; the per-pair agreement count below
-        # still uses the full signature table
-        buckets = (
-            sigs.withColumn(
-                "_bn", F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
-            )
-            .filter(F.col("_bn") <= max_bucket)
-            .groupBy("band", "sig")
-            .agg(F.array_sort(F.collect_list("id")).alias("ids"))
-            .filter(F.size("ids") >= 2)
+        # skips degenerate buckets without ever concentrating one in a
+        # task (two-level salted aggregation); the per-pair agreement
+        # count below still uses the full signature table
+        buckets = _capped_bucket_arrays(
+            sigs, ["band", "sig"], "id", max_bucket
         )
         cands = (
             buckets.select(F.posexplode("ids").alias("_i", "id_a"), "ids")
@@ -1359,9 +1409,13 @@ def simhash_hamming_pairs_from_hashes(
     ``bit_count(xor)`` verification via ``posexplode`` + ``slice``.
     The previous shape (keep-aggregate + keep-join + block self-join)
     evaluated the md5-per-token simhash derivation once per join side
-    and shuffled the block table three times; this one is a single
-    linear pipeline, so no persist is needed anywhere.  Per-bucket
-    fan-out is bounded by C(max_bucket, 2)."""
+    and shuffled the block table three times; now the pipeline is
+    single-consumer and linear (no persist), with one full-row exchange
+    — the salted level-1 aggregation of :func:`_capped_bucket_arrays`
+    — and no task ever holds an over-cap bucket (ADVICE r10: the
+    earlier inline window count funneled the whole degenerate bucket
+    through one task before discarding it).  Per-bucket fan-out is
+    bounded by C(max_bucket, 2)."""
     assert max_hamming <= n_blocks - 1, "pigeonhole needs hamming < blocks"
     assert bits % n_blocks == 0
     width = bits // n_blocks
@@ -1383,17 +1437,9 @@ def simhash_hamming_pairs_from_hashes(
         ).alias("blk"),
     ).select("id", "simhash", "blk.b", "blk.bv")
 
-    buckets = (
-        blocks.withColumn(
-            "_bn", F.count(F.lit(1)).over(Window.partitionBy("b", "bv"))
-        )
-        .filter(F.col("_bn") <= max_bucket)
-        .groupBy("b", "bv")
-        .agg(
-            F.array_sort(F.collect_list(F.struct("id", "simhash"))).alias("xs")
-        )
-        .filter(F.size("xs") >= 2)
-    )
+    buckets = _capped_bucket_arrays(
+        blocks, ["b", "bv"], F.struct("id", "simhash"), max_bucket
+    ).withColumnRenamed("ids", "xs")
     # array_sort on the struct orders by its first field (id), so the
     # posexplode/slice emission below yields id_a < id_b directly
     cand = (

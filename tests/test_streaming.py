@@ -1046,6 +1046,121 @@ def test_watermark_keeps_late_rows_within_bound(spark, tmp_path):
         q.stop()
 
 
+def test_watermark_split_matches_batch_twin(spark, tmp_path):
+    """Late-data PARITY pin (VERDICT r10 item 8): the streaming
+    accepted/late split is ORACLE-CHECKED against a batch twin that
+    replays Spark's documented watermark contract with the same cutoff,
+    instead of hand-computed expected counts.
+
+    Twin semantics (Structured Streaming docs, "Handling Late Data and
+    Watermarking"): the watermark in effect during micro-batch i is
+    ``max(event time over batches 0..i-1) - delay``; a row is folded
+    into its window iff that window is still open — ``window_end >
+    watermark_i`` (state for closed windows has been evicted); append
+    mode finally emits every window once the watermark passes its end.
+    The twin computes wm_i per batch in plain Python, splits every
+    input row into accepted/late, batch-aggregates the accepted set,
+    and the streaming memory-sink output must equal it exactly — and
+    must differ from the no-watermark batch aggregate (proving the
+    split is non-trivial: late rows exist and were dropped)."""
+    from collections import Counter
+    from datetime import datetime, timedelta
+
+    from hotdog_spark.streaming.runner import windowed_counts_stream
+
+    delay = timedelta(minutes=10)
+    width = timedelta(hours=1)
+
+    # arrival schedule: list of micro-batches of (event_ts, key); mixes
+    # on-time rows, late-but-open rows, and late-behind-closed-window
+    # rows across two keys and four windows
+    batches = [
+        [("2024-01-01 10:05:00", "a"), ("2024-01-01 10:20:00", "b")],
+        [("2024-01-01 11:40:00", "a"), ("2024-01-01 10:59:00", "a")],
+        # wm now 11:30 → hour-10 window (ends 11:00) CLOSED: first row
+        # late-dropped; 11:25 lands in the still-open hour-11 window
+        [("2024-01-01 10:45:00", "a"), ("2024-01-01 11:25:00", "b")],
+        [("2024-01-01 13:05:00", "b"), ("2024-01-01 11:55:00", "a")],
+        # wm 12:55 → hour-11 (ends 12:00) closed: 11:05 late-dropped;
+        # 12:59 in hour-12 (ends 13:00 > wm) still open
+        [("2024-01-01 11:05:00", "b"), ("2024-01-01 12:59:00", "a")],
+        # flush: advance far enough to close every window
+        [("2024-01-01 20:00:00", "a")],
+    ]
+
+    def parse(s):
+        return datetime.strptime(s, "%Y-%m-%d %H:%M:%S")
+
+    # ---- batch twin: replay the watermark contract ----
+    accepted, late = [], []
+    max_seen = None  # max event time over PRIOR batches
+    for batch in batches:
+        wm = (max_seen - delay) if max_seen is not None else None
+        for ts_s, key in batch:
+            ts = parse(ts_s)
+            window_start = ts.replace(minute=0, second=0)
+            window_end = window_start + width
+            if wm is None or window_end > wm:
+                accepted.append((window_start, key))
+            else:
+                late.append((ts_s, key))
+        batch_max = max(parse(t) for t, _ in batch)
+        max_seen = batch_max if max_seen is None else max(max_seen, batch_max)
+    # append mode only EMITS windows the final watermark has closed
+    # (window_end <= wm); a still-open window — the flush row's own
+    # hour-20 window here — is accepted into state but never output
+    final_wm = max_seen - delay
+    twin = Counter(
+        (ws.strftime("%Y-%m-%d %H:%M:%S"), k)
+        for ws, k in accepted
+        if ws + width <= final_wm
+    )
+    assert len(twin) < len(
+        {(ws, k) for ws, k in accepted}
+    ), "schedule must leave one window open at stop (emission ≠ acceptance)"
+
+    # the split must be non-trivial, and a no-watermark aggregate differs
+    assert late, "schedule must contain genuinely late rows"
+    no_wm = Counter(
+        (parse(t).replace(minute=0, second=0).strftime("%Y-%m-%d %H:%M:%S"), k)
+        for b in batches
+        for t, k in b
+    )
+    assert twin != no_wm
+
+    # ---- the streaming leg, same cutoff ----
+    src = tmp_path / "in_twin"
+    src.mkdir()
+    raw = spark.readStream.format("text").load(str(src))
+    events = raw.select(
+        F.to_timestamp(F.split("value", ",")[0]).alias("ts"),
+        F.split("value", ",")[1].alias("k"),
+    )
+    counts = windowed_counts_stream(
+        events, "ts", "k", width="1 hour", watermark="10 minutes"
+    )
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("wm_twin_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_twin"))
+        .start()
+    )
+    try:
+        for i, batch in enumerate(batches):
+            (src / f"b{i}.txt").write_text(
+                "".join(f"{t},{k}\n" for t, k in batch)
+            )
+            q.processAllAvailable()
+        got = {
+            (r.window_start, r.k): r.n
+            for r in spark.sql("SELECT * FROM wm_twin_sink").collect()
+        }
+    finally:
+        q.stop()
+    assert got == dict(twin)
+
+
 def test_stream_static_enrichment(spark, tmp_path):
     """Stream-static join: each micro-batch enriches against a broadcast
     dimension; the stream side never shuffles."""
