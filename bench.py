@@ -114,6 +114,7 @@ HEADLINE = [
     "decontaminate_ngram_overlap", # broadcast benchmark-gram decontamination
     "pipeline_corpus_build",       # composed scrub→gate→dedup→pack pipeline
     "dedup_chunk_boilerplate",     # sub-document repeated-span removal
+    "dedup_cdc_chunk_stats",       # Rabin CDC chunking + cross-doc chunk sharing
     "export_shard_manifest",       # deterministic shard + order manifest
     "dedup_winnowing_pairs",       # MOSS stage-2 fingerprint pair join
     "agg_approx_distinct_users_sketch_only",  # HLL rollup, sketch cost only

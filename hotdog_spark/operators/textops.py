@@ -361,6 +361,148 @@ def winnowing_fingerprints(
     )
 
 
+CDC_K = 16       # rolling-hash gram width for chunk boundaries
+CDC_DIV = 64     # boundary divisor: expected chunk length ~ CDC_DIV chars
+
+
+def cdc_chunk_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = CDC_K,
+    div: int = CDC_DIV,
+) -> DataFrame:
+    """Content-defined chunking (CDC) dedup profile — Rabin-style
+    chunking (Muthitacharoen, Chen & Mazières 2001, "A low-bandwidth
+    network file system", public; the same boundary rule restic/borg/
+    LBFS use): a chunk boundary falls wherever the rolling k-gram
+    Rabin-Karp hash ≡ 0 (mod ``div``).  Boundaries are a pure function
+    of LOCAL content, so an insertion near the start of a document
+    shifts at most one boundary instead of re-aligning every fixed-
+    width chunk — the property that makes CDC the standard sub-document
+    dedup unit for storage systems and training-corpus pipelines alike
+    (shared boilerplate paragraphs hash to identical chunks no matter
+    where they sit in the document).
+
+    Semantics (mirrored integer-exactly by the DuckDB oracle): text is
+    normalized (lower, whitespace collapsed, trimmed); gram hashes use
+    the winnowing constants (B=257, M=2³¹−1); cut positions are the
+    hash indices i ≥ 2 with hash[i] % div == 0 (i ≥ 2 keeps the first
+    chunk non-empty); chunks are the substrings between consecutive
+    boundaries [1, cuts…, len+1], each identified by its md5.  A
+    document shorter than k chars is one whole-text chunk; empty text
+    yields no chunks.
+
+    Returns one row per document: (doc_id, n_chunks, n_unique
+    within-doc distinct chunk hashes, n_shared chunk instances whose
+    hash also occurs in ≥ 1 OTHER document, shared_ppm = n_shared·10⁶
+    div n_chunks — exact integer arithmetic, no floats).
+
+    PLAN SHAPE: chunking is one fanned-out projection (array-land JVM
+    codegen — no explode until the instance table, no UDF anywhere);
+    the instance table aggregates by (doc, chunk-hash) — no hot key:
+    per-doc cardinality is bounded — then by chunk-hash with map-side
+    combinable MIN/MAX partials (a boilerplate chunk shared by every
+    document costs one partial row per map task, never a full-row
+    funnel); the shared flag returns via an equi-join on chunk-hash
+    that AQE's skew-join handling splits if a hash is degenerate-hot,
+    and the final per-doc rollup re-keys by doc_id.  Three exchanges +
+    one join, all keyed, corpus never self-joined."""
+    from hotdog_spark.operators import fan_out
+
+    pw = [pow(WINNOW_B, k - 1 - j, WINNOW_M) for j in range(k)]
+
+    staged = (
+        fan_out(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.trim(
+                F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+            ).alias("_norm"),
+        )
+        .filter(F.length("_norm") >= 1)
+        .select(
+            "doc_id",
+            "_norm",
+            F.transform(
+                F.split(F.col("_norm"), ""),
+                lambda c: F.ascii(c).cast("bigint"),
+            ).alias("_codes"),
+        )
+    )
+
+    codes = F.col("_codes")
+
+    def gram_hash(i: Column) -> Column:
+        acc = None
+        for j, p in enumerate(pw):
+            term = F.element_at(codes, i + j) * F.lit(p).cast("bigint")
+            acc = term if acc is None else acc + term
+        return acc % F.lit(WINNOW_M).cast("bigint")
+
+    n = F.size(codes)
+    hashes_expr = F.when(
+        n >= k, F.transform(F.sequence(F.lit(1), n - k + 1), gram_hash)
+    ).otherwise(F.array().cast("array<bigint>"))
+    with_h = staged.select("doc_id", "_norm", hashes_expr.alias("_hashes"))
+
+    h = F.col("_hashes")
+    # cut indices: i in [2, size(h)] with h[i] % div == 0.  sequence()
+    # DESCENDS when end < start (the repo's documented trap), so gate on
+    # size(h) >= 2 before building [2..size(h)].
+    cuts = F.when(
+        F.size(h) >= 2,
+        F.filter(
+            F.sequence(F.lit(2).cast("bigint"), F.size(h).cast("bigint")),
+            lambda i: F.element_at(h, i.cast("int")) % div == 0,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    bounds = F.concat(
+        F.array(F.lit(1).cast("bigint")),
+        cuts,
+        F.array((F.length("_norm") + 1).cast("bigint")),
+    )
+    with_b = with_h.select("doc_id", "_norm", bounds.alias("_bs"))
+
+    bs = F.col("_bs")
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(bs) - 1),
+        lambda j: F.md5(
+            F.col("_norm").substr(
+                F.element_at(bs, j).cast("int"),
+                (F.element_at(bs, j + 1) - F.element_at(bs, j)).cast("int"),
+            )
+        ),
+    )
+    inst = with_b.select(
+        "doc_id", F.explode(chunks).alias("ch")
+    )
+
+    per_doc_ch = inst.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    ch_shared = per_doc_ch.groupBy("ch").agg(
+        (F.min("doc_id") != F.max("doc_id")).alias("shared")
+    )
+    return (
+        per_doc_ch.join(ch_shared, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").alias("n_chunks"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.sum(F.when(F.col("shared"), F.col("n_occ")).otherwise(F.lit(0)))
+            .alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_unique",
+            "n_shared",
+            F.expr("n_shared * 1000000 div n_chunks").alias("shared_ppm"),
+        )
+    )
+
+
 def winnowing_pairs(
     df: DataFrame, text_col: str, id_col: str,
     k: int = 20, w: int = WINNOW_W,

@@ -280,6 +280,76 @@ def text_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumnRenamed("id", "doc_id")
 
 
+def _cdc_oracle() -> str:
+    from hotdog_spark.operators.textops import CDC_DIV, CDC_K, WINNOW_B, WINNOW_M
+
+    k, div, m = CDC_K, CDC_DIV, WINNOW_M
+    pw = [pow(WINNOW_B, k - 1 - j, m) for j in range(k)]
+    terms = " + ".join(
+        f"CAST(ord(substr(s, CAST(i + {j} AS INT), 1)) AS BIGINT) * {pw[j]}"
+        for j in range(k)
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+      FROM documents
+    ), h AS (
+      SELECT doc_id, s,
+             CASE WHEN length(s) >= {k}
+                  THEN list_transform(generate_series(1, length(s) - {k} + 1),
+                                      i -> ({terms}) % {m})
+                  ELSE [] END AS hs
+      FROM t WHERE length(s) >= 1
+    ), b AS (
+      SELECT doc_id, s,
+             list_concat(list_concat([CAST(1 AS BIGINT)],
+                 list_filter(generate_series(CAST(2 AS BIGINT),
+                                             CAST(len(hs) AS BIGINT)),
+                             i -> hs[i] % {div} = 0)),
+                 [CAST(length(s) + 1 AS BIGINT)]) AS bs
+      FROM h
+    ), c AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(bs) - 1),
+                            j -> md5(substr(s, CAST(bs[j] AS INT),
+                                            CAST(bs[j+1] - bs[j] AS INT)))) AS chs
+      FROM b
+    ), inst AS (
+      SELECT doc_id, unnest(chs) AS ch FROM c
+    ), pdc AS (
+      SELECT doc_id, ch, COUNT(*) AS n_occ FROM inst GROUP BY 1, 2
+    ), cs AS (
+      SELECT ch, MIN(doc_id) <> MAX(doc_id) AS shared FROM pdc GROUP BY ch
+    )
+    SELECT p.doc_id,
+           CAST(SUM(p.n_occ) AS BIGINT) AS n_chunks,
+           COUNT(*) AS n_unique,
+           CAST(SUM(CASE WHEN cs.shared THEN p.n_occ ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           CAST((SUM(CASE WHEN cs.shared THEN p.n_occ ELSE 0 END) * 1000000)
+                // SUM(p.n_occ) AS BIGINT) AS shared_ppm
+    FROM pdc p JOIN cs USING (ch)
+    GROUP BY 1
+    """
+
+
+@register("dedup_cdc_chunk_stats", oracle=_cdc_oracle())
+def dedup_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup profile (LBFS/restic-style Rabin
+    chunking — Muthitacharoen et al. 2001, public): boundaries wherever
+    the rolling 16-gram hash ≡ 0 mod 64, chunks identified by md5, and
+    per-document counts of how many chunk instances also occur in other
+    documents — the sub-document dedup signal fixed-width chunking
+    misses when content shifts.  All-integer output (counts + exact ppm
+    via integer division), so the report hash-matches cross-engine.
+    See :func:`hotdog_spark.operators.textops.cdc_chunk_stats` for the
+    plan shape (array-land chunking, keyed aggregates, AQE-skew-safe
+    chunk-hash join; corpus never self-joined)."""
+    from hotdog_spark.operators.textops import cdc_chunk_stats
+
+    return cdc_chunk_stats(table(spark, sf_dir, "documents"), "text", "doc_id")
+
+
 def _winnow_ctes(k: int, w: int) -> str:
     """The shared winnowing CTE chain (t → h → f): normalized text,
     Rabin-Karp k-gram hash list, deduplicated window-minima fingerprint

@@ -134,6 +134,7 @@ SUBSET = [
     # packing), the KMV sketch merge, and the JPEG decode kernel.
     "dedup_fuzzy_levenshtein_sampled",
     "dedup_winnowing_pair_stats",
+    "dedup_cdc_chunk_stats",
     "dedup_minhash_components",
     "dedup_components_best_quality",
     "decontaminate_semantic_cosine",

@@ -1691,3 +1691,57 @@ def test_simhash_components_group_near_dup_clusters(spark):
             parent[max(ra, rb)] = min(ra, rb)
     want = {n: find(n) for n in {x for e in edges for x in e}}
     assert comp == want
+
+
+def test_cdc_chunk_stats_semantics(spark):
+    """CDC chunking invariants: a document shorter than the gram width
+    is one whole-text chunk; chunks are a partition of the normalized
+    text; a boilerplate span shared by two documents yields shared
+    chunk instances in BOTH; a within-doc repeat alone is NOT shared;
+    boundaries are content-defined — prepending text to a document
+    leaves its later chunk hashes (and thus cross-doc sharing)
+    intact, the property fixed-width chunking lacks."""
+    import pyspark.sql.functions as SF
+
+    # a 365-char varied span with ≥3 interior CDC cut points under the
+    # (B=257, M=2³¹−1, k=16, div=64) constants — chosen so the shared
+    # region provably contains whole chunks (a low-entropy repeated
+    # phrase can have zero cuts: ~61 distinct grams, (63/64)^61 ≈ 38%
+    # chance of no boundary at all, which this fixture avoids)
+    boiler = (
+        "mike yankee november bravo india quebec papa mike zulu juliet "
+        "papa lima sierra golf quebec echo juliet echo yankee delta tango "
+        "zulu india romeo whiskey zulu tango echo juliet delta xray "
+        "charlie victor kilo papa romeo delta lima november kilo tango "
+        "uniform golf romeo papa oscar quebec india bravo zulu romeo "
+        "alpha charlie xray mike whiskey zulu victor uniform alpha "
+    )
+    rows = [
+        (1, "tiny"),                                # < k chars: one chunk
+        (2, boiler + "unique tail for document two here"),
+        (3, "PREFIX INSERTED AT FRONT " + boiler + "different ending three"),
+        (4, "totally unrelated content with no overlap whatsoever " * 3),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textops.cdc_chunk_stats(
+        df, "text", "doc_id").collect()}
+
+    assert out[1]["n_chunks"] == 1 and out[1]["n_shared"] == 0
+    # the shared boilerplate must surface as shared chunks on both
+    # docs 2 and 3 despite doc 3's shifted offsets (content-defined
+    # boundaries re-align) …
+    assert out[2]["n_shared"] > 0
+    assert out[3]["n_shared"] > 0
+    # … and the unrelated doc shares nothing
+    assert out[4]["n_shared"] == 0
+    # chunk counts partition the text: ppm is exact integer arithmetic
+    for r in out.values():
+        assert 0 <= r["shared_ppm"] <= 1_000_000
+        assert r["n_unique"] <= r["n_chunks"]
+        assert r["shared_ppm"] == r["n_shared"] * 1_000_000 // r["n_chunks"]
+
+    # within-doc repetition alone is not "shared"
+    solo = spark.createDataFrame(
+        [(9, "repeat me " * 40)], ["doc_id", "text"])
+    r9 = textops.cdc_chunk_stats(solo, "text", "doc_id").collect()[0]
+    assert r9["n_shared"] == 0 and r9["n_unique"] <= r9["n_chunks"]
