@@ -533,19 +533,25 @@ def test_split_leakage_split_is_inline_not_joined(spark):
     """Each pair side's split assignment is a pure md5 expression on
     the id already in the pair row — the plan must not join pairs back
     to a corpus-sized split table.  Since the round-10 bucket-group
-    rewrite of minhash_lsh_pairs (one exchange on (band, sig), window
-    cap, per-bucket pair emission — the winnowing_pairs shape) the LSH
-    branch is JOIN-FREE: no join anywhere in the plan, the cap is a
-    windowed count, and the bucket groupBy reuses the window's
-    partitioning (no exchange between Window and the collect_list
-    aggregate)."""
+    rewrite of minhash_lsh_pairs the LSH branch is JOIN-FREE, and since
+    the r11 cap de-funneling the bucket cap is two-level SALTED
+    aggregation (no Window at all: level 1 groups on (band, sig, salt)
+    so a degenerate bucket spreads across tasks; level 2 re-groups on
+    (band, sig) over ≤ SALT bounded partial rows)."""
     plan = _plan(spark, "split_leakage_report")
     assert "Join" not in plan
-    assert plan.count("Window") == 1
+    assert "Window" not in plan      # the funnel shape must not return
     assert "CartesianProduct" not in plan
-    # window + reused-partitioning groupBy: the signature table is
-    # shuffled exactly once (one hashpartitioning(band, sig) exchange)
-    assert plan.count("Exchange hashpartitioning(band") == 1
+    # level-1 exchange carries the salt; level-2 re-keys on the bare
+    # bucket — exactly one full-row exchange (salted) plus the bounded
+    # partial-row exchange
+    assert plan.count("Exchange hashpartitioning(band") == 2
+    # the level-1 key includes the inline pmod(hash(id), SALT) salt —
+    # Catalyst surfaces it as a _groupingexpression in the exchange key
+    assert any(
+        "Exchange hashpartitioning(band" in ln and "_groupingexpression" in ln
+        for ln in plan.splitlines()
+    )
 
 
 def test_pq_codebook_single_kernel_scan_no_vector_shuffle(spark):
