@@ -78,6 +78,7 @@ HEADLINE = [
     "hotdog_route_payload",        # parse → cascade → route (native merge)
     "template_block_helpers",      # {{#if}}/{{#each}} → CASE WHEN/transform
     "template_dotted_paths",       # {{a.b.c}} → get_json_object
+    "template_partials",           # {{> name}} compile-time inlining
     "decontaminate_canary_exact",  # Aho-Corasick exact-substring scan
     "merge_exact_deep",            # Arrow-batched UDF merge path
     "syslog_parse_5424",           # regexp parse + PRI decode

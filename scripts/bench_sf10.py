@@ -37,6 +37,7 @@ UI_PORT = int(os.environ.get("SPARK_GRAFT_UI_PORT", "4060"))
 SUBSET = [
     "template_block_helpers",
     "template_dotted_paths",
+    "template_partials",
     "multimodal_jpeg_progressive_decode_stats",
     "dedup_exact",
     "dedup_minhash_lsh",

@@ -54,33 +54,14 @@ dropped = sorted(k for k in merged if k not in KNOWN)
 for k in dropped:
     del merged[k]
 
-# The sweep runs with --exclude for these, so no batch emits a record;
-# surface them as explicit rows (reasons + the sf10-verified twin that
-# covers each one's semantics) instead of leaving them silently absent.
-# r7 shrank this list 4 → 2: the two component queries verify directly
-# now that their oracle is unrolled min-label propagation instead of a
-# recursive transitive closure.
-_EXCLUDED = {
-    "dedup_fuzzy_levenshtein": (
-        "every blocked candidate pays an O(len^2) edit distance — "
-        "~57M candidates at 500k docs on both engines",
-        "dedup_fuzzy_levenshtein_sampled",
-    ),
-    "dedup_winnowing_pairs": (
-        "gram-space saturation: 21.6M answer rows at sf10 "
-        "(SCALE_sf10.json) — full-result oracle replay intractable",
-        "dedup_winnowing_pair_stats",
-    ),
-}
-for name, (why, twin) in _EXCLUDED.items():
-    merged.setdefault(name, {
-        "status": "excluded_heavy_oracle",
-        "reason": why + "; engine ran fine, hash-verified at sf1",
-        "sf10_verified_twin": twin,
-        "commit": HEAD,
-    })
-# stale exclusion rows for queries whose oracle became tractable must
-# not shadow a real sweep record: drop excluded rows not in _EXCLUDED
+# r11 closed the last two heavy-oracle exclusions with dedicated long
+# runs (fuzzy levenshtein: 10.49M rows / 51 min; winnowing pairs:
+# 21.6M rows / 25 min — both digest-matched), so the exclusion
+# machinery is gone.  The batched sweep scripts still --exclude both
+# for RUNTIME (they'd dominate a batch); their digest-verified rows
+# persist via the seed-union above, and a stale excluded row can never
+# shadow a real record: any remaining excluded rows are dropped here.
+_EXCLUDED: dict = {}
 for k in [k for k, v in merged.items()
           if v.get("status") == "excluded_heavy_oracle" and k not in _EXCLUDED]:
     del merged[k]
@@ -102,12 +83,13 @@ out = {
     ),
     "dropped_stale": dropped,
     "notes": (
-        "Batched digest-mode sweep (scripts/run_sf10_sweep.sh); excludes are "
-        "measured-intractable DuckDB oracles (per-query reasons on each row). "
-        "All excluded queries remain hash-verified at sf1 in "
-        "SCALE_sf1_correctness.json.  Each row's `commit` is the repo HEAD "
-        "when it was recorded; 'pre-r7-unstamped' marks rows inherited from "
-        "before provenance stamping landed."
+        "Batched digest-mode sweep (scripts/run_sf10_sweep.sh) plus "
+        "dedicated long runs for the two heaviest oracles "
+        "(dedup_fuzzy_levenshtein 51 min, dedup_winnowing_pairs 25 min — "
+        "both digest-matched in r11; no exclusions remain).  Each row's "
+        "`commit` is the repo HEAD when it was recorded; "
+        "'pre-r7-unstamped' marks rows inherited from before provenance "
+        "stamping landed."
         + (
             "  NOTE: remaining 'error' rows are ENVIRONMENTAL, not engine "
             "failures — batch b3 ran while the pytest presnapshot gate's "

@@ -10,6 +10,10 @@
 # ~25-min-oracle component queries last.
 set -u
 cd /root/repo
+# RUNTIME-only exclusion: both oracles are digest-verified at sf10 by
+# dedicated long runs (r11: fuzzy 51 min, winnowing 25 min) and their
+# rows persist in the committed artifact via the merge's seed-union;
+# they are excluded from batches only because each would dominate one.
 EXCL="dedup_fuzzy_levenshtein,dedup_winnowing_pairs"
 run () {  # $1 = batch name, $2 = comma list
   echo "=== batch $1 start $(date +%H:%M:%S) ===" >> /tmp/sf10_sweep.log

@@ -6,6 +6,8 @@
 set -u
 cd /root/repo
 export SPARK_GRAFT_DRIVER_MEM=48g
+# RUNTIME-only exclusion — see run_sf10_sweep.sh; both are
+# digest-verified at sf10 by dedicated long runs (r11).
 EXCL="dedup_fuzzy_levenshtein,dedup_winnowing_pairs"
 run () {
   echo "=== batch $1 start $(date +%H:%M:%S) ===" >> /tmp/sf10_sweep.log
