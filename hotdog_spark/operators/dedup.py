@@ -365,6 +365,11 @@ def lsh_recall_report(
         .select("id_a", "id_b")
     )
     cands = minhash_lsh_pairs(sampled, "text", "id", bands=bands, k=k)
+    # Examined r11 and deliberately left as-is: a full-outer-join
+    # single-aggregate shape (evaluate truth and cands once each) was
+    # measured a 1.08× REGRESSION in a tight ABA bracket — the sample
+    # is a FIXED 256 docs forever, so the doubled leg evaluation here
+    # is bounded and cheap, while the outer join added a real shuffle.
     hits = truth.join(cands, ["id_a", "id_b"])
     rep = (
         sampled.agg(F.count(F.lit(1)).alias("n_eval_docs"))
@@ -739,7 +744,11 @@ def dedup_chunks(
 
 
 def connected_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 50
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+    pairs_unique: bool = False,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair graph → the
     canonical-document assignment (component label = min doc id reachable).
@@ -757,6 +766,24 @@ def connected_components(
     two keyed equi-joins + one aggregate; intermediate labels are
     checkpointed and replaced so lineage stays flat.
 
+    Round-job diet (r11, guide §2.4 "remove shuffles outright"):
+
+    * ``pairs_unique=True`` (every registered caller: the pair
+      operators end in ``.distinct()`` with id_a < id_b, so the
+      symmetrized union is unique by construction) skips the edge
+      ``distinct()`` — one full exchange+aggregate of the largest
+      table in the query.
+    * Round 1 against the identity label map is algebra, not a join:
+      nbr(src) = dst and the pointer-doubling lookup is a no-op, so the
+      seed labels come from ONE aggregate over the edge list (min
+      neighbor vs own id) with no joins and no separate node-table
+      checkpoint.
+    * Convergence is detected by comparing the label-column SUM between
+      rounds (exact DECIMAL(38,0) — no bigint wrap) instead of a
+      labels⨝labels difference join: labels are per-node monotone
+      non-increasing, so the sum is unchanged iff NO label changed.
+      One tiny aggregate job per round replaces a two-sided join.
+
     Returns (id, component) for every node that appears in ``pairs``.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -764,18 +791,24 @@ def connected_components(
     # or the logical plan doubles per iteration and the driver OOMs just
     # *printing* it.  On a cluster with an unreliable-executor profile,
     # swap for reliable checkpoint(dir) — same shape.
-    edges = (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    if not pairs_unique:
+        sym = sym.distinct()
+    edges = sym.localCheckpoint(eager=True)
+    # round 1 collapsed: labels start as the identity map, under which
+    # the neighbor join is edges itself and the shortcut lookup is a
+    # no-op — the first stepped/doubled label table is exactly
+    # min(own id, min neighbor id) per node, one aggregate.
     labels = (
-        edges.select("src")
-        .distinct()
-        .select(F.col("src").alias("id"), F.col("src").alias("label"))
+        edges.select(F.col("src").alias("id"), F.col("dst").alias("label"))
+        .union(edges.select(F.col("src").alias("id"), F.col("src").alias("label")))
+        .groupBy("id")
+        .agg(F.min("label").alias("label"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    _label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
+    prev_sum = labels.agg(_label_sum).first()[0]
+    for _ in range(max_iter - 1):
         nbr = edges.join(labels, edges.dst == labels.id).select(
             edges.src.alias("id"), F.col("label")
         )
@@ -802,16 +835,11 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        new_sum = new_labels.agg(_label_sum).first()[0]
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select("id", F.col("label").alias("component"))
 
 
@@ -1274,17 +1302,25 @@ def repeated_ngram_spans(
         normalized_tokens(F.col(text_col)).alias("w"),
     ).withColumn("n_tokens", F.size("w")).filter(F.col("n_tokens") >= n)
 
-    grams = toks.select(
-        "doc",
-        "n_tokens",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
-                lambda i: F.md5(F.concat_ws(" ", F.slice("w", i, n))),
-            )
-        ).alias("p0", "h"),
-    ).select(
-        "doc", "n_tokens", (F.col("p0") + 1).alias("pos"), "h"
+    # persisted: the positional gram table feeds BOTH the cross-document
+    # frequency aggregate and the join-back onto positions — without it
+    # the whole tokenize → md5-per-n-gram derivation (the query's CPU
+    # cost) runs twice in one plan (r11; same precedent as the winnowing
+    # fp table — at data-lake scale the equivalent move is materializing
+    # the positional n-gram index once)
+    grams = track_persist(
+        toks.select(
+            "doc",
+            "n_tokens",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_tokens") - (n - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("w", i, n))),
+                )
+            ).alias("p0", "h"),
+        ).select(
+            "doc", "n_tokens", (F.col("p0") + 1).alias("pos"), "h"
+        )
     )
 
     dup_keys = (

@@ -155,38 +155,61 @@ def matryoshka_overlap(
         "query_id", F.col("vid").alias("neighbor_id"), *score_cols
     )
 
-    def _topk(col: str) -> DataFrame:
-        w = Window.partitionBy("query_id").orderBy(
+    # ONE pass ranks every scoring (r11, guide §2.4 "window functions
+    # partitioned by the same key share one exchange"): all |dims|+1
+    # row_number windows partition on query_id, so Catalyst plans a
+    # single hash exchange followed by one sort per ordering — where the
+    # previous shape re-derived the whole scan → quantize → broadcast
+    # cross-join → score pipeline once per top-k leg and joined the legs
+    # back together (measured: 44 Exchanges / 8 SortMergeJoins in the
+    # registered query's plan; now 0 SortMergeJoins and the corpus is
+    # scored exactly once).  The per-dim overlap |full ∩ trunc| needs no
+    # join at all: on the ranked rows it is sum(r_full ≤ k AND r_d ≤ k)
+    # per query — identical counts by construction.
+    def _w(col: str):
+        return Window.partitionBy("query_id").orderBy(
             F.col(col).desc(), F.col("neighbor_id")
         )
-        return (
-            scored.withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") <= k)
-            .select("query_id", "neighbor_id")
-        )
 
-    full_top = _topk("s_full")
-    out = None
-    for d in dims:
-        overlap = (
-            full_top.join(_topk(f"s_{d}"), ["query_id", "neighbor_id"])
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n_overlap"))
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(_w("s_full")).alias("r_full"),
+        *[F.row_number().over(_w(f"s_{d}")).alias(f"r_{d}") for d in dims],
+    )
+    counts = (
+        ranked.filter(F.col("r_full") <= k)
+        .groupBy("query_id")
+        .agg(
+            *[
+                F.sum(
+                    F.when(F.col(f"r_{d}") <= k, 1).otherwise(0)
+                ).alias(f"n_{d}")
+                for d in dims
+            ]
         )
-        rep = (
-            probes.select("query_id")
-            .join(overlap, "query_id", "left")
-            .select(
-                "query_id",
-                F.lit(d).cast("int").alias("trunc_dim"),
-                F.lit(k).cast("int").alias("k"),
-                F.coalesce(F.col("n_overlap"), F.lit(0))
-                .cast("bigint")
-                .alias("n_overlap"),
-            )
+    )
+    stack_expr = ", ".join(f"{d}, n_{d}" for d in dims)
+    overlaps = counts.selectExpr(
+        "query_id",
+        f"stack({len(dims)}, {stack_expr}) AS (trunc_dim, n_overlap)",
+    )
+    spine = probes.select("query_id").select(
+        "query_id",
+        F.explode(F.array(*[F.lit(d) for d in dims])).alias("trunc_dim"),
+    )
+    # overlaps is ≤ probes·|dims| rows post-aggregation; size estimates
+    # after an agg are unreliable (guide §3.1) so broadcast explicitly
+    return (
+        spine.join(broadcast(overlaps), ["query_id", "trunc_dim"], "left")
+        .select(
+            "query_id",
+            F.col("trunc_dim").cast("int").alias("trunc_dim"),
+            F.lit(k).cast("int").alias("k"),
+            F.coalesce(F.col("n_overlap"), F.lit(0))
+            .cast("bigint")
+            .alias("n_overlap"),
         )
-        out = rep if out is None else out.unionByName(rep)
-    return out
+    )
 
 
 def sign_bucket(qvec: Column, bits: int = 4) -> Column:
@@ -775,6 +798,7 @@ def kmeans_quantized(
     k: int = 8,
     iters: int = 3,
     base: DataFrame | None = None,
+    init_rows: list | None = None,
 ) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
     """Distributed Lloyd's k-means over quantized embeddings — the
     centroid trainer whose output plugs straight into ivf_topk (which
@@ -810,12 +834,14 @@ def kmeans_quantized(
     # (r10 verdict item 3: the IVF-PQ recall pair derived it thrice).
     if base is None:
         base = track_persist(with_quantized(df, vec_col, id_col))
-    cents = [
-        (i, list(r["q"]))
-        for i, r in enumerate(
-            base.orderBy("vid").limit(k).collect()
-        )
-    ]
+    # ``init_rows``: the k lowest-vid (vid, q) rows, when the caller
+    # already collected them in a shared driver job (r11, guide §1.2 —
+    # IVF-PQ fuses this with its probe collect); client-side sort by vid
+    # reproduces the orderBy exactly (vid is unique).
+    if init_rows is None:
+        init_rows = base.orderBy("vid").limit(k).collect()
+    init_rows = sorted(init_rows, key=lambda r: r["vid"])[:k]
+    cents = [(i, list(r["q"])) for i, r in enumerate(init_rows)]
 
     def assign(cent_list):
         # argmin over k centroid literals: array_sort of (d2, cid) structs
@@ -984,24 +1010,32 @@ def pq_train(
     m: int = 4,
     k: int = 8,
     iters: int = 2,
+    init_rows: list | None = None,
 ) -> tuple[list, DataFrame, int]:
     """Train the m per-subspace PQ codebooks (see :func:`pq_train_stats`
     for the algorithm and determinism contract).  Returns
     (books, base, sub): the codebooks as ``books[s] = [(code,
     centroid-int-list), ...]``, the persisted quantized corpus
-    DataFrame (vid, q, n2), and the subspace width."""
+    DataFrame (vid, q, n2), and the subspace width.  ``init_rows``:
+    pre-collected k lowest-vid rows (see :func:`kmeans_quantized`)."""
     from hotdog_spark.operators import track_persist
 
     base = track_persist(with_quantized(df, vec_col, id_col))
-    books, sub = _pq_train_books(base, m, k, iters)
+    books, sub = _pq_train_books(base, m, k, iters, init_rows=init_rows)
     return books, base, sub
 
 
-def _pq_train_books(base: DataFrame, m: int, k: int, iters: int) -> tuple[list, int]:
+def _pq_train_books(
+    base: DataFrame, m: int, k: int, iters: int, init_rows: list | None = None
+) -> tuple[list, int]:
     """The PQ Lloyd loop over an already-quantized (vid, q) DataFrame —
     shared by :func:`pq_train` (raw vectors) and the IVF-PQ residual
-    trainer (q = vector minus coarse centroid)."""
-    init = base.orderBy("vid").limit(k).collect()
+    trainer (q = vector minus coarse centroid).  ``init_rows``: the k
+    lowest-vid rows when the caller already collected them in a shared
+    job; client-side sort reproduces the orderBy (vid unique)."""
+    if init_rows is None:
+        init_rows = base.orderBy("vid").limit(k).collect()
+    init = sorted(init_rows, key=lambda r: r["vid"])[:k]
     full = [list(r["q"]) for r in init]
     dim = len(full[0])
     if dim % m:
@@ -1112,9 +1146,25 @@ def pq_adc_topk(
     exactness baseline is `ann_cosine_topk`)."""
     from hotdog_spark.operators import track_persist
 
-    books, base, sub = pq_train(df, vec_col, id_col, m=m, k=k, iters=iters)
+    # ONE driver job collects BOTH the PQ k-means init and the probe
+    # set off the shared cached base (r11, guide §1.2 — was two
+    # sequential jobs; the union evaluates both subtrees in one action).
+    base = track_persist(with_quantized(df, vec_col, id_col))
+    seed_rows = (
+        base.orderBy("vid")
+        .limit(k)
+        .select(F.lit(0).alias("_leg"), "vid", "q")
+        .unionAll(
+            base.filter(probe_filter).select(F.lit(1).alias("_leg"), "vid", "q")
+        )
+        .collect()
+    )
+    books, sub = _pq_train_books(
+        base, m, k, iters,
+        init_rows=[r for r in seed_rows if r["_leg"] == 0],
+    )
     enc = track_persist(pq_encode(base, books, sub))
-    probes = base.filter(probe_filter).select("vid", "q").collect()
+    probes = [r for r in seed_rows if r["_leg"] == 1]
     if not probes:
         # zero probes would make explode(array()) invalid — the correct
         # answer is simply no result rows
@@ -1272,8 +1322,25 @@ def ivf_pq_topk(
     # probe collect AND (in pq_recall_report) the exact baseline leg.
     if base is None:
         base = track_persist(with_quantized(df, vec_col, id_col))
+    # ONE driver job collects BOTH the coarse k-means init (k lowest
+    # vids) and the probe set (r11, guide §1.2: these were two
+    # sequential jobs over the same cached table; the union evaluates
+    # both subtrees in a single action).  Probes are a driver-side
+    # handful by contract, exactly as before.
+    seed_rows = (
+        base.orderBy("vid")
+        .limit(cells)
+        .select(F.lit(0).alias("_leg"), "vid", "q")
+        .unionAll(
+            base.filter(probe_filter).select(F.lit(1).alias("_leg"), "vid", "q")
+        )
+        .collect()
+    )
+    init_rows = [r for r in seed_rows if r["_leg"] == 0]
+    probes = [r for r in seed_rows if r["_leg"] == 1]
     assigned, cents = kmeans_quantized(
-        df, vec_col, id_col, k=cells, iters=coarse_iters, base=base
+        df, vec_col, id_col, k=cells, iters=coarse_iters, base=base,
+        init_rows=init_rows,
     )
     # residual = q - own-cell centroid, an integer projection: the
     # centroid table rides along as a literal array-of-arrays
@@ -1293,9 +1360,8 @@ def ivf_pq_topk(
     enc = track_persist(pq_encode(resid, books, sub, carry=(("cell", "int"),)))
 
     # probes: a driver-side handful — coarse cells, residuals and LUTs
-    # all computed in exact Python ints; read off the cached base, not a
-    # fresh scan+quantize derivation
-    probes = base.filter(probe_filter).select("vid", "q").collect()
+    # all computed in exact Python ints; collected up front in the same
+    # job as the coarse init (above), off the cached base
     if not probes:
         # zero probes would make both isin() (no args) and
         # explode(array()) invalid — the correct answer is no rows

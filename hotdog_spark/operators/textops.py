@@ -619,17 +619,26 @@ def winnowing_pairs(
         #     filter reads — guard-only cost is two O(1)-driver-row
         #     reductions over already-persisted tables, disabled by
         #     saturation_warn_ratio=0.
-        stats = per_fp.agg(
-            F.count(F.lit(1)).alias("d"),
-            F.sum(
-                F.when(
-                    (F.col("_df") >= 2) & (F.col("_df") <= max_df),
-                    F.col("_df").cast("double")
-                    * (F.col("_df") - 1).cast("double") / 2.0,
-                ).otherwise(0.0)
-            ).alias("pair_mass"),
-        ).collect()[0]
-        n_docs = sizes.count()
+        # ONE action for both guard reductions (r11, guide §1.2: the
+        # guard was two sequential driver jobs — the per_fp stats and a
+        # separate sizes.count() — each paying full job latency; the
+        # cross-join of two single-row aggregates evaluates both
+        # subtrees in one job and still materializes both persists).
+        stats = (
+            per_fp.agg(
+                F.count(F.lit(1)).alias("d"),
+                F.sum(
+                    F.when(
+                        (F.col("_df") >= 2) & (F.col("_df") <= max_df),
+                        F.col("_df").cast("double")
+                        * (F.col("_df") - 1).cast("double") / 2.0,
+                    ).otherwise(0.0)
+                ).alias("pair_mass"),
+            )
+            .crossJoin(sizes.agg(F.count(F.lit(1)).alias("n_docs")))
+            .collect()[0]
+        )
+        n_docs = stats["n_docs"]
         dials = (
             "  Dials: widen gram width k (fewer coincidental matches), "
             "lower max_df (only rarer fingerprints pair), or raise "

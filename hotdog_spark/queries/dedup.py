@@ -481,7 +481,8 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), "text", "doc_id", bands=8, k=5,
         max_bucket=1000,
     )
-    return ops.connected_components(pairs)
+    # minhash_lsh_pairs ends in .distinct() with id_a < id_b
+    return ops.connected_components(pairs, pairs_unique=True)
 
 
 _LEAK_SPLIT = (
@@ -817,7 +818,7 @@ def dedup_components_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = table(spark, sf_dir, "documents")
     pairs = ops.minhash_lsh_pairs(docs, "text", "doc_id", bands=8, k=5, max_bucket=1000)
-    comp = ops.connected_components(pairs)
+    comp = ops.connected_components(pairs, pairs_unique=True)
     q = docs.select("doc_id", quality_expr(F.col("text")).alias("quality"))
     j = comp.join(q, comp.id == q.doc_id).select("component", "id", "quality")
     w = Window.partitionBy("component").orderBy(F.col("quality").desc(), F.col("id"))
@@ -1114,4 +1115,5 @@ def dedup_simhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "documents"), "text", "doc_id",
         bits=48, n_blocks=4, max_hamming=3, max_bucket=1000,
     ).select("id_a", "id_b")
-    return ops.connected_components(pairs)
+    # simhash_hamming_pairs ends in .distinct() with id_a < id_b
+    return ops.connected_components(pairs, pairs_unique=True)
