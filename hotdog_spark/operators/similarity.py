@@ -1329,7 +1329,7 @@ def ivf_pq_topk(
     # handful by contract, exactly as before.
     seed_rows = (
         base.orderBy("vid")
-        .limit(cells)
+        .limit(max(cells, k))
         .select(F.lit(0).alias("_leg"), "vid", "q")
         .unionAll(
             base.filter(probe_filter).select(F.lit(1).alias("_leg"), "vid", "q")
@@ -1356,7 +1356,27 @@ def ivf_pq_topk(
             F.col("cluster").cast("int").alias("cell"),
         )
     )
-    books, sub = _pq_train_books(resid, m, k, iters)
+    # The PQ Lloyd init (the k lowest-vid RESIDUAL rows) is computed
+    # driver-side from the already-collected seed rows and the final
+    # centroids — the residual of a known (vid, q) is q minus its
+    # argmin-assigned cell's centroid, exact Python ints with the same
+    # (d2, cid) tie-break as the assignment expression — eliminating
+    # the resid.orderBy().limit(k).collect() job entirely (r11,
+    # guide §1.2; the resid persist now materializes on the first
+    # Lloyd kernel pass instead).
+    _cent_map = {int(cid): list(cv) for cid, cv in cents}
+    pq_init_rows = []
+    for r in sorted(init_rows, key=lambda rr: rr["vid"])[:k]:
+        qv = [int(x) for x in r["q"]]
+        _d2, cell = min(
+            (sum((a - b) * (a - b) for a, b in zip(qv, cv)), cid)
+            for cid, cv in _cent_map.items()
+        )
+        pq_init_rows.append(
+            {"vid": int(r["vid"]),
+             "q": [a - b for a, b in zip(qv, _cent_map[cell])]}
+        )
+    books, sub = _pq_train_books(resid, m, k, iters, init_rows=pq_init_rows)
     enc = track_persist(pq_encode(resid, books, sub, carry=(("cell", "int"),)))
 
     # probes: a driver-side handful — coarse cells, residuals and LUTs

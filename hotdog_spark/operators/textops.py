@@ -478,6 +478,16 @@ def cdc_chunk_stats(
         "doc_id", F.explode(chunks).alias("ch")
     )
 
+    # NOT persisted (examined r11): per_doc_ch feeds both the shared-flag
+    # aggregate and the join-back, but both consumers sit directly above
+    # per_doc_ch's OWN exchange, and AQE's runtime stage reuse already
+    # dedups that identical shuffle stage — the audited final plan shows
+    # ONE documents scan.  An explicit persist was tried and REVERTED:
+    # it blocked the stage reuse (plan_audit: exchanges 3→4, scans 1→2,
+    # a gate regression) and only looked faster inside a noisy window.
+    # (Contrast repeated_ngram_spans, whose duplicated subtree is a
+    # PROJECTION below its consumers' differing exchanges — no stage for
+    # AQE to reuse, so the persist there is load-bearing.)
     per_doc_ch = inst.groupBy("doc_id", "ch").agg(
         F.count(F.lit(1)).alias("n_occ")
     )

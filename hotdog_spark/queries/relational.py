@@ -1200,19 +1200,20 @@ def stats_join_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_key = (
         o.unionByName(li).groupBy("side", "k").agg(F.count(F.lit(1)).alias("n"))
     )
-    w = Window.partitionBy("side")
-    hot = (
-        per_key.withColumn("is_hot", F.col("n") == F.max("n").over(w))
-        .groupBy("side")
-        .agg(F.min(F.when(F.col("is_hot"), F.col("k"))).alias("hot_key"))
-    )
+    # hot key rides the SAME side-rollup as the other stats (r11, guide
+    # §1.2/§2.4): max over struct(n, -k) picks the largest group and the
+    # LOWEST key among ties — identical to the previous window + min,
+    # without the second evaluation of per_key (both fact tables were
+    # scanned twice), the window exchange, and the join.
     stats = per_key.groupBy("side").agg(
         F.count(F.lit(1)).alias("ndv"),
         F.sum("n").alias("n_rows"),
         F.max("n").alias("max_group"),
         F.sum(F.col("n") * F.col("n")).alias("sum_sq_group"),
+        (-F.max(F.struct(F.col("n"), (-F.col("k")).alias("nk"))).getField("nk"))
+        .alias("hot_key"),
     )
-    return stats.join(hot, "side").select(
+    return stats.select(
         "side",
         "ndv",
         "n_rows",
