@@ -307,29 +307,37 @@ def _dig_json(value, rest):
     return json.dumps(cur, separators=(",", ":"))
 
 
-def _ref_lookup(values, name):
+def _ref_lookup(values, name, json_paths):
     if name in values:
         return values.get(name)
+    if not json_paths:
+        # default reference parity: the context is HashMap<String,String>,
+        # so any multi-segment path renders "" (compiler's json_paths=False)
+        return None
     head, dot, rest = name.partition(".")
     if dot and values.get(head) is not None:
         return _dig_json(str(values[head]), rest)
     return None
 
 
-def _ref_render(nodes, values):
+def _ref_render(nodes, values, json_paths):
     out = []
     for n in nodes:
         if isinstance(n, str):
             out.append(n)
         elif n[0] == "var":
-            out.append(_hb_escape(str(_ref_lookup(values, n[1]) or "")))
+            out.append(
+                _hb_escape(str(_ref_lookup(values, n[1], json_paths) or ""))
+            )
         elif n[0] == "if":
             _, name, body, els = n
-            branch = body if _ref_lookup(values, name) else (els or [])
-            out.append(_ref_render(branch, values))
+            branch = (
+                body if _ref_lookup(values, name, json_paths) else (els or [])
+            )
+            out.append(_ref_render(branch, values, json_paths))
         else:  # each
             _, name, body, els = n
-            v = _ref_lookup(values, name)
+            v = _ref_lookup(values, name, json_paths)
             arr = None
             if isinstance(v, str):
                 try:
@@ -345,13 +353,18 @@ def _ref_render(nodes, values):
                             el, separators=(",", ":"))
                     )
                     out.append(_ref_render(
-                        body, {"this": eltext, "@index": str(i)}
+                        body, {"this": eltext, "@index": str(i)}, json_paths
                     ))
             else:
-                out.append(_ref_render(els or [], values))
+                out.append(_ref_render(els or [], values, json_paths))
     return "".join(out)
 
 
+# Both modes of the 5132892 semantics gate: json_paths=False (default,
+# reference parity — every dotted path renders "", including {{this.k}}
+# inside each) and json_paths=True (the global.template_json_paths
+# opt-in JSON dig the reference renderer above models).
+@pytest.mark.parametrize("json_paths", [False, True])
 @settings(max_examples=15, deadline=None)
 @given(
     nodes=st.lists(_block_nodes, max_size=5),
@@ -360,17 +373,21 @@ def _ref_render(nodes, values):
     doc=_doc_value,
 )
 def test_block_templates_match_reference_renderer(
-    spark, nodes, values, arr, doc
+    spark, json_paths, nodes, values, arr, doc
 ):
     values = dict(values)
     values["arr"] = arr
     values["doc"] = doc
     template = _to_template(nodes)
-    expected = _ref_render(nodes, values)
+    expected = _ref_render(nodes, values, json_paths)
     variables = {k: F.lit(v) for k, v in values.items()}
     out = (
         spark.range(1)
-        .select(compile_template(template, variables).alias("r"))
+        .select(
+            compile_template(
+                template, variables, json_paths=json_paths
+            ).alias("r")
+        )
         .collect()[0]
         .r
     )
