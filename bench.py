@@ -319,11 +319,19 @@ def main() -> None:
     from hotdog_spark.operators import release_tracked_persists
 
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # Measurement-bug fix (r12, VERDICT r11 item 3): this query's median-of-3
+    # has cried wolf for two rounds (driver bench 1.51x, paired leg 2.5x,
+    # c8 scaling ratio 0.28 — all ABA-refuted as noise): its ~1.2 s of
+    # Python decode work is small enough that one host stall in 3 reps
+    # moves the median.  Median-of-9 keeps the same timed action and the
+    # same estimator, just more reps for THIS query; every other query's
+    # methodology is unchanged.
+    extra_runs = {"multimodal_audio_pcm_chunks": max(runs, 9)}
     timings: dict[str, float] = {}
     for name in [n for n in HEADLINE if n in only] if only else HEADLINE:
         fn = queries[name]
         samples = []
-        for _ in range(runs):
+        for _ in range(extra_runs.get(name, runs)):
             start = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.mode("overwrite").format("noop").save()
@@ -409,8 +417,16 @@ def main() -> None:
             with open(os.path.join(REPO, f"BENCH_LOCAL_r{cur:02d}.json"), "w") as f:
                 json.dump(payload, f, indent=1)
         except OSError:
-            pass  # read-only checkout: the printed line still has everything
-    print(json.dumps(payload))
+            pass  # read-only checkout: BENCH_LOCAL is the durable recording
+    # The printed machine line carries ONLY the driver contract
+    # (metric/value/unit/queries/sf): the driver's capture keeps a bounded
+    # output tail, and the r10 line — grown fat with delta_vs_prev and the
+    # paired block — was truncated past parseability (BENCH_r10.json
+    # `parsed: null`), costing that round its official round-over-round
+    # comparison (VERDICT r11 item 2).  Everything else lives in
+    # BENCH_LOCAL_r{N}.json above.
+    machine = {k: payload[k] for k in ("metric", "value", "unit", "queries", "sf")}
+    print(json.dumps(machine))
     spark.stop()
 
 
