@@ -223,8 +223,28 @@ def sign_bucket(qvec: Column, bits: int = 4) -> Column:
     )
 
 
+def _sql_int(v: int) -> str:
+    """SQL literal text reproducing ``F.lit(int(v))`` exactly: Py4J maps a
+    Python int to a Java int when it fits 32 bits (→ IntegerType) and to a
+    long otherwise (→ LongType); unsuffixed SQL integral literals follow
+    the same narrowing rule, so the parsed expression is type-identical."""
+    v = int(v)
+    return str(v) if -2147483648 <= v <= 2147483647 else f"{v}L"
+
+
 def _lit_vec(values: list[int]) -> Column:
-    return F.array(*[F.lit(int(v)) for v in values])
+    # ONE parsed SQL expression instead of a Py4J round-trip per element:
+    # the F.array-of-F.lit form costs len(values) JVM calls (8 centroids ×
+    # 64 dims = 512 calls per trainer call site; an ann_ivf_pq build
+    # measured 1714 lit() calls and ~2.4 s of pure driver-side expression
+    # construction, r12 probe) — guide §7.3's single-threaded-driver class.
+    return F.expr("array(" + ",".join(_sql_int(v) for v in values) + ")")
+
+
+def _lit_vec_sql(values: list[int]) -> str:
+    """The SQL text of :func:`_lit_vec`, for embedding in larger
+    one-parse expressions."""
+    return "array(" + ",".join(_sql_int(v) for v in values) + ")"
 
 
 def _centroid_rows(
@@ -265,25 +285,31 @@ def _dot_lit(q: Column, qc: list[int]) -> Column:
 
 def _sorted_cells_expr(cents: list[tuple[int, list[int], int]]) -> Column:
     """Array of (d², cell_id) structs sorted nearest-first, evaluated per
-    row against the (q, n2) columns: cell assignment as a pure projection."""
+    row against the (q, n2) columns: cell assignment as a pure projection.
 
-    def dist2_to(qc: list[int], n2c: int) -> Column:
-        # |v - c|^2 = n2(v) + n2(c) - 2·v·c, all bigint-exact.
-        # HOF _dot, not the literal-expanded sum: measured FASTER for
-        # small centroid counts (1.6 s vs 3.7 s at sf10/8 cells), and
-        # the consumer must STAGE this expression through a column —
-        # un-staged re-inlining, not the dot form, was ann_ivf's sf10
-        # blow-up (see ivf_topk).
-        return F.col("n2") + F.lit(int(n2c)) - F.lit(2) * _dot(F.col("q"), _lit_vec(qc))
+    Built as ONE parsed SQL expression (r12): the per-struct Column DSL
+    form cost ~8 Py4J calls per centroid plus one per literal component —
+    pure driver time (guide §7.3).  The parsed tree is node-identical:
+    HOF _dot, not the literal-expanded sum, because the dot form measured
+    FASTER for small centroid counts (1.6 s vs 3.7 s at sf10/8 cells),
+    and the consumer must STAGE this expression through a column —
+    un-staged re-inlining, not the dot form, was ann_ivf's sf10 blow-up
+    (see ivf_topk)."""
 
-    return F.array_sort(
-        F.array(
-            *[
-                F.struct(dist2_to(qc, n2c).alias("d2"), F.lit(int(cid)).alias("cid"))
-                for cid, qc, n2c in cents
-            ]
+    def dist2_sql(qc: list[int], n2c: int) -> str:
+        # |v - c|^2 = n2(v) + n2(c) - 2·v·c, all bigint-exact (the
+        # aggregate/zip_with text mirrors _dot exactly).
+        return (
+            f"n2 + {_sql_int(n2c)} - 2 * aggregate(zip_with(q, "
+            f"{_lit_vec_sql(qc)}, (x, y) -> x * y), CAST(0 AS BIGINT), "
+            "(acc, x) -> acc + x)"
         )
+
+    structs = ",".join(
+        f"named_struct('d2', {dist2_sql(qc, n2c)}, 'cid', {_sql_int(cid)})"
+        for cid, qc, n2c in cents
     )
+    return F.expr(f"array_sort(array({structs}))")
 
 
 def materialize_ivf_index(
@@ -844,22 +870,19 @@ def kmeans_quantized(
     cents = [(i, list(r["q"])) for i, r in enumerate(init_rows)]
 
     def assign(cent_list):
-        # argmin over k centroid literals: array_sort of (d2, cid) structs
-        cells = F.array_sort(
-            F.array(
-                *[
-                    F.struct(
-                        _norm2(
-                            F.zip_with(
-                                F.col("q"), _lit_vec(qc), lambda x, y: x - y
-                            )
-                        ).alias("d2"),
-                        F.lit(int(cid)).alias("cid"),
-                    )
-                    for cid, qc in cent_list
-                ]
-            )
+        # argmin over k centroid literals: array_sort of (d2, cid) structs.
+        # ONE parsed SQL expression (r12, guide §7.3): the Column-DSL form
+        # cost k × (dim + ~6) Py4J round-trips of pure driver time; the
+        # text below mirrors _norm2(zip_with(q, lit_vec, x - y)) node for
+        # node, so the expression tree (and every integer) is unchanged.
+        structs = ",".join(
+            "named_struct('d2', aggregate(transform(zip_with(q, "
+            f"{_lit_vec_sql(qc)}, (x, y) -> x - y), x -> x * x), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x), "
+            f"'cid', {_sql_int(cid)})"
+            for cid, qc in cent_list
         )
+        cells = F.expr(f"array_sort(array({structs}))")
         best = F.element_at(cells, 1)
         return base.select(
             "vid",
@@ -1172,25 +1195,29 @@ def pq_adc_topk(
             [], "query_id bigint, neighbor_id bigint, adc_d2 bigint, rank int"
         )
 
+    # Per-probe LUT scoring built as ONE parsed SQL expression per probe
+    # (r12, guide §7.3): the DSL form cost m × (k + 3) Py4J calls per
+    # probe of pure driver time; the text mirrors the element_at(array,
+    # codes[s] + 1) sum node for node.
     structs = []
     for p in sorted(probes, key=lambda r: r["vid"]):
         pq_vec = list(p["q"])
-        score = None
+        terms = []
         for s in range(len(books)):
             ps = pq_vec[s * sub : (s + 1) * sub]
             lut = [
                 sum((a - b) * (a - b) for a, b in zip(ps, cv))
                 for _, cv in books[s]
             ]
-            term = F.element_at(
-                F.array(*[F.lit(int(v)) for v in lut]),
-                F.col("codes").getItem(s) + 1,
+            terms.append(
+                "element_at(array("
+                + ",".join(_sql_int(v) for v in lut)
+                + f"), codes[{s}] + 1)"
             )
-            score = term if score is None else score + term
         structs.append(
-            F.struct(
-                F.lit(int(p["vid"])).alias("query_id"),
-                score.cast("bigint").alias("adc_d2"),
+            F.expr(
+                f"named_struct('query_id', {_sql_int(p['vid'])}, "
+                f"'adc_d2', CAST({' + '.join(terms)} AS BIGINT))"
             )
         )
     fanned = (
@@ -1391,6 +1418,9 @@ def ivf_pq_topk(
             "adc_d2 bigint, rank int",
         )
     cent_by_id = {int(cid): list(cv) for cid, cv in cents}
+    # Per-probe scoring as ONE parsed SQL expression per probe (r12,
+    # guide §7.3 — same Py4J diet as pq_adc_topk, with the per-cell LUT
+    # sums wrapped in the same CASE WHEN cell = … chain F.when built).
     structs = []
     probed_cells_all: set[int] = set()
     for p in sorted(probes, key=lambda r: r["vid"]):
@@ -1402,32 +1432,29 @@ def ivf_pq_topk(
             )
             for cid, cv in cent_by_id.items()
         )[:nprobe]
-        score = None
+        branches = []
         for _d2, cell in coarse:
             probed_cells_all.add(cell)
             rq = [a - b for a, b in zip(pq_vec, cent_by_id[cell])]
-            cell_score = None
+            terms = []
             for s in range(m):
                 ps = rq[s * sub : (s + 1) * sub]
                 lut = [
                     sum((a - b) * (a - b) for a, b in zip(ps, cv))
                     for _c, cv in books[s]
                 ]
-                term = F.element_at(
-                    F.array(*[F.lit(int(v)) for v in lut]),
-                    F.col("codes").getItem(s) + 1,
+                terms.append(
+                    "element_at(array("
+                    + ",".join(_sql_int(v) for v in lut)
+                    + f"), codes[{s}] + 1)"
                 )
-                cell_score = term if cell_score is None else cell_score + term
-            cond = F.col("cell") == F.lit(int(cell))
-            score = (
-                F.when(cond, cell_score)
-                if score is None
-                else score.when(cond, cell_score)
+            branches.append(
+                f"WHEN cell = {_sql_int(cell)} THEN {' + '.join(terms)}"
             )
         structs.append(
-            F.struct(
-                F.lit(int(p["vid"])).alias("query_id"),
-                score.cast("bigint").alias("adc_d2"),
+            F.expr(
+                f"named_struct('query_id', {_sql_int(p['vid'])}, "
+                f"'adc_d2', CAST(CASE {' '.join(branches)} END AS BIGINT))"
             )
         )
     fanned = (
