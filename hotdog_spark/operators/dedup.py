@@ -770,8 +770,10 @@ def connected_components(
 
     * ``pairs_unique=True`` (every registered caller: the pair
       operators end in ``.distinct()`` with id_a < id_b, so the
-      symmetrized union is unique by construction) skips the edge
-      ``distinct()`` — one full exchange+aggregate of the largest
+      symmetrized union is unique by construction — the invariant is
+      pinned by tests/test_ops.py::
+      test_pair_producers_emit_unique_strictly_ordered_pairs) skips the
+      edge ``distinct()`` — one full exchange+aggregate of the largest
       table in the query.
     * Round 1 against the identity label map is algebra, not a join:
       nbr(src) = dst and the pointer-doubling lookup is a no-op, so the
@@ -782,11 +784,48 @@ def connected_components(
       rounds (exact DECIMAL(38,0) — no bigint wrap) instead of a
       labels⨝labels difference join: labels are per-node monotone
       non-increasing, so the sum is unchanged iff NO label changed.
-      One tiny aggregate job per round replaces a two-sided join.
+      The sum rides the SAME job that materializes the round's lazy
+      localCheckpoint (r12, guide §1.2): eager=False marks the RDD for
+      checkpointing and the sum aggregate's single action both computes
+      + caches the partitions and returns the sum — one driver job and
+      one pass over the label table per round, where eager=True plus a
+      separate aggregate paid two of each.
+    * The sum check requires labels that CAST to DECIMAL(38,0)
+      losslessly; for any other id type (the operator is a generic
+      public API) the cast would yield NULL and None == None would end
+      the loop early with partially-converged components (ADVICE r11) —
+      those types fall back to an any-label-changed existence check
+      (LIMIT 1 over a changed-rows join), same per-round job count.
+
+    Measured shapes that did NOT survive (r12, sf0.1 simhash graph —
+    9 rounds, 6.7 k edges, interleaved A/B, keep for the next reader):
+
+    * a SECOND pointer-shortcut per round (label[label[label]] through
+      the previous map): round count unchanged at 9 — convergence here
+      is gated by the neighbor hop, not pointer depth — and the extra
+      n-row join per round cost ~1.2× wall.
+    * TWO/THREE neighbor hops per checkpoint round: rounds 9 → 6 / 5
+      but wall parity at best locally, and at scale k hops per round
+      means MORE total edge joins (6×2=12 vs 9×1) — strictly more
+      full-edge shuffles for the same fixpoint.
+    * disabling AQE for the loop's tiny tables: 2.5× WORSE — AQE's
+      runtime broadcast conversion of the sub-10 MB label side is
+      load-bearing; without it every round pays two 32-partition SMJs.
+    * pre-hash-partitioning the checkpointed edge list on dst so the
+      per-round join reuses the exchange: localCheckpoint does NOT
+      preserve outputPartitioning (the rescan is UnknownPartitioning —
+      verified on the final plan), so the pre-shuffle is pure cost.
 
     Returns (id, component) for every node that appears in ``pairs``.
     """
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    sum_convergence = isinstance(
+        e.schema["src"].dataType, (ByteType, ShortType, IntegerType, LongType)
+    ) and isinstance(
+        e.schema["dst"].dataType, (ByteType, ShortType, IntegerType, LongType)
+    )
     # localCheckpoint (not just persist): each round's plan must be CUT,
     # or the logical plan doubles per iteration and the driver OOMs just
     # *printing* it.  On a cluster with an unreliable-executor profile,
@@ -799,15 +838,20 @@ def connected_components(
     # the neighbor join is edges itself and the shortcut lookup is a
     # no-op — the first stepped/doubled label table is exactly
     # min(own id, min neighbor id) per node, one aggregate.
+    # lazy checkpoint + the convergence aggregate = ONE materializing job
+    # (see docstring); the integral-type gate picks the convergence probe
     labels = (
         edges.select(F.col("src").alias("id"), F.col("dst").alias("label"))
         .union(edges.select(F.col("src").alias("id"), F.col("src").alias("label")))
         .groupBy("id")
         .agg(F.min("label").alias("label"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     _label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
-    prev_sum = labels.agg(_label_sum).first()[0]
+    if sum_convergence:
+        prev_sum = labels.agg(_label_sum).first()[0]
+    else:
+        labels.count()  # materialize the lazy checkpoint
     for _ in range(max_iter - 1):
         nbr = edges.join(labels, edges.dst == labels.id).select(
             edges.src.alias("id"), F.col("label")
@@ -833,13 +877,28 @@ def connected_components(
                 "id",
                 F.least(F.col("label"), F.col("_mlabel")).alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        new_sum = new_labels.agg(_label_sum).first()[0]
+        if sum_convergence:
+            new_sum = new_labels.agg(_label_sum).first()[0]
+            converged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            # type-agnostic fallback (ADVICE r11): any row whose label
+            # changed this round?  LIMIT 1 existence probe — the first
+            # action also materializes the lazy checkpoint.
+            prev = labels.select(
+                F.col("id").alias("_pid"), F.col("label").alias("_plabel")
+            )
+            converged = not (
+                new_labels.join(prev, new_labels.id == F.col("_pid"))
+                .filter(F.col("label") != F.col("_plabel"))
+                .limit(1)
+                .count()
+            )
         labels = new_labels
-        if new_sum == prev_sum:
+        if converged:
             break
-        prev_sum = new_sum
     return labels.select("id", F.col("label").alias("component"))
 
 

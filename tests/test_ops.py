@@ -707,6 +707,47 @@ def test_connected_components_long_chain_pointer_doubling(spark):
     assert comp == {i: 0 for i in range(n)}  # chain 63-62-...-0, min id 0
 
 
+def test_connected_components_string_ids_use_changed_row_fallback(spark):
+    """ADVICE r11: the DECIMAL(38,0) sum-convergence probe would cast
+    string labels to NULL, making every round's sum None and None == None
+    end the loop after ONE propagation round with partially-converged
+    components.  Non-integral id types must take the any-label-changed
+    fallback and still fully converge — this chain needs several rounds."""
+    chain = [(chr(ord("a") + i + 1), chr(ord("a") + i)) for i in range(12)]
+    pairs = spark.createDataFrame(chain, "id_a string, id_b string")
+    comp = {r.id: r.component for r in dedup.connected_components(pairs).collect()}
+    assert comp == {chr(ord("a") + i): "a" for i in range(13)}
+
+
+def test_pair_producers_emit_unique_strictly_ordered_pairs(spark):
+    """Pins the non-local invariant `connected_components(pairs_unique=
+    True)` relies on (ADVICE r11): every registered pair producer ends in
+    a terminal .distinct() emitting strictly-ordered id_a < id_b rows
+    with no self-loops, so the symmetrized edge union is unique by
+    construction.  A future edit dropping the distinct or the ordering
+    would silently reintroduce duplicate edges; this test fails instead."""
+    docs = spark.createDataFrame(
+        [(i, ("the quick brown fox jumps over the lazy dog near bank %d" % (i % 3)))
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    producers = {
+        "minhash_lsh_pairs": dedup.minhash_lsh_pairs(
+            docs, "text", "doc_id", bands=8, k=5, max_bucket=1000
+        ),
+        "simhash_hamming_pairs": dedup.simhash_hamming_pairs(
+            docs, "text", "doc_id", bits=48, n_blocks=4, max_hamming=3,
+            max_bucket=1000,
+        ),
+    }
+    for name, pairs_df in producers.items():
+        rows = pairs_df.select("id_a", "id_b").collect()
+        assert rows, f"{name}: test corpus produced no candidate pairs"
+        tuples = [(r.id_a, r.id_b) for r in rows]
+        assert len(tuples) == len(set(tuples)), f"{name}: duplicate pairs"
+        assert all(a < b for a, b in tuples), f"{name}: not strictly id_a < id_b"
+
+
 def test_md5_sample_is_rerun_stable_and_monotone(spark):
     from hotdog_spark.operators.sampling import md5_sample, with_split
 
