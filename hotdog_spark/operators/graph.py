@@ -39,6 +39,19 @@ from hotdog_spark.operators import track_persist
 #: 9.2e18 so total mass never overflows.
 RANK_SCALE = 1_000_000_000_000
 
+#: Vertex count above which the persisted edge table is explicitly
+#: hash-partitioned on ``src`` before caching.  A cached join output
+#: built via a broadcast reports no useful outputPartitioning, so every
+#: PageRank iteration would re-exchange the full O(|E|) edge table to
+#: align with the rank join; one repartition("src") at build time (at
+#: spark.sql.shuffle.partitions, so it follows the cluster conf) lets
+#: all ``iters`` joins reuse the cached layout.  Below the threshold the
+#: graph is broadcast-sized and the extra exchange is pure overhead —
+#: interleaved A/B at sf0.1 (5k vertices / 662 edges) measured the
+#: always-on variant 1.1-1.2x SLOWER, so the gate derives from input
+#: size rather than hard-coding either regime.
+COPARTITION_MIN_VERTICES = 1_000_000
+
 
 def symmetrize_edges(pairs: DataFrame, a_col: str, b_col: str) -> DataFrame:
     """Undirected (a, b) candidate pairs → directed (src, dst) both ways.
@@ -57,6 +70,8 @@ def pagerank_integer(
     id_col: str = "id",
     iters: int = 3,
     damping_pct: int = 85,
+    edge_dsts_in_vertices: bool = True,
+    copartition: bool | None = None,
 ) -> DataFrame:
     """PageRank with exact integer arithmetic (public algorithm: Page &
     Brin 1998; the integer-scaled formulation is ours, chosen so the
@@ -84,6 +99,23 @@ def pagerank_integer(
     message rows of (dst, bigint), never the corpus.  Driver state: the
     scalar N.  Returns (id, rank_scaled, degree) — degree 0 for
     isolated vertices, which hold exactly the teleport rank.
+
+    ``edge_dsts_in_vertices=True`` (both in-repo callers: edges are
+    symmetrized pairs over the vertex table itself) applies the rank
+    update as ONE aggregate over the messages unioned with a
+    zero-contribution row per vertex — the left join back to the vertex
+    set disappears from every iteration, trading the O(|V|) vertex-side
+    join exchange for the same O(|V|) rows riding the existing message
+    shuffle.  Requires every edge ``dst`` to be a registered vertex
+    (otherwise phantom rank rows would appear); pass ``False`` for
+    arbitrary edge lists to get the join-based update with identical
+    results — a regression test pins the two paths equal.
+
+    ``copartition`` (default: auto at ``n >= COPARTITION_MIN_VERTICES``)
+    hash-partitions the persisted edge table on ``src`` so every
+    iteration's rank join reuses the cached layout instead of
+    re-exchanging O(|E|) per iteration; see COPARTITION_MIN_VERTICES
+    for why it is size-gated.
     """
     n = vertices.count()
     if n == 0:
@@ -98,26 +130,53 @@ def pagerank_integer(
     verts = track_persist(vertices.select(F.col(id_col).alias("id")))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # (src, dst, deg) persisted once; every iteration reuses it.
-    e = track_persist(edges.join(deg, "src"))
+    if copartition is None:
+        copartition = n >= COPARTITION_MIN_VERTICES
+    e = edges.join(deg, "src")
+    if copartition:
+        e = e.repartition("src")
+    e = track_persist(e)
 
+    zero = verts.select(
+        F.col("id").alias("dst"), F.lit(0).cast("bigint").alias("contrib")
+    )
     ranks = verts.select("id", F.lit(k // n).cast("bigint").alias("r"))
     for _ in range(iters):
         msgs = (
             e.join(ranks.withColumnRenamed("id", "src"), "src")
             .select("dst", F.expr("r div deg").alias("contrib"))
-            .groupBy("dst")
-            .agg(F.sum("contrib").alias("s"))
         )
-        ranks = track_persist(
-            verts.join(msgs.withColumnRenamed("dst", "id"), "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(teleport).cast("bigint")
-                    + F.expr(f"({damping_pct} * coalesce(s, 0)) div 100")
-                ).alias("r"),
+        if edge_dsts_in_vertices:
+            # every group has >= 1 row (the zero row), so SUM is never
+            # NULL and equals coalesce(s, 0) of the join-based form
+            ranks = track_persist(
+                msgs.unionByName(zero)
+                .groupBy("dst")
+                .agg(F.sum("contrib").alias("s"))
+                .select(
+                    F.col("dst").alias("id"),
+                    (
+                        F.lit(teleport).cast("bigint")
+                        + F.expr(f"({damping_pct} * s) div 100")
+                    ).alias("r"),
+                )
             )
-        )
+        else:
+            ranks = track_persist(
+                verts.join(
+                    msgs.groupBy("dst").agg(F.sum("contrib").alias("s"))
+                    .withColumnRenamed("dst", "id"),
+                    "id",
+                    "left",
+                )
+                .select(
+                    "id",
+                    (
+                        F.lit(teleport).cast("bigint")
+                        + F.expr(f"({damping_pct} * coalesce(s, 0)) div 100")
+                    ).alias("r"),
+                )
+            )
 
     out_deg = deg.withColumnRenamed("src", "id")
     return (

@@ -1212,20 +1212,49 @@ def image_ahash(df: DataFrame, grid: int = 8) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(kernel, AHASH_SCHEMA)
 
 
-def _group_dedup(hashes, keys: list[str]):
-    """Attach (group_n, canonical_id, is_dup) to a perceptual-hash table
-    with ONE unbounded window over the collision key — the r11 shape
-    replacing persist + groupBy + join-back across all four perceptual
-    dedups: the Python decode+hash pipeline evaluates ONCE with no cache
-    write, and the only exchange is the window's hash partitioning.  The
-    sf0.1 A/B (median-of-5, warm session) measured it 2-4x faster than
-    the r10 persisted join (video 3.7 -> 1.8 s, image aHash 7.9 -> 2.1 s)
-    and faster than the r9 unpersisted join (double decode), identical
-    rows.  Skew note: a degenerate collision group lands in one window
-    partition; rows buffer in Spark's spilling window array, so a giant
-    duplicate cluster is a straggler, not an OOM — at corpus scales
-    where that bites, the keyed aggregate + broadcast join-back over a
-    MATERIALIZED signature table is the documented alternative."""
+def _group_dedup(hashes, keys: list[str], skew_safe: bool = False):
+    """Attach (group_n, canonical_id, is_dup) to a perceptual-hash table.
+
+    Default shape (``skew_safe=False``): ONE unbounded window over the
+    collision key — the r11 shape replacing persist + groupBy +
+    join-back across all four perceptual dedups: the Python decode+hash
+    pipeline evaluates ONCE with no cache write, and the only exchange
+    is the window's hash partitioning.  The sf0.1 A/B (median-of-5,
+    warm session) measured it 2-4x faster than the r10 persisted join
+    (video 3.7 -> 1.8 s, image aHash 7.9 -> 2.1 s) and faster than the
+    r9 unpersisted join (double decode), identical rows.  Skew note: a
+    degenerate collision group lands in one window partition; rows
+    buffer in Spark's spilling window array, so a giant duplicate
+    cluster is a straggler, not an OOM.
+
+    ``skew_safe=True`` (r11 VERDICT item 5): the corpus-scale shape for
+    when one collision group can hold a meaningful fraction of the
+    corpus (boilerplate thumbnails, silence audio).  The signature
+    table is persisted once (decode still evaluates once), group stats
+    come from a keyed aggregate — partial aggregation pre-combines the
+    hot key per map task, so the exchange carries at most one row per
+    (key, map partition) — and the stats attach via a join whose build
+    side is one row per DISTINCT signature (broadcast when small; AQE
+    skew-split otherwise).  No operator ever materializes a whole
+    collision group in one task.  Costs one cache write + join vs the
+    window, which is why it is a caller knob with the bench-comparable
+    default rather than always-on; identical rows are pinned by a
+    differential test over a 30%-degenerate corpus."""
+    if skew_safe:
+        from hotdog_spark.operators import track_persist
+
+        sig = track_persist(hashes)
+        stats = sig.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("group_n"),
+            F.min("media_id").alias("canonical_id"),
+        )
+        return sig.join(stats, keys).select(
+            "media_id", *keys, "group_n", "canonical_id"
+        ).withColumn(
+            "is_dup",
+            (F.col("media_id") != F.col("canonical_id")).cast("long"),
+        )
+
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(*keys)
@@ -1239,7 +1268,9 @@ def _group_dedup(hashes, keys: list[str]):
     )
 
 
-def image_ahash_dedup(df: DataFrame, grid: int = 8) -> DataFrame:
+def image_ahash_dedup(
+    df: DataFrame, grid: int = 8, skew_safe: bool = False
+) -> DataFrame:
     """aHash-keyed image dedup: hash every decodable image
     (:func:`image_ahash`), group identical hashes, and mark every
     non-canonical member (canonical = smallest media_id — the same
@@ -1250,7 +1281,10 @@ def image_ahash_dedup(df: DataFrame, grid: int = 8) -> DataFrame:
     (:func:`_group_dedup` — single evaluation, single exchange).  No
     pairwise comparisons anywhere: like exact dedup, collisions ARE the
     candidate groups."""
-    return _group_dedup(image_ahash(df, grid=grid), ["ahash_hi", "ahash_lo"])
+    return _group_dedup(
+        image_ahash(df, grid=grid), ["ahash_hi", "ahash_lo"],
+        skew_safe=skew_safe,
+    )
 
 
 def image_dhash(df: DataFrame, grid: int = 8) -> DataFrame:
@@ -1334,12 +1368,17 @@ def image_dhash(df: DataFrame, grid: int = 8) -> DataFrame:
     )
 
 
-def image_dhash_dedup(df: DataFrame, grid: int = 8) -> DataFrame:
+def image_dhash_dedup(
+    df: DataFrame, grid: int = 8, skew_safe: bool = False
+) -> DataFrame:
     """dHash-keyed image dedup: identical plan shape to
     :func:`image_ahash_dedup` (one Arrow projection, one windowed group
     attach — collisions ARE the candidate groups), keyed on the
     gradient hash instead of the mean hash."""
-    return _group_dedup(image_dhash(df, grid=grid), ["dhash_hi", "dhash_lo"])
+    return _group_dedup(
+        image_dhash(df, grid=grid), ["dhash_hi", "dhash_lo"],
+        skew_safe=skew_safe,
+    )
 
 
 def audio_energy_fingerprint(df: DataFrame, frame_samples: int = 16) -> DataFrame:
@@ -1405,13 +1444,16 @@ def audio_energy_fingerprint(df: DataFrame, frame_samples: int = 16) -> DataFram
     )
 
 
-def audio_fp_dedup(df: DataFrame, frame_samples: int = 16) -> DataFrame:
+def audio_fp_dedup(
+    df: DataFrame, frame_samples: int = 16, skew_safe: bool = False
+) -> DataFrame:
     """Energy-contour-keyed audio dedup: identical plan shape to the
     image perceptual dedups (one Arrow projection, one windowed group
     attach — collisions ARE the candidate groups)."""
     return _group_dedup(
         audio_energy_fingerprint(df, frame_samples=frame_samples),
         ["n_frames", "afp_hi", "afp_lo"],
+        skew_safe=skew_safe,
     )
 
 
@@ -1472,7 +1514,7 @@ def video_frame_signature(df: DataFrame) -> DataFrame:
     )
 
 
-def video_signature_dedup(df: DataFrame) -> DataFrame:
+def video_signature_dedup(df: DataFrame, skew_safe: bool = False) -> DataFrame:
     """Frame-signature-keyed VIDEO dedup (the video member of the
     perceptual-dedup trio with image a/dHash and the audio energy
     contour): identical content sequences collide on the md5 of the
@@ -1486,4 +1528,6 @@ def video_signature_dedup(df: DataFrame) -> DataFrame:
             )
         ),
     ).drop("frame_sums")
-    return _group_dedup(sigs, ["n_frames", "frame_bytes", "sig"])
+    return _group_dedup(
+        sigs, ["n_frames", "frame_bytes", "sig"], skew_safe=skew_safe
+    )

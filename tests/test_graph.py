@@ -100,6 +100,47 @@ def test_pagerank_invariant_under_repartitioning(spark):
     assert r1 == r2
 
 
+def test_pagerank_update_paths_and_copartition_identical(spark):
+    # the fused union-aggregate update (edge_dsts_in_vertices=True, the
+    # default both in-repo callers rely on), the join-based general
+    # update, and the size-gated copartitioned edge layout must all
+    # produce bit-identical ranks
+    ids = list(range(60))
+    pairs = [(i, (i * 11 + 5) % 60) for i in range(60) if i < (i * 11 + 5) % 60]
+    verts = spark.createDataFrame([(v,) for v in ids], "id bigint")
+    p = spark.createDataFrame(pairs, "id_a bigint, id_b bigint")
+    edges = g.symmetrize_edges(p, "id_a", "id_b")
+
+    def run(**kw):
+        return sorted(
+            map(tuple, g.pagerank_integer(verts, edges, **kw).collect())
+        )
+
+    base = run()
+    assert run(edge_dsts_in_vertices=False) == base
+    assert run(copartition=True) == base
+    assert run(edge_dsts_in_vertices=False, copartition=True) == base
+
+
+def test_pagerank_join_update_drops_foreign_dsts(spark):
+    # the general (edge_dsts_in_vertices=False) path must keep the old
+    # semantics for edges pointing outside the vertex set: the foreign
+    # dst's message is dropped, no phantom rank row appears, and the
+    # src still pays out-degree for the dangling edge
+    verts = spark.createDataFrame([(1,), (2,)], "id bigint")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 99)], "src bigint, dst bigint"
+    )
+    rows = g.pagerank_integer(
+        verts, edges, edge_dsts_in_vertices=False
+    ).collect()
+    got = {r["id"]: (r["rank_scaled"], r["degree"]) for r in rows}
+    assert set(got) == {1, 2}
+    assert got[1][1] == 2  # degree counts the dangling edge
+    # vertex 2 receives only half of 1's mass (the other half leaks)
+    assert got[2][0] < got[1][0]
+
+
 def test_degree_distribution(spark):
     p = spark.createDataFrame(
         [(1, 2), (1, 3), (2, 3), (4, 5)], "id_a bigint, id_b bigint"

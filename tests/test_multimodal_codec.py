@@ -275,6 +275,36 @@ def test_image_ahash_dedup_groups(spark):
     assert out[5]["group_n"] == 1 and out[5]["is_dup"] == 0
 
 
+def test_group_dedup_skew_safe_identical_and_windowless(spark):
+    """The skew_safe group attach (r11 VERDICT item 5) must produce
+    bit-identical rows to the windowed default on a degenerate corpus
+    (one collision key shared by 30% of rows) AND keep the degenerate
+    group out of any single-task window: its executed plan has no
+    Window node — group stats come from a partially-aggregated keyed
+    aggregate and attach via a join."""
+    from hotdog_spark.operators import release_tracked_persists
+    from hotdog_spark.operators.multimodal import _group_dedup
+
+    n = 1000
+    # ids 0..299 share hash (1, 2); the rest are unique
+    rows = [
+        (i, 1, 2) if i < 300 else (i, 100 + i, 200 + i) for i in range(n)
+    ]
+    hashes = spark.createDataFrame(
+        rows, "media_id long, ahash_hi long, ahash_lo long"
+    )
+    keys = ["ahash_hi", "ahash_lo"]
+    base = sorted(map(tuple, _group_dedup(hashes, keys).collect()))
+    safe_df = _group_dedup(hashes, keys, skew_safe=True)
+    safe = sorted(map(tuple, safe_df.collect()))
+    plan = safe_df._jdf.queryExecution().executedPlan().toString()
+    release_tracked_persists()
+    assert safe == base
+    assert len(base) == n
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
 # ---- baseline JPEG (operators/jpeg.py) ----
 
 
