@@ -1356,7 +1356,14 @@ def repeated_ngram_spans(
     Returns (doc, n_tokens, n_dup_spans, dup_tokens, max_span_tokens,
     dup_token_ppm) for documents with at least one duplicated span.
     """
-    toks = df.select(
+    # fan_out (r12): this was the ONE tokenizing operator reading df
+    # without it — a compact parquet input arrives as a single split, so
+    # the md5-per-n-gram gram build (the query's CPU cost, materialized
+    # into the persist below) ran in ONE task no matter the core count.
+    # The sf1 8-vs-32-core probe caught it: scaling ratio 1.06 on a
+    # 176 MB-shuffle query; hash-fan-out by the (high-cardinality) doc
+    # id measured 0.30x at sf1 and 0.64x at sf0.1, identical rows.
+    toks = fan_out(df, by=[id_col]).select(
         F.col(id_col).alias("doc"),
         normalized_tokens(F.col(text_col)).alias("w"),
     ).withColumn("n_tokens", F.size("w")).filter(F.col("n_tokens") >= n)
