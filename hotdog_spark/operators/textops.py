@@ -565,25 +565,41 @@ def winnowing_pairs(
     back onto the (tiny, post-threshold) result instead of riding the
     hot path.  Same answer, one skinny shuffle instead of three wide
     ones — and the hot-fp cap becomes a free filter on the grouped list
-    size instead of a separate aggregate + anti-join.
+    size instead of a separate aggregate + anti-join.  r12: the per-doc
+    sizes table stopped being a groupBy(id) aggregate over the exploded
+    fingerprints (a full-table exchange) and is now a shuffle-free
+    ``size(_mins)`` projection of the persisted doc-level fingerprint
+    arrays — the persist moved BELOW the explode, so the cache holds one
+    row per document instead of one per fingerprint.
     """
-    mins = _winnow_mins(df, text_col, id_col, k, w)
+    # persist the DOC-level kernel output (one row per doc, fingerprint
+    # ARRAY column), not the exploded fingerprint table (r12, VERDICT r11
+    # item 7): the cache shrinks (no id repeated per fingerprint) and —
+    # the exchange diet — the per-doc sizes stop being a full-table
+    # groupBy(id) aggregate over the exploded rows and become a
+    # shuffle-free `size(_mins)` projection of this cache (§2.4: a
+    # `distinct`/aggregate over data that is already unique per row is
+    # an Exchange for nothing; `_mins` is array_distinct per doc, so
+    # size(_mins) IS the exact count the old aggregate produced).  Cost:
+    # the explode below now runs once per fp-consumer (per_fp and the
+    # pair join) instead of once into a cache — a plain array explode
+    # over cached arrays, no winnowing recompute (the persist boundary
+    # is what keeps the O(n·k) kernel single-evaluation, as before).
+    mins = track_persist(
+        _winnow_mins(df, text_col, id_col, k, w).select("id", "_mins")
+    )
     # explode_OUTER, not explode: for an inner explode Catalyst's
-    # InferFiltersFromGenerate synthesizes `size(_mins) > 0` and pushes it
-    # below the staging projections, INLINING the whole winnowing chain —
-    # the _codes transform then re-evaluates inside every element_at of
-    # the hash lambda (k × positions regexp evaluations per row; measured
-    # minutes-per-500-docs).  The outer variant infers no filter; the
-    # post-filter on the GENERATED attribute is unpushable and free.
-    # persist: the exploded fingerprint table feeds the sizes aggregate
-    # AND the pair pipeline — without it the whole O(n·k) winnowing
-    # computation re-runs per consumer (measured 2×; at data-lake scale
-    # the equivalent move is materializing the fp index).
+    # InferFiltersFromGenerate synthesizes `size(_mins) > 0` — harmless
+    # above the persist boundary, but kept outer for parity with the
+    # pre-persist lesson (pushed below the staging projections it
+    # INLINED the whole winnowing chain, re-evaluating the _codes
+    # transform inside every element_at of the hash lambda; measured
+    # minutes-per-500-docs).  The post-filter on the GENERATED attribute
+    # is free either way.
     fps = mins.select(
         F.col("id"),
         F.explode_outer("_mins").alias("fp"),
     ).filter(F.col("fp").isNotNull())
-    fps = track_persist(fps)
     # SATURATION GUARD (sf10 finding, VERDICT r5): on a small-vocabulary
     # corpus the k-char gram space saturates and the TRUE answer grows
     # quadratically (404 k pairs at 50 k docs → 21.6 M at 500 k on the
@@ -593,9 +609,10 @@ def winnowing_pairs(
     # mostly-unique fingerprints (ratio ≈ mean n_fp, tens), at
     # saturation distinct fps stop growing with the corpus and the ratio
     # collapses toward 0.  The check is one skinny aggregate over the
-    # already-persisted fp table (two counts, map-side combinable, O(1)
-    # driver rows) — the only eager step in the operator, and it shares
-    # the persisted scan every downstream consumer reuses anyway.
+    # persisted doc-level cache (two counts, map-side combinable, O(1)
+    # driver rows) — the only eager step in the operator, and its action
+    # doubles as the materialization of that cache for every downstream
+    # consumer.
     # per-fp document frequencies and per-doc sizes are needed by BOTH
     # the guard (eager, below) and the pair pipeline (lazy: `eligible`
     # filters per_fp, the result joins back onto `sizes`) — persist the
@@ -604,10 +621,19 @@ def winnowing_pairs(
     # the guard's standalone aggregates cost ~0.5 s, most of the r5→r6
     # winnowing bench delta).
     per_fp = track_persist(fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_df")))
-    # _mins is array_distinct per doc, so count(*) per id IS n_fp — the
-    # PRE-cap fingerprint count, same as size(_mins)
+    # n_fp = size(_mins): exchange-free projection of the doc-level cache
+    # (see the persist note above).  The >= 1 filter reproduces the old
+    # aggregate's domain exactly — a doc whose text is shorter than k
+    # chars has an EMPTY _mins, produced no exploded rows, and therefore
+    # had no row in the old groupBy(id) sizes table (keeps the guard's
+    # n_docs denominator and the join-back domain bit-identical).
+    # Persisted (skinny: two columns, one row per doc) so the two
+    # join-backs below read this instead of re-projecting the array
+    # cache twice.
     sizes = track_persist(
-        fps.groupBy("id").agg(F.count("*").cast("bigint").alias("n_fp"))
+        mins.select(
+            "id", F.size("_mins").cast("bigint").alias("n_fp")
+        ).filter(F.col("n_fp") >= 1)
     )
     if saturation_warn_ratio > 0:
         import warnings
