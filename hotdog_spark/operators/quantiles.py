@@ -8,11 +8,14 @@ binary search / BlinkDB's exact fallback): repeatedly count into
 ``buckets`` equal-width bins over the candidate range, locate the bin
 containing the target rank, and recurse into it.  Each round is ONE
 map-side-combinable aggregate whose output is O(buckets) rows; the
-driver holds only the bin counters.  For a 64-bit integer domain the
-worst case is ceil(64 / log2(buckets)) + 1 = 7 rounds at the default
-4096 buckets; real money/count domains (≤ ~2^24 distinct cents) narrow
-to a ≤ tail_cap range in ONE round, so the whole computation is three
-jobs: bootstrap aggregate, one histogram, one exact tail.
+driver holds only the bin counters.  The first pass is a clamped
+coarse-bin histogram (count/min/max per tail_cap-wide bin, bounded at
+2·coarse_cap+1 groups for any domain) that yields n, the range, AND
+the first narrowing in one job; for a 64-bit integer domain the worst
+case after it is ceil(64 / log2(buckets)) rounds at the default 4096
+buckets; real money/count domains (≤ ~2^27 distinct cents) land every
+quantile in a ≤ tail_cap bin immediately, so the whole computation is
+TWO jobs: the coarse histogram and one exact tail pass.
 
 All quantiles are refined SIMULTANEOUSLY: each round scans the
 persisted value column once, classifying every row into (quantile,
@@ -43,13 +46,15 @@ def exact_quantiles_multipass(
     qs: list[float],
     buckets: int = 4096,
     tail_cap: int = 4096,
+    coarse_cap: int = 32768,
 ) -> list[tuple[float, int, int]]:
     """Exact type-1 quantiles of an integer column.
 
     Returns [(q, rank, value)] with ``rank = max(1, ceil(q·n))`` over
-    the ``n`` non-null rows.  Driver memory: O(buckets · |qs|) counters
-    per round plus one ≤ ``tail_cap``-distinct-value tail per quantile
-    in the final round.  Raises ``ValueError`` on an empty column.
+    the ``n`` non-null rows.  Driver memory: O(coarse_cap) bin rows for
+    the first pass, O(buckets · |qs|) counters per refinement round,
+    plus one ≤ ``tail_cap``-distinct-value tail per quantile in the
+    final round.  Raises ``ValueError`` on an empty column.
     """
     from hotdog_spark.operators import fan_out
 
@@ -64,22 +69,52 @@ def exact_quantiles_multipass(
             )
         )
     )
-    # one bootstrap aggregate: count + min + max share the scan that
-    # materializes the persist (separate count()/agg() actions cost one
-    # extra full pass each — pure job-latency at any scale)
-    row = vals.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("v").alias("lo"),
-        F.max("v").alias("hi"),
-    ).first()
-    n = int(row["n"])
-    if n == 0:
+    # ONE coarse pre-pass replaces the old bootstrap aggregate AND the
+    # first refinement round (r12, guide §1.2 "how many full passes are
+    # unavoidable"): bin by exact floor division into tail_cap-wide
+    # value-aligned bins — (v - pmod(v, W)) div W is exact floor(v/W)
+    # for negatives too, no double rounding anywhere — CLAMPED into
+    # [-coarse_cap, +coarse_cap] so the group count, the shuffle and the
+    # driver collect are bounded by 2·coarse_cap+1 rows for ANY value
+    # domain (a high-entropy 64-bit column cannot turn this into a
+    # per-value shuffle; map-side combine bounds each task's output the
+    # same way).  Per-bin count/min/max give n and, for every quantile,
+    # either (a) an interior bin whose true value span is ≤ tail_cap →
+    # straight to the exact tail pass, or (b) a clamped edge bin whose
+    # exact [min, max] seeds the refinement loop with a range no wider
+    # than the old bootstrap's [lo, hi].  Clamping preserves bin-order
+    # monotonicity in v, so the cumulative walk over bins sorted by bin
+    # id IS a walk in value order — the same type-1 rank selection as
+    # before, exactly.  Money/quantized-metric domains resolve every
+    # quantile via (a): TWO full passes total (coarse + exact tail)
+    # where the old shape paid three (bootstrap + histogram + tail).
+    _b = F.expr(f"(v - pmod(v, {tail_cap})) div {tail_cap}")
+    _b = F.greatest(F.least(_b, F.lit(coarse_cap)), F.lit(-coarse_cap))
+    coarse = (
+        vals.groupBy(_b.alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+        .collect()
+    )
+    if not coarse:
         raise ValueError("exact_quantiles_multipass: no non-null rows")
+    coarse.sort(key=lambda r_: r_["b"])
+    n = sum(r_["c"] for r_ in coarse)
     # state per quantile: [lo, hi, remaining_rank]; rank counted within [lo, hi]
-    state = {
-        i: [int(row["lo"]), int(row["hi"]), max(1, math.ceil(q * n))]
-        for i, q in enumerate(qs)
-    }
+    state: dict[int, list[int]] = {}
+    for i, q in enumerate(qs):
+        rank = max(1, math.ceil(q * n))
+        cum = 0
+        for r_ in coarse:
+            if cum + r_["c"] >= rank:
+                state[i] = [int(r_["mn"]), int(r_["mx"]), rank - cum]
+                break
+            cum += r_["c"]
+        else:  # defensive: rank ≤ n = total counted mass by construction
+            raise AssertionError("rank not located in coarse histogram")
     done: dict[int, int] = {}
 
     while True:

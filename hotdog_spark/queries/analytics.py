@@ -581,10 +581,11 @@ def quantile_exact_multipass_price(spark: SparkSession, sf_dir: str) -> DataFram
     combinable aggregate binning the candidate range into 4096 equal
     buckets, the driver locates the target rank's bucket (O(buckets)
     state) and recurses into it; all three quantiles share each scan
-    via an array-explode classification.  ONE round for a money
-    domain (≤ 2^24 distinct cents narrows straight to the exact tail)
-    vs the full range-partitioned shuffle a sort-based exact
-    quantile costs, and vs percentile_approx's error bars.  The oracle
+    via an array-explode classification.  TWO total passes for a money
+    domain (the clamped coarse histogram narrows every quantile
+    straight to the exact tail — r12) vs the full range-partitioned
+    shuffle a sort-based exact quantile costs, and vs
+    percentile_approx's error bars.  The oracle
     is the brute-force ROW_NUMBER rank selection — same type-1
     semantics (rank = ceil(q*n), duplicates counted), exact match
     required."""
@@ -637,7 +638,7 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a handful of 10^6-valued rows otherwise own every per-type sum).
 
     Composes the multipass exact-quantile operator: the two global cut
-    points come back to the driver as two scalars (three jobs, no
+    points come back to the driver as two scalars (two jobs, no
     global sort — see `quantile_exact_multipass_price`), then one
     map-side-combinable aggregate applies the clamp inline.  Values
     ride the proven double → DECIMAL(18,4) quantizer so the clamp
