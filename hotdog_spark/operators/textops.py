@@ -431,48 +431,42 @@ def cdc_chunk_stats(
         )
     )
 
-    codes = F.col("_codes")
-
-    def gram_hash(i: Column) -> Column:
-        acc = None
-        for j, p in enumerate(pw):
-            term = F.element_at(codes, i + j) * F.lit(p).cast("bigint")
-            acc = term if acc is None else acc + term
-        return acc % F.lit(WINNOW_M).cast("bigint")
-
-    n = F.size(codes)
-    hashes_expr = F.when(
-        n >= k, F.transform(F.sequence(F.lit(1), n - k + 1), gram_hash)
-    ).otherwise(F.array().cast("array<bigint>"))
+    # Py4J expression diet (r12, guide §7.3): the 16-term gram hash, the
+    # cut filter and the chunk transform used to be composed op-by-op
+    # through the Column API (~2,000 gateway round-trips traced per
+    # build); each now arrives as ONE parsed SQL string building the
+    # identical expression tree — same element_at/multiply/modulo nodes,
+    # same exact bigint arithmetic, every oracle hash unchanged.
+    gram_terms = " + ".join(
+        f"element_at(_codes, i + {j}) * {p}L" for j, p in enumerate(pw)
+    )
+    hashes_expr = F.expr(
+        f"CASE WHEN size(_codes) >= {k} THEN "
+        f"transform(sequence(1, size(_codes) - {k} + 1),"
+        f" i -> ({gram_terms}) % {WINNOW_M}L) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
     with_h = staged.select("doc_id", "_norm", hashes_expr.alias("_hashes"))
 
-    h = F.col("_hashes")
     # cut indices: i in [2, size(h)] with h[i] % div == 0.  sequence()
     # DESCENDS when end < start (the repo's documented trap), so gate on
     # size(h) >= 2 before building [2..size(h)].
-    cuts = F.when(
-        F.size(h) >= 2,
-        F.filter(
-            F.sequence(F.lit(2).cast("bigint"), F.size(h).cast("bigint")),
-            lambda i: F.element_at(h, i.cast("int")) % div == 0,
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    bounds = F.concat(
-        F.array(F.lit(1).cast("bigint")),
-        cuts,
-        F.array((F.length("_norm") + 1).cast("bigint")),
+    cuts = (
+        f"CASE WHEN size(_hashes) >= 2 THEN "
+        f"filter(sequence(CAST(2 AS BIGINT), CAST(size(_hashes) AS BIGINT)),"
+        f" i -> element_at(_hashes, CAST(i AS INT)) % {div} = 0) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END"
+    )
+    bounds = F.expr(
+        f"concat(array(CAST(1 AS BIGINT)), {cuts},"
+        f" array(CAST(length(_norm) + 1 AS BIGINT)))"
     )
     with_b = with_h.select("doc_id", "_norm", bounds.alias("_bs"))
 
-    bs = F.col("_bs")
-    chunks = F.transform(
-        F.sequence(F.lit(1), F.size(bs) - 1),
-        lambda j: F.md5(
-            F.col("_norm").substr(
-                F.element_at(bs, j).cast("int"),
-                (F.element_at(bs, j + 1) - F.element_at(bs, j)).cast("int"),
-            )
-        ),
+    chunks = F.expr(
+        "transform(sequence(1, size(_bs) - 1),"
+        " j -> md5(substr(_norm, CAST(element_at(_bs, j) AS INT),"
+        " CAST(element_at(_bs, j + 1) - element_at(_bs, j) AS INT))))"
     )
     inst = with_b.select(
         "doc_id", F.explode(chunks).alias("ch")

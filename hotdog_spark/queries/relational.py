@@ -1298,16 +1298,20 @@ def stats_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_discount").cast("decimal(18,2)") * 100).cast("bigint").alias("x3"),
         (F.col("l_tax").cast("decimal(18,2)") * 100).cast("bigint").alias("x4"),
     )
-    d38 = "decimal(38,0)"
-    aggs = [F.count(F.lit(1)).cast(d38).alias("n")]
+    # Py4J expression diet (r12, guide §7.3): the 15 moment aggregates
+    # and the 6-struct pair array used to be composed op-by-op through
+    # the Column API (~3,400 gateway round-trips traced per build);
+    # each now arrives as one parsed SQL string building the identical
+    # expression tree — same COUNT/SUM/CAST/Multiply nodes, same
+    # decimal(38,0) moment types, every oracle digit unchanged.
+    d38 = "DECIMAL(38,0)"
+    aggs = [F.expr(f"CAST(COUNT(1) AS {d38}) AS n")]
     for i in range(1, 5):
-        aggs.append(F.sum(F.col(f"x{i}")).cast(d38).alias(f"s{i}"))
+        aggs.append(F.expr(f"CAST(SUM(x{i}) AS {d38}) AS s{i}"))
     for i in range(1, 5):
         for j in range(i, 5):
-            aggs.append(
-                F.sum(F.col(f"x{i}") * F.col(f"x{j}")).cast(d38).alias(f"s{i}{j}")
-            )
-    m = table_m = li.agg(*aggs)
+            aggs.append(F.expr(f"CAST(SUM(x{i} * x{j}) AS {d38}) AS s{i}{j}"))
+    m = li.agg(*aggs)
     pairs = [
         ("quantity~price_h", 1, 2),
         ("quantity~discount_pc", 1, 3),
@@ -1316,24 +1320,16 @@ def stats_numeric_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("price_h~tax_pc", 2, 4),
         ("discount_pc~tax_pc", 3, 4),
     ]
-    n = F.col("n")
-
-    def s(i, j=None):
-        return F.col(f"s{i}") if j is None else F.col(f"s{min(i,j)}{max(i,j)}")
-
-    rows = F.array(
-        *[
-            F.struct(
-                F.lit(name).alias("pair"),
-                (n * s(i, j) - s(i) * s(j)).alias("num"),
-                (n * s(i, i) - s(i) * s(i)).alias("d1"),
-                (n * s(j, j) - s(j) * s(j)).alias("d2"),
-            )
-            for name, i, j in pairs
-        ]
+    structs = ", ".join(
+        f"named_struct('pair', '{name}', "
+        f"'num', n * s{min(i, j)}{max(i, j)} - s{i} * s{j}, "
+        f"'d1', n * s{i}{i} - s{i} * s{i}, "
+        f"'d2', n * s{j}{j} - s{j} * s{j})"
+        for name, i, j in pairs
     )
+    rows = F.expr(f"array({structs})")
     return (
-        m.select(n.cast("bigint").alias("n_rows"), F.explode(rows).alias("e"))
+        m.select(F.col("n").cast("bigint").alias("n_rows"), F.explode(rows).alias("e"))
         .select(
             F.col("e.pair").alias("pair"),
             "n_rows",
