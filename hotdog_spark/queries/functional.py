@@ -202,12 +202,24 @@ def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-user counts per event type.  At 100 TB the
     sketch replaces exact COUNT(DISTINCT): it is fixed-size, map-side
     combinable, and shuffles bytes-per-group instead of rows-per-user —
-    the standard trade for cardinality dashboards (rsd 0.5% here).  The
+    the standard trade for cardinality dashboards (DataSketches HLL
+    lgK=16 here, RSE ~0.41%).  The
     exact count here exists only to make the sketch oracle-checkable; a
     production rollup would emit the sketch alone."""
     e = table(spark, sf_dir, "events")
     agg = e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.005).alias("approx_users"),
+        # DataSketches HLL (public Apache DataSketches, Spark 3.5+ SQL
+        # functions) at lgK=16: RSE = 1.04/sqrt(2^16) ~ 0.41%, i.e. at
+        # least the precision of the previous approx_count_distinct
+        # rsd=0.005 — and measured ~14x faster per pass (r12: Spark's
+        # built-in HLL++ at p=16 costs ~36 us/row engine-internal,
+        # flagged r11; the DataSketches update is ~2.5 us/row).  Same
+        # contract: one map-side-combinable aggregate, fixed sketch
+        # bytes per group, order-insensitive estimate.  The 5% oracle
+        # bound below is unchanged and keeps the swap honest.
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 16))").alias(
+            "approx_users"
+        ),
         F.count_distinct("user_id").alias("exact_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
@@ -248,7 +260,13 @@ def agg_approx_distinct_users_sketch_only(
     than the straight single-pass build at bench SFs."""
     e = table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.005).alias("approx_users")
+        # same sketch swap as agg_approx_distinct_users above (r12):
+        # DataSketches HLL lgK=16 (RSE ~0.41% <= the old rsd=0.005
+        # target) replaces Spark's HLL++ — identical rollup shape,
+        # measured ~14x faster per pass at equal precision
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 16))").alias(
+            "approx_users"
+        )
     )
 
 
