@@ -370,6 +370,18 @@ def lsh_recall_report(
     # measured a 1.08× REGRESSION in a tight ABA bracket — the sample
     # is a FIXED 256 docs forever, so the doubled leg evaluation here
     # is bounded and cheap, while the outer join added a real shuffle.
+    #
+    # r12: the cheap fix the fusion attempt overshot — persist the two
+    # tiny legs instead of restructuring the plan.  Each is consumed
+    # twice (its count leg + the hits join); within the one report
+    # action the first consumer computes-and-caches, the second reads
+    # the cache, so the 256²-pair exact-Jaccard cross join and the LSH
+    # candidate pipeline each evaluate ONCE (guide §5 "reused and
+    # recomputing is more expensive").  Plan shape otherwise unchanged;
+    # interleaved same-session A/B at sf0.1: 0.85× median over 9
+    # rep-pairs, every pair in favor, report row identical.
+    truth = track_persist(truth)
+    cands = track_persist(cands)
     hits = truth.join(cands, ["id_a", "id_b"])
     rep = (
         sampled.agg(F.count(F.lit(1)).alias("n_eval_docs"))
