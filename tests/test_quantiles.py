@@ -51,6 +51,19 @@ def test_forces_multiple_refinement_rounds(spark):
     _check(spark, values, [0.5], buckets=16, tail_cap=32)
 
 
+def test_mixed_interior_and_clamped_edge_bins(spark):
+    # r12 coarse pre-pass: one quantile must resolve in a tail-ready
+    # INTERIOR bin while another lands in a CLAMPED edge bin wider than
+    # tail_cap (seeding the refinement loop from the edge bin's exact
+    # [min, max]) — the per-quantile branch the fused first pass added.
+    rng = random.Random(7)
+    # 80% of mass in a narrow band near 0 (interior bins), 20% spread
+    # over a huge positive range (clamped at +coarse_cap, width >> cap)
+    values = [rng.randrange(0, 50_000) for _ in range(4000)]
+    values += [rng.randrange(2**40, 2**59) for _ in range(1000)]
+    _check(spark, values, [0.5, 0.99], buckets=64, tail_cap=256)
+
+
 def test_negative_and_boundary_values(spark):
     values = [-(10**9), -5, -5, 0, 3, 10**9]
     _check(spark, values, [0.001, 0.5, 1.0])
