@@ -321,12 +321,13 @@ def importance_weights_hashed_ngrams(
       target_mass·S > source_mass·T (importance weight > 1 — the doc is
       more target-like than the average source doc).
 
-    Plan at scale: one bigram explode (persisted, feeds both models and
-    the scoring join), two bucket-count aggregates that are
-    BUCKET-bounded (1024 rows — broadcast by construction, never a
-    shuffle of the corpus), one scalar-totals cross join (1 row), and
-    one per-doc aggregate.  The corpus is never shuffled on anything
-    wider than its own doc key."""
+    Plan at scale: one bigram explode (persisted, feeds the model and
+    the scoring join), ONE bucket-count aggregate computing both models
+    via a conditional count — BUCKET-bounded (1024 rows — broadcast by
+    construction, never a shuffle of the corpus), one scalar-totals
+    cross join (1 row), and one per-doc aggregate.  The corpus is never
+    shuffled on anything wider than its own doc key, and the gram cache
+    is scanned twice (model + scoring), not three times."""
     from hotdog_spark.operators import track_persist
     from hotdog_spark.operators.dedup import normalized_tokens
 
@@ -352,17 +353,16 @@ def importance_weights_hashed_ngrams(
             ),
         ).drop("g")
     )
-    source = grams.groupBy("bucket").agg(F.count(F.lit(1)).alias("s_cnt"))
-    target = (
-        grams.filter(F.col("is_target"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("t_cnt"))
-    )
+    # Source and target bucket counts in ONE pass over the gram cache:
+    # count(when(is_target, 1)) counts exactly the rows a
+    # filter(is_target) would keep (nulls and false both excluded), so
+    # this is the old two-aggregate + left-join shape fused — one cache
+    # scan and one bucket-keyed exchange instead of two of each, and
+    # absent-target buckets get 0 without a coalesce.
     model = F.broadcast(
-        source.join(target, "bucket", "left").select(
-            "bucket",
-            "s_cnt",
-            F.coalesce("t_cnt", F.lit(0)).alias("t_cnt"),
+        grams.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("s_cnt"),
+            F.count(F.when(F.col("is_target"), F.lit(1))).alias("t_cnt"),
         )
     )
     totals = F.broadcast(

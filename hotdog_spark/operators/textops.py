@@ -1096,12 +1096,25 @@ def lm_bigram_familiarity(
 
     Plan at scale: one explode over the corpus (the token stream a
     tokenizer pass reads anyway), two keyed aggregates for the model
-    (bigram types are vocabulary-bounded, not corpus-bounded), two
-    joins to score — AQE broadcasts the model tables when they fit; at
-    web scale you would add a min-count floor so the bigram table stays
-    memory-resident (the classic LM cutoff — the join keys and shapes
-    are unchanged).  The exploded stream is persisted once and feeds
-    model-build and scoring, so the corpus is tokenized exactly once.
+    (bigram types are vocabulary-bounded, not corpus-bounded — and the
+    map-side partial aggregation means BOTH exchanges carry only
+    vocab-sized partials), two joins to score — AQE broadcasts the
+    model tables when they fit; at web scale you would add a min-count
+    floor so the bigram table stays memory-resident (the classic LM
+    cutoff — the join keys and shapes are unchanged).  The exploded
+    stream is persisted once and feeds model-build and scoring, so the
+    corpus is tokenized exactly once.
+
+    Shape tried and REJECTED (r12, measured): deriving ``cc`` from
+    ``cb`` (Σ_w2 c(w1,w2) = c(w1·)) plus a vocab-side ``cb ⨝ cc``
+    model join so the corpus stream passes one join instead of two —
+    a wash at sf0.1 (1.03×) and 1.40× WORSE at sf1 (1/5 interleaved
+    pairs): the static plan shows the (w1,w2) aggregate exchange is
+    NOT reused for the cc derivation (the cache is scanned and
+    aggregated twice anyway) and the planner flips the scoring join to
+    build on the corpus-sized stream.  The two-aggregate shape already
+    ships vocab-sized partials, so there was no corpus-sized shuffle
+    to remove in the first place.
     """
     bg = track_persist(bigram_stream(df, text_col, id_col))
     cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
